@@ -1,13 +1,347 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{Analyzer, Codec, DenseId}
+import graft.index.IndexBuilder
+import graft.index.IndexBuilder.BuildConfig
+import graft.query.Search
+import graft.sources.HtmlText
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB-runnable `oracleSql` for every
+  * SQL-expressible one. See SURVEY.md for reference file:line mappings.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------------------------------------------------------------------
+  // Index cache: the fulltext queries run over a real on-disk index built
+  // from the sfDir's `documents` table (doc_id zero-padded into the url so
+  // the engine's url-sort-rank docIDs coincide with the table's doc_id).
+  // ---------------------------------------------------------------------
+  private val indexDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def documentsAsPages(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        val url = f"doc://$id%012d"
+        Page(url, new Timestamp(1609459200000L + id * 60000L), HtmlText.wrap(url, text), text, lang)
+      }
+  }
+
+  def indexFor(spark: SparkSession, sfDir: String): String =
+    indexDirs.getOrElseUpdate(sfDir, {
+      val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"/tmp/graft-index/$name"
+      if (!IndexBuilder.completedUnits(dir).contains("done")) {
+        IndexBuilder.build(
+          spark, documentsAsPages(spark, sfDir), dir,
+          BuildConfig(nPartitions = 16, nGroups = 2, nSlices = 4, blockSize = 128)
+        )
+      }
+      dir
+    })
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  private def customer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+
+  /** Flagship: build the index on sf0.001 and run a BM25 search. */
+  def entry(spark: SparkSession): DataFrame = {
+    val idx = indexFor(spark, "/root/testdata/sf0.001")
+    Search.topK(spark, idx, Seq("spark", "table"), "or", 10)
+  }
+
+  /** BM25 queries used by the correctness gate (hot + medium terms). */
+  private val QueryOr = Seq("spark", "merge", "window")
+  private val QueryAnd = Seq("spark", "merge")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- fulltext core (north rule; SURVEY.md §2.1 S8→internalized) ----
+    "q_doc_stats" -> { (s, dir) =>
+      import s.implicits._
+      IndexBuilder.readDocs(s, indexFor(s, dir))
+        .toDF()
+        .select($"doc_id", $"doc_len".cast("long").as("doc_len"))
+    },
+    "q_corpus_stats" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"${indexFor(s, dir)}/stats")
+        .select($"n_docs", round($"avg_dl" * 1000000).cast("long").as("avg_dl_e6"), $"total_tokens")
+    },
+    "q_term_stats" -> { (s, dir) =>
+      import s.implicits._
+      IndexBuilder.readTerms(s, indexFor(s, dir))
+        .toDF()
+        .where($"doc_freq" >= 25)
+        .select($"term", $"doc_freq", $"total_tf")
+    },
+    // decode every posting block back to (term → postings/tf sums): proves
+    // the delta+varbyte codec round-trips inside the correctness gate
+    "q_posting_decode" -> { (s, dir) =>
+      import s.implicits._
+      val idx = indexFor(s, dir)
+      IndexBuilder.readPostings(s, idx)
+        .select($"term", $"count", $"tfs")
+        .as[(String, Int, Array[Byte])]
+        .map { case (term, n, tfs) =>
+          (term, n.toLong, Codec.decodeInts(tfs, n).map(_.toLong).sum)
+        }
+        .toDF("term", "doc_freq", "total_tf")
+        .groupBy($"term")
+        .agg(sum($"doc_freq").as("doc_freq"), sum($"total_tf").as("total_tf"))
+    },
+    "q_bm25_topk_or" -> { (s, dir) =>
+      import s.implicits._
+      Search.topK(s, indexFor(s, dir), QueryOr, "or", 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    "q_bm25_topk_and" -> { (s, dir) =>
+      import s.implicits._
+      Search.topK(s, indexFor(s, dir), QueryAnd, "and", 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // ---- relational operators (SURVEY.md §2.2-2.8) ---------------------
+    // J1/J2: stream–dimension broadcast LEFT lookup join, missing → ""
+    // (≙ LgfReader.GetObjectValue, LgfReader.cs:102-115)
+    "q_dict_join" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .join(
+          broadcast(customer(s, dir)),
+          $"user_id" === $"c_custkey",
+          "left"
+        )
+        .select(
+          $"event_id",
+          coalesce($"c_name", lit("")).as("user_name"),
+          coalesce($"c_mktsegment", lit("")).as("segment")
+        )
+    },
+    // J3: last-write-wins upsert/dedup (≙ LgfReader.cs:64-86)
+    "q_lww_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"user_id", $"event_id", $"event_type")
+    },
+    // J4: set difference / anti join (≙ ClstWatcher.cs:81-87)
+    "q_anti_join" -> { (s, dir) =>
+      import s.implicits._
+      customer(s, dir)
+        .join(
+          orders(s, dir).where($"o_totalprice" > 200000),
+          $"c_custkey" === $"o_custkey", "left_anti"
+        )
+        .select($"c_custkey", $"c_name")
+    },
+    // set EXCEPT on derived sets (S6 registry diff)
+    "q_set_except" -> { (s, dir) =>
+      import s.implicits._
+      val e = events(s, dir)
+        .where($"ts" >= lit("2024-01-30 00:00:00").cast("timestamp"))
+      e.where($"event_type" === "error").select($"user_id").distinct()
+        .except(e.where($"event_type" === "purchase").select($"user_id").distinct())
+    },
+    // A1: group-by time bucket (≙ ElasticSearchStorage.cs:293-320)
+    "q_time_bucket" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .groupBy(
+          date_format($"ts", "yyyyMMdd").as("bucket"),
+          $"event_type"
+        )
+        .agg(count(lit(1)).as("n"), round(sum($"value") * 10000).cast("long").as("total_value_e4"))
+    },
+    // A3/S9/O3: checkpoint read = top-1 by (ts, id) desc
+    // (≙ ClickHouseStorage.cs:42-43)
+    "q_checkpoint_top1" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .orderBy($"ts".desc, $"event_id".desc)
+        .limit(1)
+        // parquet ts is TIMESTAMP_NTZ; session TZ is UTC, so the cast is exact
+        .select(unix_micros($"ts".cast("timestamp")).as("ts_us"), $"event_id")
+    },
+    // P5-P8: enum decode via literal map with identity fallback
+    // (≙ LgpReader.cs:222-368)
+    "q_enum_decode" -> { (s, dir) =>
+      import s.implicits._
+      val m = typedLit(Map(
+        "click" -> "Click event", "view" -> "Page view",
+        "purchase" -> "Purchase", "error" -> "Error raised"
+      ))
+      events(s, dir)
+        .select(
+          $"event_id",
+          coalesce(element_at(m, $"event_type"), $"event_type").as("event_kind")
+        )
+    },
+    // P1: timestamp format/parse round-trip (yyyyMMddHHmmss, ≙ LgpReader.cs:107-116)
+    "q_ts_parse" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .select(
+          $"event_id",
+          unix_seconds(
+            to_timestamp(date_format($"ts", "yyyyMMddHHmmss"), "yyyyMMddHHmmss")
+          ).as("ts_sec")
+        )
+    },
+    // P2: pre-date filter (≙ LgpReader.cs:118-119) + aggregation
+    "q_date_filter" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .where($"ts" >= lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"))
+    },
+    // P3: hex→decimal round trip (≙ LgpReader.cs:131-133)
+    "q_hex_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .select($"event_id", conv(hex($"event_id"), 16, 10).cast("long").as("decoded"))
+    },
+    // P11: name normalization (≙ ElasticSearchStorage.cs:163-170)
+    "q_normalize" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir)
+        .select(regexp_replace(lower($"source"), "[^a-z0-9]", "_").as("norm"))
+        .distinct()
+    },
+    // P14: deterministic dense monotonic id (≙ EventLogReader.cs:105-106)
+    "q_monotonic_id" -> { (s, dir) =>
+      import s.implicits._
+      DenseId.assign(
+        docs(s, dir).select($"doc_id", $"n_chars"),
+        "doc_id", "seq", 8
+      ).select($"doc_id", $"seq")
+    },
+    // §2.7: window ranking (top-3 events per user by value)
+    "q_window_rank" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id".asc)
+      events(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .where($"rnk" <= 3)
+        .select($"user_id", $"event_id", $"rnk".cast("long").as("rnk"))
+    }
+  )
+
+  /** BM25 oracle in ANSI SQL (DuckDB): exhaustive scoring with the exact
+    * same formula the engine uses; `documents` text is single-space
+    * separated [a-z0-9]+ so string_split ≡ the engine analyzer here.
+    */
+  private def bm25OracleSql(terms: Seq[String], and: Boolean): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val having = if (and) s"HAVING count(*) = ${terms.distinct.size}" else ""
+    s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks WHERE term IN ($inList) GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN alldocs ad ON ad.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id $having
+)
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY score DESC, doc_id LIMIT 10"""
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_doc_stats" ->
+      """SELECT doc_id, coalesce(len(string_split(text, ' ')), 0) AS doc_len
+         FROM documents WHERE text <> ''
+         UNION ALL
+         SELECT doc_id, 0 AS doc_len FROM documents WHERE text = ''""",
+    "q_corpus_stats" ->
+      """WITH dl AS (
+           SELECT CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS doc_len
+           FROM documents)
+         SELECT count(*) AS n_docs, round(avg(doc_len) * 1000000)::BIGINT AS avg_dl_e6,
+                sum(doc_len)::BIGINT AS total_tokens FROM dl""",
+    "q_term_stats" ->
+      """SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_tf
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents WHERE text <> '')
+         GROUP BY term HAVING count(DISTINCT doc_id) >= 25""",
+    "q_posting_decode" ->
+      """SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_tf
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents WHERE text <> '')
+         GROUP BY term""",
+    "q_bm25_topk_or" -> bm25OracleSql(QueryOr, and = false),
+    "q_bm25_topk_and" -> bm25OracleSql(QueryAnd, and = true),
+    "q_dict_join" ->
+      """SELECT e.event_id, coalesce(c.c_name, '') AS user_name,
+                coalesce(c.c_mktsegment, '') AS segment
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+    "q_lww_dedup" ->
+      """SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)""",
+    "q_set_except" ->
+      """SELECT DISTINCT user_id FROM events
+         WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events
+         WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-30 00:00:00'""",
+    "q_time_bucket" ->
+      """SELECT strftime(ts, '%Y%m%d') AS bucket, event_type,
+                count(*) AS n, round(sum(value) * 10000)::BIGINT AS total_value_e4
+         FROM events GROUP BY 1, 2""",
+    "q_checkpoint_top1" ->
+      """SELECT epoch_us(ts) AS ts_us, event_id FROM events
+         ORDER BY ts DESC, event_id DESC LIMIT 1""",
+    "q_enum_decode" ->
+      """SELECT event_id,
+                CASE event_type WHEN 'click' THEN 'Click event'
+                                WHEN 'view' THEN 'Page view'
+                                WHEN 'purchase' THEN 'Purchase'
+                                WHEN 'error' THEN 'Error raised'
+                                ELSE event_type END AS event_kind
+         FROM events""",
+    "q_ts_parse" ->
+      """SELECT event_id, epoch(date_trunc('second', ts))::BIGINT AS ts_sec FROM events""",
+    "q_date_filter" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1""",
+    "q_hex_roundtrip" ->
+      """SELECT event_id, event_id AS decoded FROM events""",
+    "q_normalize" ->
+      """SELECT DISTINCT regexp_replace(lower(source), '[^a-z0-9]', '_', 'g') AS norm
+         FROM documents""",
+    "q_monotonic_id" ->
+      """SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS seq FROM documents""",
+    "q_window_rank" ->
+      """SELECT user_id, event_id, rnk FROM (
+           SELECT user_id, event_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+           FROM events) WHERE rnk <= 3"""
+  )
 }

@@ -1,0 +1,102 @@
+package graft.functions
+
+import java.util.Locale
+import scala.collection.mutable
+
+/** ES-standard-analyzer-compatible tokenizer: UAX#29-style word
+  * segmentation + lowercase. The reference declares `text` fields analyzed
+  * by Elasticsearch's standard analyzer (no custom analyzer in the index
+  * template, `ElasticSearchStorage.cs:200-236`) — i.e. Lucene
+  * StandardTokenizer (Unicode word break) + LowerCaseFilter.
+  *
+  * We implement the word-break subset explicitly (the JDK BreakIterator is
+  * not UAX#29-conformant — it keeps "a-b" together), with these rules:
+  *   - token chars: Unicode letters and digits (incl. marks following
+  *     letters, so combining sequences survive);
+  *   - ExtendNumLet ('_'): always joins (WB13a/b) — "c_d" is one token;
+  *   - MidNumLet ('.', ''', '’'): joins letter·letter and digit·digit
+  *     (WB6/7, WB11/12) — "three.four", "3.14", "o'neil" are one token;
+  *   - MidLetter (':', '·'): joins letters; MidNum (',', ';'): joins
+  *     digits — "1,024" is one token;
+  *   - everything else (hyphen, space, punctuation) splits — "a-b" → a, b.
+  *
+  * Used inside `Dataset.flatMap`/`mapPartitions` (SURVEY.md §2.10: the
+  * tokenizer is one of the two genuine UDF-ish hot spots; typed flatMap
+  * keeps it out of Catalyst only where unavoidable).
+  */
+object Analyzer extends Serializable {
+
+  @inline private def isTokenChar(cp: Int): Boolean =
+    Character.isLetterOrDigit(cp) ||
+      Character.getType(cp) == Character.NON_SPACING_MARK ||
+      Character.getType(cp) == Character.COMBINING_SPACING_MARK ||
+      cp == '_'
+
+  @inline private def isMidLetter(cp: Int): Boolean =
+    cp == ':' || cp == '·' || cp == '.' || cp == '\'' || cp == '’'
+
+  @inline private def isMidNum(cp: Int): Boolean =
+    cp == ',' || cp == ';' || cp == '.' || cp == '\'' || cp == '’'
+
+  /** Tokenize to lowercase word tokens per the rules above. */
+  def tokenize(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = mutable.ArrayBuffer.empty[String]
+    val n = text.length
+    var i = 0
+    var start = -1
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isTokenChar(cp)) {
+        if (start < 0) start = i
+        i += w
+      } else if (
+        start >= 0 && i + w < n && {
+          // mid-character: joins iff surrounded by compatible token chars
+          val next = text.codePointAt(i + w)
+          val prev = text.codePointBefore(i)
+          (isMidLetter(cp) && Character.isLetter(prev) && Character.isLetter(next)) ||
+          (isMidNum(cp) && Character.isDigit(prev) && Character.isDigit(next))
+        }
+      ) {
+        i += w // joiner — stay inside the token
+      } else {
+        if (start >= 0) { emit(out, text, start, i); start = -1 }
+        i += w
+      }
+    }
+    if (start >= 0) emit(out, text, start, n)
+    out.toArray
+  }
+
+  /** Emit a token iff it contains at least one letter or digit (drops
+    * joiner-only runs like "___").
+    */
+  @inline private def emit(
+      out: mutable.ArrayBuffer[String], text: String, start: Int, end: Int
+  ): Unit = {
+    var j = start
+    var hasAlnum = false
+    while (j < end && !hasAlnum) {
+      val c = text.codePointAt(j)
+      if (Character.isLetterOrDigit(c)) hasAlnum = true
+      j += Character.charCount(c)
+    }
+    if (hasAlnum) out += text.substring(start, end).toLowerCase(Locale.ROOT)
+  }
+
+  /** Per-document term frequencies in one map-side pass (no shuffle):
+    * tokenize then count — the "operator fusion" the reference hand-codes
+    * (`LgpReader.cs:102-176`) that whole-stage codegen / typed flatMap
+    * gives us per task.
+    */
+  def termFreqs(text: String): (Int, Array[(String, Int)]) = {
+    val toks = tokenize(text)
+    if (toks.isEmpty) return (0, Array.empty)
+    val m = mutable.HashMap.empty[String, Int]
+    var i = 0
+    while (i < toks.length) { m.update(toks(i), m.getOrElse(toks(i), 0) + 1); i += 1 }
+    (toks.length, m.toArray)
+  }
+}

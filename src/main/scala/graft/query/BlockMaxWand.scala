@@ -1,0 +1,237 @@
+package graft.query
+
+import scala.collection.mutable
+import graft.functions.Codec
+import graft.index.IndexBuilder.impact
+
+/** Block-max WAND top-k over compressed posting lists (north rule O4:
+  * the query capability the reference provisions in Elasticsearch —
+  * `ElasticSearchStorage.cs:217,227,231` text mappings — implemented
+  * ourselves). Pure Scala; runs inside `flatMapGroups` per doc-range
+  * slice, never on the driver.
+  *
+  * Rank identity with [[NaiveBm25]] is guaranteed by:
+  *   - exact scoring at every candidate (block maxima only gate skips);
+  *   - identical float order of operations (terms summed in query order);
+  *   - upper bounds inflated by (1+1e-9) so float re-association can
+  *     never under-estimate a bound and wrongly skip;
+  *   - tie-break by ascending docID.
+  */
+object BlockMaxWand {
+
+  /** One term's posting blocks within a slice, decode-on-demand with
+    * block skipping (the per-block doc_id_max is the skip index,
+    * ≙ ClickHouse sparse index granules `ClickHouseStorage.cs:182`).
+    */
+  final class PostingIter(
+      val termIdx: Int,
+      val idf: Double,
+      blocks: Array[BlockRef],
+      avgDl: Double
+  ) {
+    private var bi = 0 // current block
+    private var i = 0 // index within decoded block
+    private var ids: Array[Long] = _
+    private var tfs: Array[Int] = _
+    private var dls: Array[Int] = _
+    val maxScore: Double = // term-level upper bound
+      if (blocks.isEmpty) 0.0
+      else idf * blocks.map(_.maxImpact).max * Bound
+
+    decodeIfNeeded()
+
+    private def decodeIfNeeded(): Unit = {
+      if (bi < blocks.length && ids == null) {
+        val b = blocks(bi)
+        ids = Codec.decodeDeltas(b.deltas, b.count)
+        tfs = Codec.decodeInts(b.tfs, b.count)
+        dls = Codec.decodeInts(b.dls, b.count)
+      }
+    }
+
+    def exhausted: Boolean = bi >= blocks.length
+    def doc: Long = if (exhausted) Long.MaxValue else { decodeIfNeeded(); ids(i) }
+
+    def blockMaxScore: Double =
+      if (exhausted) 0.0 else idf * blocks(bi).maxImpact * Bound
+
+    /** Upper bound of current block's last doc (skip target for BMW). */
+    def blockLastDoc: Long =
+      if (exhausted) Long.MaxValue else blocks(bi).docIdMax
+
+    def score: Double = {
+      decodeIfNeeded()
+      idf * impact(tfs(i), dls(i), avgDl)
+    }
+
+    def next(): Unit = {
+      if (exhausted) return
+      decodeIfNeeded()
+      i += 1
+      if (i >= ids.length) { bi += 1; i = 0; ids = null; decodeIfNeeded() }
+    }
+
+    /** Advance to first doc >= target (block skip + binary search). */
+    def advance(target: Long): Unit = {
+      if (exhausted) return
+      while (bi < blocks.length && blocks(bi).docIdMax < target) {
+        bi += 1; i = 0; ids = null
+      }
+      if (exhausted) return
+      decodeIfNeeded()
+      // binary search within block for first id >= target
+      var lo = i
+      var hi = ids.length - 1
+      if (ids(lo) >= target) { i = lo; return }
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (ids(mid) < target) lo = mid else hi = mid - 1
+      }
+      i = lo + 1
+      if (i >= ids.length) { bi += 1; i = 0; ids = null; decodeIfNeeded() }
+    }
+
+    /** Skip past the current block (BMW shallow skip). */
+    def skipBlock(): Unit = {
+      if (!exhausted) { bi += 1; i = 0; ids = null; decodeIfNeeded() }
+    }
+  }
+
+  private val Bound = 1.0 + 1e-9
+
+  final case class BlockRef(
+      docIdMin: Long,
+      docIdMax: Long,
+      count: Int,
+      deltas: Array[Byte],
+      tfs: Array[Byte],
+      dls: Array[Byte],
+      maxImpact: Double
+  )
+
+  final case class Hit(docId: Long, score: Double)
+
+  /** (score desc, docId asc)-best-k heap: min-heap ordered so the WORST
+    * kept hit is at the head. A candidate beats the head iff its score is
+    * higher, or equal score with smaller docId.
+    */
+  private final class TopK(k: Int) {
+    private val ord = Ordering.by[Hit, (Double, Long)](h => (-h.score, h.docId))
+    private val heap = mutable.PriorityQueue.empty[Hit](ord) // head = worst
+    def threshold: Double =
+      if (heap.size < k) Double.NegativeInfinity else heap.head.score
+    def offer(h: Hit): Unit = {
+      if (heap.size < k) heap.enqueue(h)
+      else {
+        val w = heap.head
+        if (h.score > w.score) { heap.dequeue(); heap.enqueue(h) }
+        // equal score, larger docId (docs arrive in ascending order within
+        // a slice): loses the tie-break — drop.
+      }
+    }
+    def result: Array[Hit] =
+      heap.toArray.sortBy(h => (-h.score, h.docId))
+  }
+
+  /** Top-k disjunctive (OR) retrieval with block-max WAND. `iters` must be
+    * in query-term order (termIdx = position) — scoring re-walks them in
+    * that order for float-identical sums vs the naive oracle.
+    */
+  def or(iters: Array[PostingIter], k: Int): Array[Hit] = {
+    val top = new TopK(k)
+    val live = iters.filter(!_.exhausted)
+    if (live.isEmpty) return Array.empty
+    val order = live.clone() // sorted by current doc each round
+
+    var continue = true
+    while (continue) {
+      java.util.Arrays.sort(order, Ordering.by[PostingIter, Long](_.doc))
+      if (order(0).doc == Long.MaxValue) { continue = false }
+      else {
+        val theta = top.threshold
+        // find pivot: smallest prefix with Σ term maxScore > θ
+        var acc = 0.0
+        var p = -1
+        var j = 0
+        while (j < order.length && p < 0) {
+          if (order(j).doc == Long.MaxValue) { j = order.length }
+          else {
+            acc += order(j).maxScore
+            if (acc > theta) p = j
+            j += 1
+          }
+        }
+        if (p < 0) continue = false // no prefix can beat θ — done
+        else {
+          val pivot = order(p).doc
+          if (order(0).doc == pivot) {
+            // all prefix iterators aligned on pivot: block-max check.
+            // The bound must cover EVERY iterator that could contribute to
+            // pivot's score — including ones beyond the prefix that happen
+            // to sit on pivot — or we could wrongly skip a true top-k doc.
+            var bacc = 0.0
+            var m = 0
+            while (m < order.length) {
+              if (m <= p) order(m).advance(pivot) // position blocks at pivot
+              if (order(m).doc == pivot) bacc += order(m).blockMaxScore
+              m += 1
+            }
+            if (bacc > theta) {
+              // exact score, summing in ORIGINAL query-term order
+              var s = 0.0
+              var t = 0
+              while (t < iters.length) {
+                val it = iters(t)
+                if (!it.exhausted && it.doc == pivot) s += it.score
+                t += 1
+              }
+              top.offer(Hit(pivot, s))
+            }
+            // advance every iterator sitting on pivot
+            var a = 0
+            while (a < order.length) {
+              if (order(a).doc == pivot) order(a).next()
+              a += 1
+            }
+          } else {
+            // advance the laggards up to the pivot
+            var a = 0
+            while (a < p && order(a).doc < pivot) {
+              order(a).advance(pivot)
+              a += 1
+            }
+          }
+        }
+      }
+    }
+    top.result
+  }
+
+  /** Top-k conjunctive (AND) retrieval: leapfrog intersection with block
+    * skipping; exact scores summed in query-term order.
+    */
+  def and(iters: Array[PostingIter], k: Int): Array[Hit] = {
+    val top = new TopK(k)
+    if (iters.isEmpty || iters.exists(_.exhausted)) return Array.empty
+    var target = iters.map(_.doc).max
+    var done = false
+    while (!done) {
+      var aligned = true
+      var t = 0
+      while (t < iters.length && !done) {
+        iters(t).advance(target)
+        if (iters(t).exhausted) done = true
+        else if (iters(t).doc > target) { target = iters(t).doc; aligned = false }
+        t += 1
+      }
+      if (!done && aligned) {
+        var s = 0.0
+        var u = 0
+        while (u < iters.length) { s += iters(u).score; u += 1 }
+        top.offer(Hit(target, s))
+        target += 1
+      }
+    }
+    top.result
+  }
+}

@@ -1,0 +1,71 @@
+package graft.query
+
+import graft.functions.Analyzer
+import graft.index.IndexBuilder.{B, K1}
+
+/** In-repo naive BM25 oracle (SURVEY.md §5.3): the stand-in for the
+  * reference's Elasticsearch scoring — exhaustive scoring with the exact
+  * ES-default similarity (BM25, k1=1.2, b=0.75, standard analyzer; the
+  * reference's index template sets no custom similarity/analyzer,
+  * `ElasticSearchStorage.cs:200-236`).
+  *
+  * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))          [Lucene BM25]
+  * score(d,q) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * Single source of truth for rank identity: WAND results must match this
+  * exactly (same float order of operations: per-term products summed in
+  * query-term order).
+  */
+object NaiveBm25 {
+
+  final case class Scored(docId: Long, score: Double)
+
+  def idf(n: Long, df: Long): Double =
+    math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+  /** Exhaustively score `corpus` (docId → text) for `terms`.
+    * mode "and" = doc must contain every term; "or" = any.
+    * Returns top-k sorted by (score desc, docId asc) — ascending-docID
+    * tie-break, the convention our engine fixes (FIXTURES.md §3).
+    */
+  def topK(
+      corpus: Seq[(Long, String)],
+      terms: Seq[String],
+      mode: String,
+      k: Int
+  ): Seq[Scored] = {
+    val analyzed = corpus.map { case (id, text) =>
+      val (dl, tfs) = Analyzer.termFreqs(text)
+      (id, dl, tfs.toMap)
+    }
+    val n = corpus.size.toLong
+    val avgDl = {
+      val total = analyzed.map(_._2.toLong).sum
+      if (n > 0 && total > 0) total.toDouble / n else 1.0
+    }
+    val dfs: Map[String, Long] =
+      terms.distinct.map { t =>
+        t -> analyzed.count { case (_, _, tfs) => tfs.contains(t) }.toLong
+      }.toMap
+    val idfs: Map[String, Double] = dfs.map { case (t, df) => t -> idf(n, df) }
+
+    val scored = analyzed.flatMap { case (id, dl, tfs) =>
+      val present = terms.distinct.filter(tfs.contains)
+      val ok = if (mode == "and") present.size == terms.distinct.size
+               else present.nonEmpty
+      if (!ok) None
+      else {
+        var s = 0.0
+        terms.distinct.foreach { t =>
+          tfs.get(t).foreach { tf =>
+            s += idfs(t) * (tf / (tf + K1 * (1 - B + B * dl / avgDl)))
+          }
+        }
+        Some(Scored(id, s))
+      }
+    }
+    scored
+      .sortBy(h => (-h.score, h.docId))
+      .take(k)
+  }
+}

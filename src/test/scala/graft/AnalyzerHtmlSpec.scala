@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.functions.Analyzer
+import graft.sources.{HtmlText, PagesGen}
+
+class AnalyzerHtmlSpec extends AnyFunSuite with GenCheck {
+
+  test("tokenizer golden cases (ES standard analyzer semantics)") {
+    assert(Analyzer.tokenize("Hello, World!").toSeq == Seq("hello", "world"))
+    assert(Analyzer.tokenize("").isEmpty)
+    assert(Analyzer.tokenize("   \t  ").isEmpty)
+    assert(Analyzer.tokenize("a-b c_d").toSeq == Seq("a", "b", "c_d"))
+    assert(Analyzer.tokenize("2021 год, Привет МИР").toSeq ==
+      Seq("2021", "год", "привет", "мир"))
+    assert(Analyzer.tokenize("x" * 300).toSeq == Seq("x" * 300)) // max-length token
+    assert(Analyzer.tokenize("one  two\nthree.four").toSeq ==
+      Seq("one", "two", "three.four") ||
+      Analyzer.tokenize("one  two\nthree.four").toSeq ==
+      Seq("one", "two", "three", "four"))
+  }
+
+  test("termFreqs counts correctly") {
+    val (dl, tfs) = Analyzer.termFreqs("a b a c a b")
+    assert(dl == 6)
+    assert(tfs.toMap == Map("a" -> 3, "b" -> 2, "c" -> 1))
+  }
+
+  test("html wrap/extract is byte-identical on generator corpus (per-row invariant)") {
+    (0L until 500L).foreach { i =>
+      val p = PagesGen.pageFor(i)
+      assert(HtmlText.extract(p.html) == p.text, s"doc $i")
+    }
+  }
+
+  test("html wrap/extract round-trips arbitrary text incl. markup chars") {
+    forAllSeeded(Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.oneOf("<p>", "&amp;", "а б", "\n", "<", ">", "&")))) { parts =>
+      val text = parts.mkString(" ")
+      assert(HtmlText.extract(HtmlText.wrap("http://u", text)) == text)
+    }
+  }
+
+  test("generator determinism: same index → same page") {
+    val a = PagesGen.pageFor(12345L)
+    val b = PagesGen.pageFor(12345L)
+    assert(a.url == b.url && a.text == b.text && a.warc_ts == b.warc_ts)
+    assert(a.html.toSeq == b.html.toSeq)
+  }
+
+  test("generator has hot-term skew and edge docs") {
+    val texts = (0L until 2000L).map(PagesGen.textFor)
+    assert(texts.exists(_.isEmpty))
+    assert(texts.exists(t => t.nonEmpty && t.trim.isEmpty))
+    assert(texts.exists(_.contains("привет")))
+    val tokens = texts.flatMap(Analyzer.tokenize)
+    val byFreq = tokens.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(-_._2)
+    // Zipf head: most frequent term should dominate the median term
+    assert(byFreq.head._2 > 50 * byFreq(byFreq.size / 2)._2)
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import scala.util.Try
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.Analyzer
+import graft.index.IndexBuilder
+import graft.index.IndexBuilder.BuildConfig
+import graft.query.{NaiveBm25, Search}
+import graft.sources.PagesGen
+
+/** End-to-end: build the index over the deterministic synthetic corpus,
+  * then verify BM25 top-10 rank identity (docIDs AND scores) against the
+  * in-repo naive oracle — the stand-in for the reference's Elasticsearch
+  * scoring (SURVEY.md §5.3) — plus resumability and docID determinism.
+  */
+class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val spark = TestSpark.spark
+  private val NDocs = 3000L
+  private var dir: Path = _
+  private var corpus: Seq[(Long, String)] = _ // doc_id -> text per index docID
+
+  override def beforeAll(): Unit = {
+    dir = Files.createTempDirectory("graft-index")
+    val pages = PagesGen.pages(spark, NDocs, 8)
+    IndexBuilder.build(spark, pages, dir.toString, BuildConfig(nPartitions = 16, nGroups = 3, nSlices = 5, blockSize = 64))
+    // reconstruct the oracle corpus with the engine's own docID mapping
+    // (docID = url sort rank — recomputed independently here)
+    val byUrl = (0L until NDocs).map { i =>
+      val p = PagesGen.pageFor(i)
+      (p.url, p.text)
+    }.sortBy(_._1)
+    corpus = byUrl.zipWithIndex.map { case ((_, text), id) => (id.toLong, text) }
+  }
+
+  override def afterAll(): Unit = {
+    import scala.reflect.io.Directory
+    new Directory(dir.toFile).deleteRecursively()
+  }
+
+  /** The reference query set (FIXTURES.md §2): hot/rare/absent, and/or. */
+  private val queries: Seq[(Seq[String], String)] = Seq(
+    (Seq("w0"), "or"), // hottest term
+    (Seq("w1", "w2"), "or"),
+    (Seq("w1", "w2"), "and"),
+    (Seq("w0", "w4999"), "or"), // hot + rare
+    (Seq("w0", "w4999"), "and"),
+    (Seq("rareterm7"), "or"), // injected rare term
+    (Seq("rareterm7", "w3"), "and"),
+    (Seq("nosuchterm"), "or"), // absent
+    (Seq("nosuchterm", "w1"), "and"), // absent in AND → empty
+    (Seq("nosuchterm", "w1"), "or"),
+    (Seq("привет", "мир"), "and"), // cyrillic
+    (Seq("w10", "w20", "w30", "w40"), "or"),
+    (Seq("w10", "w20", "w30"), "and")
+  )
+
+  test("docID assignment matches url sort rank (parallelism-independent)") {
+    val docs = IndexBuilder.readDocs(spark, dir.toString).collect().sortBy(_.doc_id)
+    assert(docs.length == NDocs)
+    val expected = corpus.map(_._1)
+    assert(docs.map(_.doc_id).toSeq == expected)
+    // spot-check: doc_len = token count of its text
+    docs.take(100).foreach { d =>
+      val text = corpus(d.doc_id.toInt)._2
+      assert(d.doc_len == Analyzer.tokenize(text).length, s"doc ${d.doc_id}")
+    }
+  }
+
+  test("corpus stats match oracle") {
+    val st = IndexBuilder.readStats(spark, dir.toString)
+    assert(st.n_docs == NDocs)
+    val dls = corpus.map { case (_, t) => Analyzer.tokenize(t).length.toLong }
+    assert(st.total_tokens == dls.sum)
+    assert(math.abs(st.avg_dl - dls.sum.toDouble / NDocs) < 1e-9)
+  }
+
+  test("BM25 top-10: rank-identical docIDs and scores vs naive oracle") {
+    queries.foreach { case (terms, mode) =>
+      val expected = NaiveBm25.topK(corpus, terms, mode, 10)
+      val got = Search.topK(spark, dir.toString, terms, mode, 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.length == expected.length, s"$terms/$mode size")
+      expected.zip(got).zipWithIndex.foreach { case ((e, (gid, gs)), rank) =>
+        assert(gid == e.docId, s"$terms/$mode rank $rank docId: got $gid want ${e.docId}")
+        assert(math.abs(gs - e.score) < 1e-9, s"$terms/$mode rank $rank score")
+      }
+    }
+  }
+
+  test("interrupted build resumes to an identical index") {
+    val d2 = Files.createTempDirectory("graft-resume")
+    val pages = PagesGen.pages(spark, 500L, 4)
+    val cfg = BuildConfig(nPartitions = 8, nGroups = 4, nSlices = 3, blockSize = 32)
+    // run 1: die after 2 of 4 posting groups committed
+    val attempt = Try(IndexBuilder.build(spark, pages, d2.toString, cfg, failAfterGroups = 2))
+    assert(attempt.isFailure)
+    val committedBefore = IndexBuilder.completedUnits(d2.toString)
+    assert(committedBefore.exists(_.startsWith("grp-")))
+    assert(!committedBefore.contains("done"))
+    // run 2: resume to completion
+    IndexBuilder.build(spark, pages, d2.toString, cfg)
+    assert(IndexBuilder.completedUnits(d2.toString).contains("done"))
+    // compare against an uninterrupted build: identical postings
+    val d3 = Files.createTempDirectory("graft-clean")
+    IndexBuilder.build(spark, pages, d3.toString, cfg)
+    def dump(p: String) =
+      IndexBuilder.readPostings(spark, p)
+        .collect()
+        .map { r =>
+          (r.getAs[String]("term"), r.getAs[Int]("slice"), r.getAs[Int]("block_id"),
+            r.getAs[Long]("doc_id_min"), r.getAs[Long]("doc_id_max"), r.getAs[Int]("count"),
+            r.getAs[Array[Byte]]("deltas").toSeq, r.getAs[Array[Byte]]("tfs").toSeq,
+            r.getAs[Array[Byte]]("dls").toSeq, r.getAs[Double]("max_impact"))
+        }
+        .sortBy(t => (t._1, t._2, t._3))
+    assert(dump(d2.toString).toSeq == dump(d3.toString).toSeq)
+    import scala.reflect.io.Directory
+    new Directory(d2.toFile).deleteRecursively()
+    new Directory(d3.toFile).deleteRecursively()
+  }
+
+  test("build metrics cover all groups with committed status") {
+    val m = IndexBuilder.readMetrics(spark, dir.toString).collect()
+    assert(m.nonEmpty)
+    assert(m.forall(_.getAs[String]("status") == "committed"))
+    val totalPostings = m.map(_.getAs[Long]("postings")).sum
+    // total postings = Σ per-doc distinct terms
+    val expected = corpus.map { case (_, t) => Analyzer.termFreqs(t)._2.length.toLong }.sum
+    assert(totalPostings == expected)
+  }
+}
