@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+
+/** Gate queries for the training-data pipeline operators (dedup families,
+  * ANN, text analysis, multimodal plumbing) — merged into
+  * `SparkEntry.queries`.
+  */
+object OpsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ shifted copy — a corpus where every doc has one exact
+    * duplicate (dedup-operator fixtures).
+    */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: hash-groupBy, keep lowest id
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(dupCorpus(s, dir), "doc_id", "text")
+        .select(col("keep_id"), col("n_dups"))
+    },
+    // MinHash+LSH at threshold 1.0 over the dup'd corpus: must find
+    // exactly the identical-text pairs (identical shingle set ⇒ identical
+    // signature ⇒ guaranteed band collision — recall 1.0 at j=1)
+    "q_dedup_minhash" -> { (s, dir) =>
+      Dedup.minHashLsh(dupCorpus(s, dir), "doc_id", "text", threshold = 1.0)
+        .select(
+          col("id_a"), col("id_b"),
+          round(col("jaccard") * 10000).cast("long").as("jaccard_e4")
+        )
+    },
+    // exact n-gram Jaccard near-dup pairs (threshold 0.8 on 3-gram sets)
+    "q_dedup_ngram" -> { (s, dir) =>
+      Dedup.ngramJaccard(dupCorpus(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+        .select(
+          col("id_a"), col("id_b"),
+          round(col("jaccard") * 10000).cast("long").as("jaccard_e4")
+        )
+    },
+    // SimHash near-dup (no SQL oracle — hash math; rows-only check here,
+    // semantics pinned in OperatorsSpec)
+    "q_dedup_simhash" -> { (s, dir) =>
+      Dedup.simHash(dupCorpus(s, dir), "doc_id", "text", maxHamming = 0)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    },
+    // embedding-cosine near-dup via hyperplane-LSH buckets (rows-only)
+    "q_dedup_embed" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val dup = e.unionByName(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      )
+      Dedup.embeddingCosine(dup, "vec_id", "embedding", threshold = 0.9999)
+        .select(col("id_a"), col("id_b"))
+    },
+    // brute-force cosine top-10 for query vectors 0..4 (exact baseline)
+    "q_ann_bruteforce" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.bruteForceTopK(q, e, "qid", "qvec", "vec_id", "embedding", 10)
+        .select(
+          col("qid"), col("id"),
+          round(col("cosine") * 10000).cast("long").as("cosine_e4")
+        )
+    },
+    // IVF-bucketed ANN, same queries (approximate — rows-only check;
+    // recall vs brute force pinned in OperatorsSpec)
+    "q_ann_ivf" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.ivfTopK(q, e, "qid", "qvec", "vec_id", "embedding", 10, nLists = 16, nProbe = 6)
+        .select(col("qid"), col("id"), round(col("cosine") * 10000).cast("long").as("cosine_e4"))
+    },
+    // language-ID heuristic per doc
+    "q_lang_id" -> { (s, dir) =>
+      TextAnalysis.analyze(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("lang_pred"))
+    },
+    // quality + token-count features
+    "q_text_quality" -> { (s, dir) =>
+      TextAnalysis.analyze(docs(s, dir), "doc_id", "text")
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_ws_tokens"),
+          col("n_bpeish_tokens"), col("mean_token_len_e6"),
+          col("stopword_ratio_e6"), col("max_repeat_ratio_e6")
+        )
+    },
+    // order-sensitive rolling-hash fingerprint: dup'd corpus must yield
+    // exactly 500 distinct fingerprints over 1000 docs (rows-only + the
+    // count is what the oracle checks)
+    "q_fingerprint" -> { (s, dir) =>
+      TextAnalysis.analyze(dupCorpus(s, dir), "doc_id", "text")
+        .groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .select(col("keep_id"), col("n_dups"))
+    },
+    // multimodal plumbing: synthesize binary media per doc, decode meta,
+    // aspect-preserving resize plan (decode itself is the marked stub)
+    "q_media_meta" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .map(id => (id, Multimodal.synthesize(id)))
+        .toDF("id", "media")
+      val meta = Multimodal.extractMeta(media, "id", "media")
+      Multimodal.resizePlan(meta, maxSide = 256)
+    }
+  )
+
+  private val enSw = Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "a")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 100000, text FROM documents)
+         SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM u GROUP BY text""",
+    "q_dedup_minhash" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 100000, text FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, 10000 AS jaccard_e4
+         FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id
+         WHERE a.text <> ''""",
+    "q_dedup_ngram" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 100000, text FROM documents),
+         toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM u WHERE text <> ''),
+         sh AS (
+           SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+           FROM toks a
+           JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+           JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+           FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round((i::DOUBLE / (za.n + zb.n - i)) * 10000)::BIGINT AS jaccard_e4
+         FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+         WHERE i::DOUBLE / (za.n + zb.n - i) >= 0.8""",
+    "q_ann_bruteforce" -> {
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id AS id,
+                  list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) AS c,
+                  row_number() OVER (PARTITION BY q.qid
+                    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) DESC,
+                             e.vec_id ASC) AS rnk
+           FROM embeddings e CROSS JOIN q)
+         SELECT qid, id, round(c * 10000)::BIGINT AS cosine_e4
+         FROM scored WHERE rnk <= 10"""
+    },
+    "q_lang_id" -> {
+      val vals = enSw.map(w => s"('en', '$w')") ++
+        Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu", "den").map(w => s"('de', '$w')") ++
+        Seq("le", "la", "les", "et", "est", "un", "une", "des", "dans", "que", "pour").map(w => s"('fr', '$w')") ++
+        Seq("el", "la", "los", "las", "es", "un", "una", "que", "por", "con", "para").map(w => s"('es', '$w')")
+      s"""WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents WHERE text <> ''),
+         sw(lang, tok) AS (VALUES ${vals.mkString(", ")}),
+         hits AS (
+           SELECT t.doc_id, s.lang, count(DISTINCT s.tok) AS h
+           FROM (SELECT DISTINCT doc_id, tok FROM toks) t
+           JOIN sw s ON t.tok = s.tok GROUP BY 1, 2),
+         best AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
+           FROM hits)
+         SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+         FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1"""
+    },
+    "q_text_quality" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents WHERE text <> ''),
+         base AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  round(avg(len(tok)) * 1000000)::BIGINT AS mean_token_len_e6,
+                  sum((len(tok) + 3) // 4)::BIGINT AS n_bpeish_tokens,
+                  round(((count(*) FILTER (tok IN ('the','and','of','to','in','is','that','it','was','for','with','a')))::DOUBLE / count(*)) * 1000000)::BIGINT AS stopword_ratio_e6
+           FROM toks GROUP BY doc_id),
+         rep AS (
+           SELECT doc_id, max(c) AS max_tf, sum(c) AS n FROM (
+             SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+           GROUP BY doc_id)
+         SELECT b.doc_id, b.n_tokens, b.n_tokens AS n_ws_tokens, b.n_bpeish_tokens,
+                b.mean_token_len_e6, b.stopword_ratio_e6,
+                round((r.max_tf::DOUBLE / r.n) * 1000000)::BIGINT AS max_repeat_ratio_e6
+         FROM base b JOIN rep r USING (doc_id)""",
+    "q_fingerprint" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 100000, text FROM documents)
+         SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM u GROUP BY text"""
+  )
+}

@@ -66,7 +66,7 @@ object SparkEntry {
   private val QueryOr = Seq("spark", "merge", "window")
   private val QueryAnd = Seq("spark", "merge")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = OpsQueries.queries ++ Map(
     // ---- fulltext core (north rule; SURVEY.md §2.1 S8→internalized) ----
     "q_doc_stats" -> { (s, dir) =>
       import s.implicits._
@@ -269,7 +269,7 @@ object SparkEntry {
 SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY score DESC, doc_id LIMIT 10"""
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = OpsQueries.oracleSql ++ Map(
     "q_doc_stats" ->
       """SELECT doc_id, coalesce(len(string_split(text, ' ')), 0) AS doc_len
          FROM documents WHERE text <> ''

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{Analyzer, TextFeatures}
+
+/** Deduplication operators for training-data pipelines, each expressed as
+  * a declarative Spark plan (Catalyst optimizes; only the hash math runs
+  * in typed transforms).
+  *
+  * Scale notes per operator are inline — the common theme: candidate
+  * generation is always a *bucket equi-join* (shuffle on a short key),
+  * never an O(n²) cross join; exact verification runs only within
+  * buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id doc per identical text.
+    * Plan: single hash aggregation on xxhash64(text) — at 10^12 rows this
+    * is one shuffle of (hash, min_id), with map-side partial aggregation;
+    * we group by the 64-bit hash, not the full text, so shuffle rows are
+    * ~16 bytes (hash collisions at 64 bit over 10^12 docs: ~0.03 expected
+    * — acceptable for dedup; use a 128-bit pair of hashes if not).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(xxhash64(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash + LSH near-dedup: shingle → k-minhash → band buckets →
+    * bucket join → exact-Jaccard verify ≥ threshold.
+    * Returns candidate duplicate pairs (id_a < id_b) with their exact
+    * Jaccard. Shuffles: one explode+groupBy on band keys (rows = docs ×
+    * bands, key cardinality huge → even distribution), pairs generated
+    * only within buckets.
+    */
+  def minHashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = numHashes / bands
+    val sigs = docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = TextFeatures.shingles(Analyzer.tokenize(text), 3)
+        val sig = TextFeatures.minHash(sh, numHashes)
+        (id, sh, TextFeatures.bandKeys(sig, bands, rows))
+      }
+      .toDF("id", "shingles", "bandkeys")
+
+    val banded = sigs.select($"id", $"shingles", explode($"bandkeys").as("band"))
+    // self-join within band buckets; id_a < id_b kills mirror+self pairs
+    val a = banded.select($"band", $"id".as("id_a"), $"shingles".as("sh_a"))
+    val b = banded.select($"band", $"id".as("id_b"), $"shingles".as("sh_b"))
+    a.join(b, Seq("band"))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"sh_a", $"sh_b")
+      .distinct() // a pair may collide in several bands
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (ia, ib, sa, sb) => (ia, ib, TextFeatures.jaccard(sa, sb)) }
+      .toDF("id_a", "id_b", "jaccard")
+      .where($"jaccard" >= threshold)
+  }
+
+  /** SimHash near-dedup: 64-bit signature, 16-bit-chunk LSH (hamming ≤ 3
+    * collides on ≥1 of 4 chunks), verify by exact hamming distance.
+    */
+  def simHash(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val h = TextFeatures.simHash(Analyzer.tokenize(text))
+        (id, h, TextFeatures.simHashChunks(h))
+      }
+      .toDF("id", "sim", "chunks")
+    val banded = sigs.select($"id", $"sim", explode($"chunks").as("chunk"))
+    val a = banded.select($"chunk", $"id".as("id_a"), $"sim".as("sim_a"))
+    val b = banded.select($"chunk", $"id".as("id_b"), $"sim".as("sim_b"))
+    a.join(b, Seq("chunk"))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"sim_a", $"sim_b")
+      .distinct()
+      .as[(Long, Long, Long, Long)]
+      .map { case (ia, ib, sa, sb) => (ia, ib, TextFeatures.hamming(sa, sb)) }
+      .toDF("id_a", "id_b", "hamming")
+      .where($"hamming" <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over a candidate join on shared shingles —
+    * the non-approximate near-dup baseline. Candidate generation shuffles
+    * (shingle, id) pairs; pairs sharing ≥1 shingle get exact Jaccard via
+    * |∩| / (|A| + |B| − |∩|) computed from the join itself (no second
+    * pass over texts). minShared prunes the long tail before the
+    * pair-aggregation shuffle (hot shingles ≙ hot terms: the same Zipf
+    * skew; cap via distinct shingles per doc).
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleDf: Long = 1000
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, TextFeatures.shingles(Analyzer.tokenize(text), n))
+      }
+      .toDF("id", "shingles")
+      .where(size($"shingles") > 0)
+    val sizes = sh.select($"id", size($"shingles").as("sz"))
+    val ex = sh.select($"id", explode($"shingles").as("sh"))
+    // skew guard: a shingle shared by m docs yields m² candidate pairs —
+    // drop ultra-hot shingles (boilerplate) before pair generation; true
+    // near-dups still collide on their rarer shingles.
+    val hot = ex.groupBy($"sh").count().where($"count" > maxShingleDf).select($"sh")
+    val pruned = ex.join(broadcast(hot), Seq("sh"), "left_anti")
+    val pairs = pruned.as("x")
+      .join(pruned.as("y"), "sh")
+      .where($"x.id" < $"y.id")
+      .groupBy($"x.id".as("id_a"), $"y.id".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", $"inter" / ($"sz_a" + $"sz_b" - $"inter"))
+      .where($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, candidate
+    * generation via random-hyperplane LSH (sign sketch) so the verify
+    * join is bucketed, not all-pairs. Embeddings assumed L2-comparable.
+    */
+  def embeddingCosine(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 16
+  ): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val sk = embs
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, v, Ann.hyperplaneSketch(v, planes), Ann.norm(v))
+      }
+      .toDF("id", "vec", "sketch", "nrm")
+    // bucket = full sketch plus each 1-bit-flipped neighbor (catches pairs
+    // that straddle one hyperplane)
+    val banded = sk
+      .withColumn(
+        "bucket",
+        explode(expr(s"transform(sequence(0, $planes), i -> " +
+          "CASE WHEN i = 0 THEN sketch ELSE cast(sketch as bigint) ^ shiftleft(1L, cast(i - 1 as int)) END)"))
+      )
+    val a = banded.select($"bucket", $"id".as("id_a"), $"vec".as("v_a"), $"nrm".as("n_a"))
+    val b = banded.select($"bucket", $"id".as("id_b"), $"vec".as("v_b"), $"nrm".as("n_b"))
+    a.join(b, Seq("bucket"))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"v_a", $"v_b", $"n_a", $"n_b")
+      .distinct()
+      .as[(Long, Long, Array[Float], Array[Float], Double, Double)]
+      .map { case (ia, ib, va, vb, na, nb) =>
+        (ia, ib, Ann.dot(va, vb) / (na * nb))
+      }
+      .toDF("id_a", "id_b", "cosine")
+      .where($"cosine" >= threshold)
+  }
+}

@@ -1,0 +1,204 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{Analyzer, TextFeatures}
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- TextFeatures unit behavior --------------------------------------
+  test("minhash approximates jaccard; identical sets → identical signatures") {
+    val a = TextFeatures.shingles(Analyzer.tokenize("the quick brown fox jumps over the lazy dog again and again"), 3)
+    val b = TextFeatures.shingles(Analyzer.tokenize("the quick brown fox jumps over the lazy dog again and again"), 3)
+    assert(TextFeatures.minHash(a, 64).toSeq == TextFeatures.minHash(b, 64).toSeq)
+    assert(TextFeatures.jaccard(a, b) == 1.0)
+    // overlapping but different sets → 0 < j < 1 and signature agreement ≈ j
+    val c = TextFeatures.shingles(Analyzer.tokenize("the quick brown fox sleeps under the lazy dog again and again"), 3)
+    val j = TextFeatures.jaccard(a, c)
+    assert(j > 0.0 && j < 1.0)
+    val sa = TextFeatures.minHash(a, 256)
+    val sc = TextFeatures.minHash(c, 256)
+    val agree = sa.zip(sc).count { case (x, y) => x == y }.toDouble / 256
+    assert(math.abs(agree - j) < 0.15, s"minhash agreement $agree vs jaccard $j")
+  }
+
+  test("simhash: identical text → hamming 0; near text → small distance; far → large") {
+    val t1 = Analyzer.tokenize("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5)
+    val t2 = Analyzer.tokenize("alpha beta gamma delta epsilon zeta eta theta iota lambda " * 5)
+    val h1 = TextFeatures.simHash(t1)
+    assert(TextFeatures.hamming(h1, TextFeatures.simHash(t1)) == 0)
+    val near = TextFeatures.hamming(h1, TextFeatures.simHash(t2))
+    val far = TextFeatures.hamming(h1, TextFeatures.simHash(Analyzer.tokenize("one two three four five six seven eight nine ten " * 5)))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("langid golden cases") {
+    assert(TextFeatures.langId(Analyzer.tokenize("the cat sat on the mat and it was good")) == "en")
+    assert(TextFeatures.langId(Analyzer.tokenize("это не просто текст на русском языке и я его пишу")) == "ru")
+    assert(TextFeatures.langId(Analyzer.tokenize("der hund ist nicht mit der katze und das ist gut")) == "de")
+    assert(TextFeatures.langId(Array.empty) == "und")
+    assert(TextFeatures.langId(Analyzer.tokenize("zzz qqq xxx")) == "und")
+  }
+
+  test("token counts and quality goldens") {
+    assert(TextFeatures.wsTokenCount("a bb  ccc\n dddd") == 4)
+    assert(TextFeatures.wsTokenCount("") == 0)
+    // bpeish: runs of len 1,2,3,4 → 1 each; len 9 → 3; punct chars count 1
+    assert(TextFeatures.bpeishTokenCount("a bb ccc dddd") == 4)
+    assert(TextFeatures.bpeishTokenCount("abcdefghi") == 3)
+    assert(TextFeatures.bpeishTokenCount("a,b") == 3)
+    val q = TextFeatures.quality("the the cat 42!", Analyzer.tokenize("the the cat 42!"))
+    assert(q.n_tokens == 4)
+    assert(q.stopword_ratio == 0.5)
+    assert(q.max_repeat_ratio == 0.5)
+    assert(q.digit_ratio == 2.0 / 15)
+    assert(q.punct_ratio == 1.0 / 15)
+  }
+
+  test("fingerprint is order-sensitive; simhash is order-insensitive") {
+    val t1 = Analyzer.tokenize("one two three four")
+    val t2 = Analyzer.tokenize("four three two one")
+    assert(TextFeatures.fingerprint(t1) != TextFeatures.fingerprint(t2))
+    assert(TextFeatures.simHash(t1) == TextFeatures.simHash(t2))
+    assert(TextFeatures.fingerprint(t1) == TextFeatures.fingerprint(Analyzer.tokenize("one two three four")))
+  }
+
+  // ---- Dedup operators on a corpus with planted duplicates -------------
+  private def dupDocs = {
+    val base = (0L until 200L).map { i =>
+      val text = graft.sources.PagesGen.textFor(i)
+      (i, text)
+    }
+    // plant: 200+i duplicates doc i for i in 0..19
+    val dups = (0L until 20L).map(i => (200L + i, base(i.toInt)._2))
+    spark.createDataFrame(base ++ dups).toDF("doc_id", "text")
+      .where(length(trim($"text")) > 0)
+  }
+
+  test("exact dedup finds planted duplicates") {
+    val res = Dedup.exact(dupDocs, "doc_id", "text").where($"n_dups" > 1).collect()
+    // planted dups + generator's own i%97==53 copies
+    val keepIds = res.map(_.getAs[Long]("keep_id")).toSet
+    assert((0L until 20L).filter(i => graft.sources.PagesGen.textFor(i).trim.nonEmpty)
+      .forall(keepIds.contains), s"missing planted dups in $keepIds")
+  }
+
+  test("minhash LSH finds all exact duplicates (j=1 ⇒ recall 1)") {
+    val pairs = Dedup.minHashLsh(dupDocs, "doc_id", "text", threshold = 1.0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    (0L until 20L).foreach { i =>
+      if (graft.sources.PagesGen.textFor(i).trim.nonEmpty)
+        assert(pairs.exists(p => p == (i, 200L + i) || (p._1 == i && p._2 == 200L + i) ||
+          // doc i may also equal other docs via the generator's dup rule
+          pairs.contains((i, 200L + i))), s"missing pair ($i, ${200 + i})")
+    }
+  }
+
+  test("simhash dedup finds exact duplicates at hamming 0") {
+    val pairs = Dedup.simHash(dupDocs, "doc_id", "text", maxHamming = 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert((0L until 20L).filter(i => graft.sources.PagesGen.textFor(i).trim.nonEmpty)
+      .forall(i => pairs.contains((i, 200L + i))))
+  }
+
+  test("ngram jaccard: planted dup pairs score 1.0") {
+    val res = Dedup.ngramJaccard(dupDocs, "doc_id", "text", threshold = 0.99)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+    val m = res.map(r => (r._1, r._2) -> r._3).toMap
+    (0L until 20L).foreach { i =>
+      if (graft.sources.PagesGen.textFor(i).trim.nonEmpty)
+        assert(m.get((i, 200L + i)).contains(1.0), s"pair ($i,${200 + i}): ${m.get((i, 200L + i))}")
+    }
+  }
+
+  // ---- ANN ---------------------------------------------------------------
+  private def synthEmbeddings(n: Int, dim: Int): Seq[(Long, Array[Float])] =
+    (0 until n).map { i =>
+      val v = Array.tabulate(dim) { d =>
+        ((TextFeatures.mix64(i.toLong * 31 + d) >>> 11).toDouble / (1L << 53) - 0.5).toFloat
+      }
+      (i.toLong, v)
+    }
+
+  test("brute-force ANN matches exhaustive cosine top-k") {
+    val data = synthEmbeddings(300, 16)
+    val corpus = spark.createDataFrame(data).toDF("id", "vec")
+    val queries = spark.createDataFrame(data.take(3)).toDF("qid", "qvec")
+    val got = Ann.bruteForceTopK(queries, corpus, "qid", "qvec", "id", "vec", 5)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    data.take(3).foreach { case (qid, qv) =>
+      val expected = data
+        .map { case (id, v) => (id, Ann.cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).map(_._1)
+      assert(got(qid) == expected, s"query $qid")
+    }
+  }
+
+  test("IVF ANN: self is rank 1, recall@10 ≥ 0.6 vs brute force") {
+    val data = synthEmbeddings(400, 16)
+    val corpus = spark.createDataFrame(data).toDF("id", "vec")
+    val queries = spark.createDataFrame(data.take(5)).toDF("qid", "qvec")
+    val bf = Ann.bruteForceTopK(queries, corpus, "qid", "qvec", "id", "vec", 10)
+      .select($"qid", $"id").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Ann.ivfTopK(queries, corpus, "qid", "qvec", "id", "vec", 10, nLists = 8, nProbe = 3)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect()
+    val byQ = ivf.groupBy(_._1)
+    data.take(5).foreach { case (qid, _) =>
+      val hits = byQ(qid)
+      assert(hits.minBy(_._3)._2 == qid, s"self not rank-1 for $qid") // self in probed list
+      val recall = hits.map(_._2).toSet.intersect(bf(qid)).size / 10.0
+      assert(recall >= 0.6, s"recall $recall for query $qid")
+    }
+  }
+
+  // ---- multimodal plumbing ------------------------------------------------
+  test("media synthesize/decode round-trip and resize plan") {
+    (0L until 50L).foreach { id =>
+      val m = Multimodal.decodeStub(id, Multimodal.synthesize(id))
+      assert(m.isDefined, s"id $id")
+      val meta = m.get
+      assert(Set("image", "audio", "video").contains(meta.kind))
+      assert(meta.width >= 16 && meta.height >= 16)
+      assert(meta.payload_bytes >= 64)
+    }
+    assert(Multimodal.decodeStub(1L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeStub(1L, null).isEmpty)
+
+    val media = spark.createDataFrame(
+      (0L until 50L).map(id => (id, Multimodal.synthesize(id)))
+    ).toDF("id", "media")
+    val meta = Multimodal.extractMeta(media, "id", "media")
+    assert(meta.count() == 50)
+    val resized = Multimodal.resizePlan(meta, 256).collect()
+    resized.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(math.max(ow, oh) <= 256)
+      if (w <= 256 && h <= 256) assert(ow == w && oh == h)
+    }
+    val frames = Multimodal.sampleFrames(meta, everyNth = 4).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Int]("frame_idx") % 4 == 0))
+  }
+
+  test("TextAnalysis one-pass features are consistent") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, ""),
+      (3L, "это текст на русском языке и я")
+    )).toDF("doc_id", "text")
+    val res = TextAnalysis.analyze(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(res(1L).getAs[String]("lang_pred") == "en")
+    assert(res(1L).getAs[Long]("n_tokens") == 6)
+    assert(res(2L).getAs[Long]("n_tokens") == 0)
+    assert(res(2L).getAs[String]("lang_pred") == "und")
+    assert(res(3L).getAs[String]("lang_pred") == "ru")
+  }
+}
