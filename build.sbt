@@ -27,4 +27,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // ParallelGC: ~2× faster than G1 on this allocation-heavy batch
+  // workload at 32 threads (measured in graft.BuildProbe)
+) ++ Seq(s"-XX:+Use${sys.env.getOrElse("GRAFT_GC", "Parallel")}GC")

@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.index.IndexBuilder
+import graft.index.IndexBuilder.BuildConfig
+import graft.sources.PagesGen
+
+/** Build-pipeline profiling harness: one index build at the given core
+  * count with per-stage timings (GRAFT_BUILD_VERBOSE).
+  * Run: `GRAFT_BUILD_VERBOSE=1 sbt "runMain graft.BuildProbe 8 240000"`.
+  */
+object BuildProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.length > 0) args(0).toInt else 32
+    val nDocs = if (args.length > 1) args(1).toLong else 240000L
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val pages = PagesGen.pages(spark, nDocs, 64).cache()
+    pages.count()
+    val dir = Files.createTempDirectory(s"graft-probe").toString + "/idx"
+    val textBytes = pages.select(sum(octet_length(col("text")))).head().getLong(0)
+    val t0 = System.nanoTime()
+    IndexBuilder.build(spark, pages, dir, BuildConfig(nPartitions = 64, nGroups = 1, nSlices = 16, blockSize = 128))
+    val secs = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[probe] cores=$cores docs=$nDocs total=$secs%.2fs tp=${nDocs / secs}%.0f docs/s")
+    // machine-readable line for the Bench parent process
+    println(f"""PROBE{"cores":$cores,"docs":$nDocs,"secs":$secs%.3f,"tp":${nDocs / secs}%.1f,"mib_s":${textBytes / 1048576.0 / secs}%.2f,"index_dir":"$dir"}""")
+    spark.stop()
+  }
+}

@@ -67,6 +67,9 @@ object IndexBuilder {
         .toSet
   }
 
+  private[index] def commitUnitPublic(indexDir: String, unit: String): Unit =
+    commitUnit(indexDir, unit)
+
   private def commitUnit(indexDir: String, unit: String): Unit = {
     Files.createDirectories(Paths.get(indexDir))
     Files.write(
@@ -81,6 +84,15 @@ object IndexBuilder {
   @inline def impact(tf: Int, dl: Int, avgDl: Double): Double =
     tf / (tf + K1 * (1 - B + B * dl / avgDl))
 
+  private val verbose = sys.env.contains("GRAFT_BUILD_VERBOSE")
+  private def timed[T](label: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    if (verbose)
+      System.err.println(f"[build] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
   /** Build (or resume building) the index for `pages` into `indexDir`.
     * `failAfterGroups`: test hook — throw after committing that many
     * posting groups (resumability test, FIXTURES.md §4).
@@ -93,34 +105,44 @@ object IndexBuilder {
       failAfterGroups: Int = Int.MaxValue
   ): Unit = {
     import spark.implicits._
+    require(cfg.nSlices % cfg.nGroups == 0, "nSlices must be a multiple of nGroups")
     val done = completedUnits(indexDir)
     if (done.contains("done")) return
 
-    // ---- stage 1: analyze + docID assignment + staging ----------------
+    // ---- stage 1: docID assignment + docs table + text staging --------
+    // The staging table stores each doc's RAW TEXT exactly once,
+    // partitioned by doc-range group — far smaller than an exploded
+    // term-row table (tokens repeat the term string per posting), and it
+    // is the resume checkpoint: a group job re-derives its postings from
+    // its own partition only (partition-pruned read). Tokenisation runs
+    // twice (doc_len pass + group pass) but is ~1% of build cost.
     if (!done.contains("staged")) {
       // extract text from html (per-row invariant: byte-identical to the
-      // stored text column — enforced here, not assumed) and analyze once.
-      val analyzedNoId = pages.mapPartitions { it =>
+      // stored text column — enforced here, not assumed); html dropped
+      // BEFORE the dense-id shuffle so the exchange never carries it.
+      val prepared = pages.mapPartitions { it =>
         it.map { p =>
           val extracted = HtmlText.extract(p.html)
-          require(
-            extracted == p.text,
-            s"extract invariant violated for ${p.url}"
-          )
-          val (dl, tfs) = Analyzer.termFreqs(extracted)
-          (p.url, p.warc_ts, p.lang, dl, tfs.toMap)
+          require(extracted == p.text, s"extract invariant violated for ${p.url}")
+          (p.url, p.warc_ts, p.lang, extracted)
         }
-      }.toDF("url", "warc_ts", "lang", "doc_len", "tfs")
+      }.toDF("url", "warc_ts", "lang", "text")
 
-      val withIds = DenseId.assign(analyzedNoId, "url", "doc_id", cfg.nPartitions)
+      val withIds = timed("dense-id")(DenseId.assign(prepared, "url", "doc_id", cfg.nPartitions))
+        // reused by the docs write AND the staging write — persist so the
+        // reduce-side sort+zip runs once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-      // docs table, clustered by doc_id (≙ ClickHouse ORDER BY clustering,
-      // `ClickHouseStorage.cs:181`)
-      withIds
-        .select($"doc_id", $"url", $"warc_ts", $"lang", $"doc_len")
-        .repartitionByRange(cfg.nPartitions, $"doc_id")
-        .sortWithinPartitions("doc_id")
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docs")
+      // docs table (doc_len = analyzed token count), clustered by doc_id
+      // (≙ ClickHouse ORDER BY clustering, `ClickHouseStorage.cs:181`) —
+      // DenseId's layout IS doc_id order, no extra shuffle.
+      timed("docs-write")(withIds
+        .select($"doc_id", $"url", $"warc_ts", $"lang", $"text")
+        .as[(Long, String, java.sql.Timestamp, String, String)]
+        .map { case (id, url, ts, lang, text) =>
+          Doc(id, url, ts, lang, Analyzer.tokenize(text).length)
+        }
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docs"))
 
       // corpus stats (avg_dl over all docs, N = all docs)
       val stats = spark.read.parquet(s"$indexDir/docs")
@@ -129,44 +151,55 @@ object IndexBuilder {
           coalesce(avg($"doc_len"), lit(0.0)).as("avg_dl"),
           coalesce(sum($"doc_len"), lit(0L)).as("total_tokens")
         )
-      stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
-      val st = spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
-      val nDocs = math.max(1L, st.n_docs)
+      timed("stats")(stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats"))
+      val nDocs = math.max(1L, spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head().n_docs)
 
-      // staged term-docs, partitioned by shuffle group for pruned resume
-      val nSlices = cfg.nSlices
-      val nGroups = cfg.nGroups
-      withIds
-        .select($"doc_id", $"doc_len", explode($"tfs").as(Seq("term", "tf")))
-        .withColumn(
-          "slice",
-          least(
-            lit(nSlices - 1),
-            ($"doc_id" * nSlices / nDocs).cast("int")
-          )
-        )
-        .withColumn("grp", pmod(xxhash64($"term", $"slice"), lit(nGroups)).cast("int"))
+      timed("staged-write")(withIds
+        .select($"doc_id", $"text")
+        .withColumn("grp", ($"doc_id" * cfg.nGroups / nDocs).cast("int"))
+        .withColumn("grp", least(lit(cfg.nGroups - 1), $"grp"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("grp")
-        .parquet(s"$indexDir/staged")
+        .parquet(s"$indexDir/docs_text"))
+      withIds.unpersist()
       commitUnit(indexDir, "staged")
     }
 
+    val nDocs = math.max(1L, spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head().n_docs)
+    val nSlices = cfg.nSlices
+    val groupInput: Int => DataFrame = { g =>
+      spark.read.parquet(s"$indexDir/docs_text")
+        .where($"grp" === g) // partition pruning: 1/nGroups of the bytes
+        .select($"doc_id", $"text")
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val slice = math.min(nSlices - 1, (id * nSlices / nDocs).toInt)
+          val (dl, tfs) = Analyzer.termFreqs(text)
+          tfs.iterator.map { case (t, tf) => (t, slice, id, tf, dl) }
+        }
+        .toDF("term", "slice", "doc_id", "tf", "doc_len")
+    }
+    buildGroups(spark, indexDir, cfg, groupInput, failAfterGroups)
+  }
+
+  /** Stages 2-3: posting groups + term dictionary. `groupInput(g)` must
+    * return the term-doc rows `(term, slice, doc_id, tf, doc_len)` of
+    * doc-range group g (slice nested in group: nSlices % nGroups == 0).
+    * Shared by [[build]] (tokenizes staged text) and [[SegmentMerge]]
+    * (decodes source-segment blocks) — both get group-level resumability.
+    */
+  def buildGroups(
+      spark: SparkSession,
+      indexDir: String,
+      cfg: BuildConfig,
+      groupInput: Int => DataFrame,
+      failAfterGroups: Int = Int.MaxValue
+  ): Unit = {
+    import spark.implicits._
     val st = spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
     val avgDl = if (st.avg_dl > 0) st.avg_dl else 1.0
 
-    // ---- stage 2: term dictionary (df per term) ------------------------
-    if (!completedUnits(indexDir).contains("terms")) {
-      spark.read.parquet(s"$indexDir/staged")
-        .groupBy($"term")
-        .agg(count(lit(1)).as("doc_freq"), sum($"tf").as("total_tf"))
-        .repartitionByRange(cfg.nPartitions, $"term")
-        .sortWithinPartitions("term")
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/terms")
-      commitUnit(indexDir, "terms")
-    }
-
-    // ---- stage 3: posting groups (resumable unit = one group) ---------
+    // ---- stage 2: posting groups (resumable unit = one group) ---------
     val blockSize = cfg.blockSize
     var groupsBuilt = 0
     (0 until cfg.nGroups).foreach { g =>
@@ -174,10 +207,8 @@ object IndexBuilder {
       if (!completedUnits(indexDir).contains(unit)) {
         if (groupsBuilt >= failAfterGroups)
           throw new RuntimeException(s"injected failure before $unit")
-        val staged = spark.read.parquet(s"$indexDir/staged")
-          .where($"grp" === g) // partition pruning on the staging table
         val partsPerGroup = math.max(1, cfg.nPartitions / cfg.nGroups)
-        val blocks = staged
+        val blocks = groupInput(g)
           .repartition(partsPerGroup, $"term", $"slice")
           .sortWithinPartitions("term", "slice", "doc_id")
           .select($"term", $"slice", $"doc_id", $"tf", $"doc_len")
@@ -186,8 +217,8 @@ object IndexBuilder {
             blockify(it, g, blockSize, avgDl)
           }
         // `grp` comes back as the directory partition column on read
-        blocks.drop("grp")
-          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings/grp=$g")
+        timed(s"postings-grp-$g")(blocks.drop("grp")
+          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings/grp=$g"))
 
         // per-partition build metrics (lineage; ≙ build_metrics table)
         val m = spark.read.parquet(s"$indexDir/postings/grp=$g")
@@ -204,11 +235,36 @@ object IndexBuilder {
             $"pid".as("partition_id"), $"terms",
             $"postings", $"blocks", $"bytes", lit("committed").as("status")
           )
-        m.coalesce(1).write.mode(SaveMode.Overwrite)
-          .parquet(s"$indexDir/build_metrics/grp=$g")
+        timed(s"metrics-grp-$g")(m.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(s"$indexDir/build_metrics/grp=$g"))
         commitUnit(indexDir, unit)
         groupsBuilt += 1
       }
+    }
+
+    // ---- stage 3: term dictionary (df per term) ------------------------
+    // Derived from posting-block METADATA (per-block count + decoded tf
+    // sums), not by re-shuffling every term-doc row: the input is
+    // ~blockSize× smaller. Each (term, slice) sub-list lives in exactly
+    // one partition, so summing block counts per term is exact.
+    if (!completedUnits(indexDir).contains("terms")) timed("terms") {
+      readPostings(spark, indexDir)
+        .select($"term", $"count", $"tfs")
+        .as[(String, Int, Array[Byte])]
+        .map { case (term, n, tfs) =>
+          var s = 0L
+          val t = graft.functions.Codec.decodeInts(tfs, n)
+          var i = 0
+          while (i < n) { s += t(i); i += 1 }
+          (term, n.toLong, s)
+        }
+        .toDF("term", "doc_freq", "total_tf")
+        .groupBy($"term")
+        .agg(sum($"doc_freq").as("doc_freq"), sum($"total_tf").as("total_tf"))
+        .repartitionByRange(math.max(1, cfg.nPartitions / 4), $"term")
+        .sortWithinPartitions("term")
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/terms")
+      commitUnit(indexDir, "terms")
     }
 
     commitUnit(indexDir, "done")

@@ -1,0 +1,94 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+import graft.functions.Codec
+import graft.index.IndexBuilder.BuildConfig
+
+/** Merge two immutable index segments into one (SURVEY.md §7 step 5 —
+  * ≙ what Elasticsearch does internally with Lucene segment merges after
+  * the reference's per-bucket bulk loads, `ElasticSearchStorage.cs:95-149`).
+  *
+  * Semantics: segment B's dense docIDs are remapped by +nDocs(A); corpus
+  * stats (N, avgdl) are recomputed for the union, so per-block
+  * `max_impact` metadata is re-derived (it depends on avgdl — stale
+  * bounds would break WAND's correctness guarantee). The merge therefore
+  * decodes blocks to postings (distributed flatMap over compressed
+  * blocks — the shuffle moves small encoded rows, never whole lists on
+  * one node), restages, and reruns the shared staged→postings pipeline —
+  * inheriting group-level resumable commits.
+  *
+  * Property (tested): if every url in A sorts before every url in B,
+  * merge(build(A), build(B)) ≡ build(A ∪ B) byte-for-byte.
+  */
+object SegmentMerge {
+
+  def merge(
+      spark: SparkSession,
+      idxA: String,
+      idxB: String,
+      outDir: String,
+      cfg: BuildConfig = BuildConfig()
+  ): Unit = {
+    import spark.implicits._
+    val done = IndexBuilder.completedUnits(outDir)
+    if (done.contains("done")) return
+
+    if (!done.contains("staged")) {
+      val statsA = IndexBuilder.readStats(spark, idxA)
+      val offset = statsA.n_docs
+
+      // merged docs table (B remapped), clustered by doc_id
+      val docsA = spark.read.parquet(s"$idxA/docs")
+      val docsB = spark.read.parquet(s"$idxB/docs")
+        .withColumn("doc_id", $"doc_id" + offset)
+      docsA.unionByName(docsB)
+        .repartitionByRange(cfg.nPartitions, $"doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+
+      val stats = spark.read.parquet(s"$outDir/docs")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(avg($"doc_len"), lit(0.0)).as("avg_dl"),
+          coalesce(sum($"doc_len"), lit(0L)).as("total_tokens")
+        )
+      stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
+      val nDocs = math.max(1L, spark.read.parquet(s"$outDir/stats").as[CorpusStats].head().n_docs)
+
+      // decode both segments' blocks back to term-docs, remap B, restage
+      def decoded(idx: String, off: Long): DataFrame =
+        IndexBuilder.readPostings(spark, idx)
+          .select($"term", $"count", $"deltas", $"tfs", $"dls")
+          .as[(String, Int, Array[Byte], Array[Byte], Array[Byte])]
+          .flatMap { case (term, n, deltas, tfs, dls) =>
+            val ids = Codec.decodeDeltas(deltas, n)
+            val tf = Codec.decodeInts(tfs, n)
+            val dl = Codec.decodeInts(dls, n)
+            Iterator.tabulate(n)(i => (ids(i) + off, term, tf(i), dl(i)))
+          }
+          .toDF("doc_id", "term", "tf", "doc_len")
+
+      decoded(idxA, 0L).unionByName(decoded(idxB, offset))
+        .withColumn(
+          "slice",
+          least(lit(cfg.nSlices - 1), ($"doc_id" * cfg.nSlices / nDocs).cast("int"))
+        )
+        // grp nests slices (nSlices % nGroups == 0): same doc-range-group
+        // layout the from-scratch build uses
+        .withColumn("grp", ($"slice" * cfg.nGroups / cfg.nSlices).cast("int"))
+        .select($"doc_id", $"doc_len", $"term", $"tf", $"slice", $"grp")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("grp")
+        .parquet(s"$outDir/staged")
+      IndexBuilder.commitUnitPublic(outDir, "staged")
+    }
+
+    val groupInput: Int => DataFrame = { g =>
+      spark.read.parquet(s"$outDir/staged").where(col("grp") === g)
+        .select(col("term"), col("slice"), col("doc_id"), col("tf"), col("doc_len"))
+    }
+    IndexBuilder.buildGroups(spark, outDir, cfg, groupInput)
+  }
+}

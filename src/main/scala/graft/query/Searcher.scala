@@ -1,0 +1,110 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.index.IndexBuilder
+import graft.query.BlockMaxWand.{BlockRef, PostingIter}
+
+/** Reusable query-session over one index: corpus stats and the term
+  * dictionary are loaded once, posting blocks are Spark-cached (in-memory
+  * columnar, LRU-evicted — at 10^12 docs only the hot fraction stays
+  * resident, which is exactly what a serving tier wants).
+  *
+  * [[topKBatch]] answers a whole query SET in one Spark job: the only
+  * shuffle moves the matched posting blocks of all queries' terms, grouped
+  * by doc-range slice; each slice task runs block-max WAND per query.
+  * Per-query cost amortizes to ~zero — this is the throughput path the
+  * north rule's "query set" is measured on. [[Search.topK]] remains the
+  * single-ad-hoc-query path.
+  */
+final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boolean = true) {
+  import spark.implicits._
+
+  val stats = IndexBuilder.readStats(spark, indexDir)
+  private val avgDl = if (stats.avg_dl > 0) stats.avg_dl else 1.0
+  private val n = stats.n_docs
+
+  private val postings: DataFrame = {
+    val p = IndexBuilder.readPostings(spark, indexDir)
+      .select(
+        $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"max_impact"
+      )
+    if (cachePostings) p.cache() else p
+  }
+
+  /** Term dictionary is kept as a cached DF; lookups are distributed
+    * filters (a driver-side hash map would not hold 10^12-scale vocab).
+    */
+  private val terms: Dataset[graft.TermStat] = {
+    val t = IndexBuilder.readTerms(spark, indexDir)
+    if (cachePostings) t.cache() else t
+  }
+
+  def dfOf(queryTerms: Seq[String]): Map[String, Long] =
+    terms.where($"term".isin(queryTerms.distinct: _*))
+      .collect().map(t => t.term -> t.doc_freq).toMap
+
+  /** All queries in one job → (qid, doc_id, score, rank). */
+  def topKBatch(queries: Seq[Searcher.BatchQuery], k: Int): DataFrame = {
+    val allTerms = queries.flatMap(_.terms).distinct
+    val dfs = dfOf(allTerms)
+    // per-query resolved plan: (terms in fixed order, idfs, isAnd)
+    val resolved = queries.map { q =>
+      val ts = q.terms.distinct
+      val idfs = ts.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
+      (q.qid, ts.toArray, idfs, q.mode == "and")
+    }
+    val bQueries = spark.sparkContext.broadcast(resolved)
+    val presentTerms = allTerms.filter(dfs.contains)
+    if (presentTerms.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "doc_id", "score")
+        .withColumn("rank", lit(1L)).where(lit(false))
+
+    // locals only — the task closure must not capture `this` (it holds the
+    // SparkSession and cached DataFrames, none serializable)
+    val avg = avgDl
+    val localTopK = postings
+      .where($"term".isin(presentTerms: _*))
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val byTerm = rows.toArray.groupBy(_._2).map { case (t, rs) =>
+          t -> rs.sortBy(r => (r._4, r._3))
+            .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10))
+        }
+        bQueries.value.iterator.flatMap { case (qid, qTerms, idfs, isAnd) =>
+          val iters = qTerms.iterator.zipWithIndex.flatMap { case (t, ti) =>
+            byTerm.get(t).map(refs => new PostingIter(ti, idfs(ti), refs, avg))
+          }.toArray
+          val hits =
+            if (isAnd) {
+              if (iters.length < qTerms.length) Array.empty[BlockMaxWand.Hit]
+              else BlockMaxWand.and(iters, k)
+            } else BlockMaxWand.or(iters, k)
+          hits.iterator.map(h => (qid, h.docId, h.score))
+        }
+      }
+      .toDF("qid", "doc_id", "score")
+
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id".asc)
+    localTopK
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= k)
+  }
+
+  def topK(queryTerms: Seq[String], mode: String, k: Int): DataFrame = {
+    // AND with a missing term can short-circuit to empty without a job
+    val dfs = dfOf(queryTerms)
+    if (mode == "and" && queryTerms.distinct.exists(t => !dfs.contains(t)))
+      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    topKBatch(Seq(Searcher.BatchQuery(0L, queryTerms, mode)), k)
+      .orderBy($"rank")
+      .select($"doc_id", $"score")
+  }
+}
+
+object Searcher {
+  final case class BatchQuery(qid: Long, terms: Seq[String], mode: String)
+}

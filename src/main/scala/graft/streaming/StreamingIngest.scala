@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.Page
+import graft.functions.Analyzer
+import graft.index.IndexBuilder
+import graft.index.IndexBuilder.BuildConfig
+
+/** Structured-Streaming ingest — the Spark rendition of the reference's
+  * live pipeline (SURVEY.md §2.9):
+  *
+  *   - rolling-file source ordering + live tail (S4/S5,
+  *     `EventLogReader.cs:115-173`) ≙ `readStream` file source discovering
+  *     new files per micro-batch;
+  *   - count-batching + timeout flush (A2/T2, `EventLogExporter.cs:188`,
+  *     default 1 s) ≙ trigger interval / AvailableNow;
+  *   - batch → bulk sink write (S8) ≙ `foreachBatch` building one
+  *     immutable index segment per micro-batch;
+  *   - resume from checkpoint (T5, `EventLogExporter.cs:192-241`) ≙
+  *     Structured Streaming checkpointLocation — a restarted query
+  *     re-processes only unseen files, and segment writes are idempotent
+  *     (overwrite by batchId), giving the reference's T6
+  *     "effectively exactly-once";
+  *   - late/old-data cutoff (P2, `LgpReader.cs:118-119`) ≙ watermark +
+  *     pre-filter.
+  *
+  * Segments produced here are merged by [[graft.index.SegmentMerge]] —
+  * the same build/merge machinery as batch, so streaming is just
+  * micro-batched ingestion, not a second engine.
+  */
+object StreamingIngest {
+
+  /** Start a streaming index build over a directory of Page parquet files.
+    * One segment per micro-batch under `indexDir/segment-<batchId>`.
+    */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      cfg: BuildConfig = BuildConfig(nPartitions = 8, nGroups = 1, nSlices = 2),
+      skipBefore: Option[java.sql.Timestamp] = None,
+      availableNow: Boolean = true
+  ): StreamingQuery = {
+    import spark.implicits._
+    val schema = spark.emptyDataset[Page].schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 4) // ≙ Portion batching (A2)
+      .parquet(inputDir)
+      .as[Page]
+
+    val filtered = skipBefore match {
+      case Some(cut) => stream.filter(_.warc_ts.compareTo(cut) >= 0) // ≙ P2
+      case None      => stream
+    }
+
+    val writer = filtered.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Page], batchId: Long) =>
+        val segDir = s"$indexDir/segment-$batchId"
+        // idempotent: a replayed batch rebuilds the same segment bytes
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(segDir))
+        IndexBuilder.build(batch.sparkSession, batch, segDir, cfg)
+        ()
+      }
+
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("1 second")))
+      .start()
+  }
+
+  /** Pure streaming aggregation demo: per-(day, term) counts with an
+    * event-time watermark (the windowed-agg shape of A1's time bucketing,
+    * `ElasticSearchStorage.cs:293-320`, under streaming semantics).
+    */
+  def termCountsByDay(spark: SparkSession, inputDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.emptyDataset[Page].schema
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .as[Page]
+      .flatMap(p => Analyzer.tokenize(p.text).map(t => (p.warc_ts, t)))
+      .toDF("warc_ts", "term")
+      .withWatermark("warc_ts", "1 day")
+      .groupBy(window($"warc_ts", "1 day").as("day"), $"term")
+      .agg(count(lit(1)).as("n"))
+      .select($"day.start".as("day"), $"term", $"n")
+  }
+}

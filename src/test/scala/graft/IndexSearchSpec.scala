@@ -25,7 +25,7 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     dir = Files.createTempDirectory("graft-index")
     val pages = PagesGen.pages(spark, NDocs, 8)
-    IndexBuilder.build(spark, pages, dir.toString, BuildConfig(nPartitions = 16, nGroups = 3, nSlices = 5, blockSize = 64))
+    IndexBuilder.build(spark, pages, dir.toString, BuildConfig(nPartitions = 16, nGroups = 3, nSlices = 6, blockSize = 64))
     // reconstruct the oracle corpus with the engine's own docID mapping
     // (docID = url sort rank — recomputed independently here)
     val byUrl = (0L until NDocs).map { i =>
@@ -91,10 +91,29 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("batched Searcher: whole query set in one job, rank-identical to oracle") {
+    val searcher = new graft.query.Searcher(spark, dir.toString)
+    val batch = queries.zipWithIndex.map { case ((terms, mode), i) =>
+      graft.query.Searcher.BatchQuery(i.toLong, terms, mode)
+    }
+    val got = searcher.topKBatch(batch, 10)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .groupBy(_._1)
+    queries.zipWithIndex.foreach { case ((terms, mode), i) =>
+      val expected = NaiveBm25.topK(corpus, terms, mode, 10)
+      val rows = got.getOrElse(i.toLong, Array.empty).sortBy(_._2)
+      assert(rows.length == expected.length, s"$terms/$mode size")
+      expected.zip(rows).foreach { case (e, (_, _, gid, gs)) =>
+        assert(gid == e.docId && math.abs(gs - e.score) < 1e-9, s"$terms/$mode")
+      }
+    }
+  }
+
   test("interrupted build resumes to an identical index") {
     val d2 = Files.createTempDirectory("graft-resume")
     val pages = PagesGen.pages(spark, 500L, 4)
-    val cfg = BuildConfig(nPartitions = 8, nGroups = 4, nSlices = 3, blockSize = 32)
+    val cfg = BuildConfig(nPartitions = 8, nGroups = 4, nSlices = 8, blockSize = 32)
     // run 1: die after 2 of 4 posting groups committed
     val attempt = Try(IndexBuilder.build(spark, pages, d2.toString, cfg, failAfterGroups = 2))
     assert(attempt.isFailure)

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.index.{IndexBuilder, SegmentMerge}
+import graft.index.IndexBuilder.BuildConfig
+import graft.query.{NaiveBm25, Search}
+import graft.sources.{HtmlText, PagesGen}
+import graft.streaming.StreamingIngest
+
+class MergeStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pagesWithPrefix(prefix: String, from: Long, until: Long) = {
+    spark.range(from, until, 1, 4).map { i =>
+      val text = PagesGen.textFor(i)
+      val url = f"$prefix/$i%08d"
+      Page(url, new java.sql.Timestamp(1609459200000L + i * 1000L), HtmlText.wrap(url, text), text, "en")
+    }
+  }
+
+  private def dumpPostings(p: String) =
+    IndexBuilder.readPostings(spark, p)
+      .collect()
+      .map { r =>
+        (r.getAs[String]("term"), r.getAs[Int]("slice"), r.getAs[Int]("block_id"),
+          r.getAs[Long]("doc_id_min"), r.getAs[Long]("doc_id_max"), r.getAs[Int]("count"),
+          r.getAs[Array[Byte]]("deltas").toSeq, r.getAs[Array[Byte]]("tfs").toSeq,
+          r.getAs[Array[Byte]]("dls").toSeq, r.getAs[Double]("max_impact"))
+      }
+      .sortBy(t => (t._1, t._2, t._3))
+      .toSeq
+
+  test("merge(build(A), build(B)) ≡ build(A ∪ B) when A's urls sort before B's") {
+    val cfg = BuildConfig(nPartitions = 8, nGroups = 2, nSlices = 4, blockSize = 32)
+    val dA = Files.createTempDirectory("seg-a").toString
+    val dB = Files.createTempDirectory("seg-b").toString
+    val dM = Files.createTempDirectory("seg-m").toString
+    val dU = Files.createTempDirectory("seg-u").toString
+    IndexBuilder.build(spark, pagesWithPrefix("a", 0, 400), dA, cfg)
+    IndexBuilder.build(spark, pagesWithPrefix("b", 400, 700), dB, cfg)
+    SegmentMerge.merge(spark, dA, dB, dM, cfg)
+    IndexBuilder.build(
+      spark,
+      pagesWithPrefix("a", 0, 400).union(pagesWithPrefix("b", 400, 700)),
+      dU, cfg
+    )
+    assert(dumpPostings(dM) == dumpPostings(dU))
+    // stats and docs also identical
+    val sM = IndexBuilder.readStats(spark, dM)
+    val sU = IndexBuilder.readStats(spark, dU)
+    assert(sM == sU)
+    val docsM = IndexBuilder.readDocs(spark, dM).collect().sortBy(_.doc_id).toSeq
+    val docsU = IndexBuilder.readDocs(spark, dU).collect().sortBy(_.doc_id).toSeq
+    assert(docsM == docsU)
+  }
+
+  test("streaming ingest: per-batch segments + checkpoint resume + merged query correctness") {
+    val inDir = Files.createTempDirectory("stream-in").toString
+    val idxDir = Files.createTempDirectory("stream-idx").toString
+    val ckpt = Files.createTempDirectory("stream-ckpt").toString
+    val cfg = BuildConfig(nPartitions = 4, nGroups = 1, nSlices = 2, blockSize = 32)
+
+    // chunk 1 arrives (urls sort before chunk 2's)
+    pagesWithPrefix("s1", 0, 150).coalesce(1).write.parquet(s"$inDir/c1")
+    // file source needs a flat dir of files: write directly with two jobs
+    val q1 = StreamingIngest.start(spark, s"$inDir/c1", idxDir, ckpt, cfg)
+    q1.awaitTermination()
+    val segs1 = new java.io.File(idxDir).list().count(_.startsWith("segment-"))
+    assert(segs1 >= 1, "no segments after first stream run")
+
+    // chunk 2 arrives; restarted query must process ONLY the new files
+    pagesWithPrefix("s2", 150, 300).coalesce(1).write.mode("append").parquet(s"$inDir/c1")
+    val q2 = StreamingIngest.start(spark, s"$inDir/c1", idxDir, ckpt, cfg)
+    q2.awaitTermination()
+    val segDirs = new java.io.File(idxDir).list().filter(_.startsWith("segment-")).sorted
+    assert(segDirs.length >= 2, s"expected new segment after resume, got ${segDirs.toSeq}")
+
+    // merge all segments pairwise and verify BM25 vs the oracle over all docs
+    val merged = segDirs.map(s => s"$idxDir/$s").reduce { (a, b) =>
+      val out = Files.createTempDirectory("stream-merge").toString
+      SegmentMerge.merge(spark, a, b, out, cfg)
+      out
+    }
+    val corpus = IndexBuilder.readDocs(spark, merged).collect().sortBy(_.doc_id).map { d =>
+      val i = d.url.split("/").last.toLong
+      (d.doc_id, PagesGen.textFor(i))
+    }.toSeq
+    assert(corpus.size == 300)
+    val expected = NaiveBm25.topK(corpus, Seq("w0", "w3"), "or", 10)
+    val got = Search.topK(spark, merged, Seq("w0", "w3"), "or", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == expected.map(_.docId))
+    expected.zip(got).foreach { case (e, (_, s)) => assert(math.abs(s - e.score) < 1e-9) }
+  }
+
+  test("streaming windowed term counts with watermark (memory sink)") {
+    val inDir = Files.createTempDirectory("stream-agg").toString + "/in"
+    pagesWithPrefix("t", 0, 100).coalesce(1).write.parquet(inDir)
+    val q = StreamingIngest.termCountsByDay(spark, inDir)
+      .writeStream
+      .format("memory")
+      .queryName("term_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = spark.table("term_counts")
+    val total = res.agg(sum($"n")).head().getLong(0)
+    val expected = (0L until 100L).map(i => graft.functions.Analyzer.tokenize(PagesGen.textFor(i)).length.toLong).sum
+    assert(total == expected)
+  }
+}
