@@ -105,6 +105,42 @@ object OpsQueries {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .select(col("keep_id"), col("n_dups"))
     },
+    // P9: recursive variant→string render (genuine UDF, ≙ LgpReader.cs:178-220)
+    "q_variant_render" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.VariantRenderer._
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+        .as[(Long, String, Double, Long)]
+        .map { case (id, et, v, uid) =>
+          val tree = P(Seq(S(et), B(v > 50), P(Seq(R(s"u$uid"), U))))
+          (id, render(tree))
+        }
+        .toDF("event_id", "rendered")
+    },
+    // P4: epoch-seconds→timestamp with 0 ⇒ epoch sentinel (≙ LgpReader.cs:133-136)
+    "q_epoch_decode" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/events.parquet")
+        .select(
+          $"event_id",
+          when(floor($"value").cast("long") === 0L, lit(0L))
+            .otherwise(unix_seconds(timestamp_seconds(floor($"value").cast("long"))))
+            .as("decoded_epoch")
+        )
+    },
+    // P13: [IBNAME] template expansion over mask-matched names
+    // (≙ ClstWatcher.cs:64-71)
+    "q_template_expand" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select($"source").distinct()
+        .where($"source".rlike("^src[0-9]+$"))
+        .select(
+          $"source",
+          regexp_replace(lit("idx-[IBNAME]-prod"), lit("\\[IBNAME\\]"), $"source").as("index_name")
+        )
+    },
     // multimodal plumbing: synthesize binary media per doc, decode meta,
     // aspect-preserving resize plan (decode itself is the marked stub)
     "q_media_meta" -> { (s, dir) =>
@@ -203,6 +239,22 @@ object OpsQueries {
                 b.mean_token_len_e6, b.stopword_ratio_e6,
                 round((r.max_tf::DOUBLE / r.n) * 1000000)::BIGINT AS max_repeat_ratio_e6
          FROM base b JOIN rep r USING (doc_id)""",
+    "q_variant_render" ->
+      """SELECT event_id,
+                'Item 1: ' || event_type || chr(10) ||
+                'Item 2: ' || CASE WHEN value > 50 THEN 'true' ELSE 'false' END || chr(10) ||
+                'Item 3:   Item 1: u' || user_id || chr(10) ||
+                '  Item 2:' AS rendered
+         FROM events""",
+    "q_epoch_decode" ->
+      """SELECT event_id,
+                CASE WHEN floor(value)::BIGINT = 0 THEN 0
+                     ELSE floor(value)::BIGINT END AS decoded_epoch
+         FROM events""",
+    "q_template_expand" ->
+      """SELECT source, 'idx-' || source || '-prod' AS index_name
+         FROM (SELECT DISTINCT source FROM documents)
+         WHERE regexp_matches(source, '^src[0-9]+$')""",
     "q_fingerprint" ->
       """WITH u AS (SELECT doc_id, text FROM documents
                     UNION ALL SELECT doc_id + 100000, text FROM documents)

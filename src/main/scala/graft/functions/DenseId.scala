@@ -25,7 +25,15 @@ import org.apache.spark.sql.expressions.Window
 object DenseId {
 
   /** Add dense 0-based `idCol` ordered by `orderCol` (must be unique). */
-  def assign(df: DataFrame, orderCol: String, idCol: String, numPartitions: Int): DataFrame = {
+  def assign(df: DataFrame, orderCol: String, idCol: String, numPartitions: Int): DataFrame =
+    assignWithCount(df, orderCol, idCol, numPartitions)._1
+
+  /** Like [[assign]], also returning the total row count (already known
+    * from the offsets pass — saves callers a count job).
+    */
+  def assignWithCount(
+      df: DataFrame, orderCol: String, idCol: String, numPartitions: Int
+  ): (DataFrame, Long) = {
     val spark = df.sparkSession
     val sortedRdd = df
       .repartitionByRange(numPartitions, col(orderCol))
@@ -47,7 +55,7 @@ object DenseId {
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (base + i))
       }
     }
-    spark.createDataFrame(rdd, schema)
+    (spark.createDataFrame(rdd, schema), offsets.last)
   }
 
   /** Small-data variant (≤ a few million rows, e.g. test fixtures and the

@@ -109,13 +109,16 @@ object IndexBuilder {
     val done = completedUnits(indexDir)
     if (done.contains("done")) return
 
-    // ---- stage 1: docID assignment + docs table + text staging --------
-    // The staging table stores each doc's RAW TEXT exactly once,
-    // partitioned by doc-range group — far smaller than an exploded
-    // term-row table (tokens repeat the term string per posting), and it
-    // is the resume checkpoint: a group job re-derives its postings from
-    // its own partition only (partition-pruned read). Tokenisation runs
-    // twice (doc_len pass + group pass) but is ~1% of build cost.
+    // ---- stage 1: docID assignment + fused docs/text staging ----------
+    // ONE table `docs` holds (doc_id, url, warc_ts, lang, doc_len, text),
+    // partitioned by doc-range group, written in a single pass:
+    //   - dimension readers (query side) column-prune `text` away — the
+    //     parquet scan never touches the big column (ReadSchema without
+    //     text; verified via explain in tests);
+    //   - group jobs read (doc_id, text) of their own grp partition only
+    //     (partition pruning) and re-tokenize — the resume checkpoint.
+    // Raw text is stored exactly once — an exploded term-row staging
+    // table would repeat the term string per posting and cost ~2-3x.
     if (!done.contains("staged")) {
       // extract text from html (per-row invariant: byte-identical to the
       // stored text column — enforced here, not assumed); html dropped
@@ -128,23 +131,23 @@ object IndexBuilder {
         }
       }.toDF("url", "warc_ts", "lang", "text")
 
-      val withIds = timed("dense-id")(DenseId.assign(prepared, "url", "doc_id", cfg.nPartitions))
-        // reused by the docs write AND the staging write — persist so the
-        // reduce-side sort+zip runs once
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (withIds, total) =
+        timed("dense-id")(DenseId.assignWithCount(prepared, "url", "doc_id", cfg.nPartitions))
+      val nDocs = math.max(1L, total)
 
-      // docs table (doc_len = analyzed token count), clustered by doc_id
-      // (≙ ClickHouse ORDER BY clustering, `ClickHouseStorage.cs:181`) —
-      // DenseId's layout IS doc_id order, no extra shuffle.
       timed("docs-write")(withIds
         .select($"doc_id", $"url", $"warc_ts", $"lang", $"text")
         .as[(Long, String, java.sql.Timestamp, String, String)]
         .map { case (id, url, ts, lang, text) =>
-          Doc(id, url, ts, lang, Analyzer.tokenize(text).length)
+          (id, url, ts, lang, Analyzer.tokenize(text).length, text)
         }
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docs"))
+        .toDF("doc_id", "url", "warc_ts", "lang", "doc_len", "text")
+        .withColumn("grp", least(lit(cfg.nGroups - 1), ($"doc_id" * cfg.nGroups / nDocs).cast("int")))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("grp")
+        .parquet(s"$indexDir/docs"))
 
-      // corpus stats (avg_dl over all docs, N = all docs)
+      // corpus stats — column-pruned read (doc_len only) of the docs table
       val stats = spark.read.parquet(s"$indexDir/docs")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -152,23 +155,13 @@ object IndexBuilder {
           coalesce(sum($"doc_len"), lit(0L)).as("total_tokens")
         )
       timed("stats")(stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats"))
-      val nDocs = math.max(1L, spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head().n_docs)
-
-      timed("staged-write")(withIds
-        .select($"doc_id", $"text")
-        .withColumn("grp", ($"doc_id" * cfg.nGroups / nDocs).cast("int"))
-        .withColumn("grp", least(lit(cfg.nGroups - 1), $"grp"))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("grp")
-        .parquet(s"$indexDir/docs_text"))
-      withIds.unpersist()
       commitUnit(indexDir, "staged")
     }
 
     val nDocs = math.max(1L, spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head().n_docs)
     val nSlices = cfg.nSlices
     val groupInput: Int => DataFrame = { g =>
-      spark.read.parquet(s"$indexDir/docs_text")
+      spark.read.parquet(s"$indexDir/docs")
         .where($"grp" === g) // partition pruning: 1/nGroups of the bytes
         .select($"doc_id", $"text")
         .as[(Long, String)]
@@ -322,7 +315,11 @@ object IndexBuilder {
   // ---- readers --------------------------------------------------------
   def readDocs(spark: SparkSession, indexDir: String): Dataset[Doc] = {
     import spark.implicits._
-    spark.read.parquet(s"$indexDir/docs").as[Doc]
+    // built indexes carry (text, grp) in the docs table — column pruning
+    // means this select never reads the text column off disk
+    spark.read.parquet(s"$indexDir/docs")
+      .select("doc_id", "url", "warc_ts", "lang", "doc_len")
+      .as[Doc]
   }
   def readStats(spark: SparkSession, indexDir: String): CorpusStats = {
     import spark.implicits._

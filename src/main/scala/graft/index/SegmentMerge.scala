@@ -39,9 +39,12 @@ object SegmentMerge {
       val statsA = IndexBuilder.readStats(spark, idxA)
       val offset = statsA.n_docs
 
-      // merged docs table (B remapped), clustered by doc_id
-      val docsA = spark.read.parquet(s"$idxA/docs")
-      val docsB = spark.read.parquet(s"$idxB/docs")
+      // merged docs table (B remapped), clustered by doc_id. Only the
+      // dimension columns carry over — the merged postings are rebuilt
+      // from the segments' blocks, so staged text isn't needed again.
+      val docCols = Seq($"doc_id", $"url", $"warc_ts", $"lang", $"doc_len")
+      val docsA = spark.read.parquet(s"$idxA/docs").select(docCols: _*)
+      val docsB = spark.read.parquet(s"$idxB/docs").select(docCols: _*)
         .withColumn("doc_id", $"doc_id" + offset)
       docsA.unionByName(docsB)
         .repartitionByRange(cfg.nPartitions, $"doc_id")

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VariantRenderer._
+import graft.index.{IndexBuilder, MultiIndexer}
+import graft.index.IndexBuilder.BuildConfig
+import graft.sources.{PagesGen, TableIO}
+
+class MiscOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("variant renderer golden cases (P9 semantics)") {
+    assert(render(U) == "")
+    assert(render(S("hello")) == "hello")
+    assert(render(B(true)) == "true")
+    assert(render(B(false)) == "false")
+    assert(render(R("e1cib/data/Catalog.Test")) == "e1cib/data/Catalog.Test")
+    assert(render(P(Seq(S("a"), S("b")))) == "Item 1: a\nItem 2: b")
+    // nested list indents, undefined renders empty, outer trim applies
+    assert(
+      render(P(Seq(S("x"), P(Seq(R("r1"), U))))) ==
+        "Item 1: x\nItem 2:   Item 1: r1\n  Item 2:"
+    )
+    assert(render(P(Nil)) == "")
+  }
+
+  test("multi-indexer: registry diff builds added, retires removed (S6/T9)") {
+    val corpora = Files.createTempDirectory("mi-corpora").toString
+    val indexes = Files.createTempDirectory("mi-indexes").toString
+    val cfg = BuildConfig(nPartitions = 4, nGroups = 1, nSlices = 2, blockSize = 32)
+
+    def writeCorpus(name: String, from: Long, until: Long): Unit =
+      spark.range(from, until, 1, 2).map(i => PagesGen.pageFor(i))
+        .write.mode("overwrite").parquet(s"$corpora/$name")
+
+    writeCorpus("alpha", 0, 100)
+    writeCorpus("beta", 100, 200)
+    val r1 = MultiIndexer.sync(spark, corpora, indexes, cfg)
+    assert(r1.added == Seq("alpha", "beta") && r1.removed.isEmpty)
+    assert(IndexBuilder.completedUnits(s"$indexes/idx-alpha").contains("done"))
+
+    // registry change: beta vanishes, gamma appears (≙ ClstWatcher diff)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$corpora/beta"))
+    writeCorpus("gamma", 200, 300)
+    val r2 = MultiIndexer.sync(spark, corpora, indexes, cfg)
+    assert(r2.added == Seq("gamma"))
+    assert(r2.removed == Seq("idx-beta"))
+    assert(r2.kept == Seq("idx-alpha"))
+    assert(!new java.io.File(s"$indexes/idx-beta").exists())
+    assert(IndexBuilder.completedUnits(s"$indexes/idx-gamma").contains("done"))
+
+    // mask filters corpora (≙ manager Mask config)
+    writeCorpus("skipme", 300, 320)
+    val r3 = MultiIndexer.sync(spark, corpora, indexes, cfg, mask = "^(alpha|gamma)$")
+    assert(r3.added.isEmpty && r3.kept.sorted == Seq("idx-alpha", "idx-gamma"))
+  }
+
+  test("TableIO: immutable snapshots, atomic manifest, partition listing") {
+    val dir = Files.createTempDirectory("tableio").toString + "/t"
+    val df1 = Seq((1, "a", "p1"), (2, "b", "p2")).toDF("id", "v", "part")
+    val id1 = TableIO.commitSnapshot(df1, dir, Seq("part"))
+    assert(id1 == 1L)
+    val df2 = Seq((3, "c", "p1")).toDF("id", "v", "part")
+    val id2 = TableIO.commitSnapshot(df2, dir, Seq("part"))
+    assert(id2 == 2L)
+    assert(TableIO.snapshotIds(dir) == Seq(1L, 2L))
+    // latest snapshot read
+    assert(TableIO.readSnapshot(spark, dir).count() == 1)
+    // time travel to snapshot 1 — immutable
+    val s1 = TableIO.readSnapshot(spark, dir, Some(1L))
+    assert(s1.count() == 2)
+    assert(s1.select("part").distinct().collect().map(_.getString(0)).sorted.toSeq == Seq("p1", "p2"))
+  }
+}
