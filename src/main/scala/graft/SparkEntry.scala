@@ -95,7 +95,7 @@ object SparkEntry {
         .select($"term", $"count", $"tfs")
         .as[(String, Int, Array[Byte])]
         .map { case (term, n, tfs) =>
-          (term, n.toLong, Codec.decodeInts(tfs, n).map(_.toLong).sum)
+          (term, n.toLong, Codec.decodeIntsAuto(tfs, n).map(_.toLong).sum)
         }
         .toDF("term", "doc_freq", "total_tf")
         .groupBy($"term")

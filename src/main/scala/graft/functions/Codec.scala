@@ -93,4 +93,187 @@ object Codec extends Serializable {
     }
     out
   }
+
+  // ---- PForDelta-style patched bit-packing ------------------------------
+  // Block layout: [bitWidth b: 1B][nExceptions: 1B][varlong values...? no:]
+  //   [bit-packed count×b-bit low parts][exceptions: varbyte(pos), varbyte(high)]
+  // The bit width is chosen per block to minimise total encoded size;
+  // values whose high bits overflow b are "patched" via the exception
+  // list (classic PForDelta, Zukowski et al. 2006).
+
+  /** (encoded size, nExceptions) of bit width b; size Int.MaxValue when
+    * the exception list would overflow its 1-byte count.
+    */
+  private def packedSize(vals: Array[Long], b: Int): (Int, Int) = {
+    var exBytes = 0
+    var nEx = 0
+    var i = 0
+    while (i < vals.length) {
+      val high = if (b >= 64) 0L else vals(i) >>> b
+      if (high != 0) {
+        nEx += 1
+        exBytes += varLen(i.toLong) + varLen(high)
+      }
+      i += 1
+    }
+    val sz = if (nEx > 255) Int.MaxValue else 2 + (vals.length * b + 7) / 8 + exBytes
+    (sz, nEx)
+  }
+
+  @inline private def varLen(v: Long): Int = {
+    var x = v; var n = 1
+    while ((x & ~0x7fL) != 0L) { n += 1; x >>>= 7 }
+    n
+  }
+
+  /** Bit-pack `vals` (non-negative) with per-block optimal width +
+    * exception patching.
+    */
+  def encodePacked(vals: Array[Long]): Array[Byte] = {
+    val maxBits = if (vals.isEmpty) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(vals.max | 1L)
+    var bestB = maxBits
+    var bestSize = packedSize(vals, maxBits)._1
+    var b = 0
+    while (b < maxBits) {
+      val sz = packedSize(vals, b)._1
+      if (sz < bestSize) { bestSize = sz; bestB = b }
+      b += 1
+    }
+    val out = new ArrayBuffer[Byte](bestSize)
+    out += bestB.toByte
+    val exPos = new ArrayBuffer[Int]
+    val exHigh = new ArrayBuffer[Long]
+    var i = 0
+    while (i < vals.length) {
+      val high = if (bestB >= 64) 0L else vals(i) >>> bestB
+      if (high != 0) { exPos += i; exHigh += high }
+      i += 1
+    }
+    require(exPos.length <= 255, s"too many exceptions: ${exPos.length}")
+    out += exPos.length.toByte
+    // bit-pack low parts
+    var acc = 0L
+    var accBits = 0
+    i = 0
+    while (i < vals.length) {
+      val low = if (bestB >= 64) vals(i) else vals(i) & ((1L << bestB) - 1)
+      var remaining = bestB
+      var v = low
+      while (remaining > 0) {
+        val take = math.min(8 - accBits, remaining)
+        acc |= (v & ((1 << take) - 1)) << accBits
+        v >>>= take
+        accBits += take
+        remaining -= take
+        if (accBits == 8) { out += acc.toByte; acc = 0L; accBits = 0 }
+      }
+      i += 1
+    }
+    if (accBits > 0) out += acc.toByte
+    exPos.indices.foreach { e =>
+      writeVarLong(exPos(e).toLong, out)
+      writeVarLong(exHigh(e), out)
+    }
+    out.toArray
+  }
+
+  def decodePacked(bytes: Array[Byte], count: Int): Array[Long] = {
+    val b = bytes(0) & 0xff
+    val nEx = bytes(1) & 0xff
+    val out = new Array[Long](count)
+    var pos = 2
+    var acc = 0L
+    var accBits = 0
+    var i = 0
+    while (i < count) {
+      var v = 0L
+      var got = 0
+      while (got < b) {
+        if (accBits == 0) { acc = bytes(pos) & 0xffL; accBits = 8; pos += 1 }
+        val take = math.min(accBits, b - got)
+        v |= (acc & ((1L << take) - 1)) << got
+        acc >>>= take
+        accBits -= take
+        got += take
+      }
+      out(i) = v
+      i += 1
+    }
+    var e = 0
+    while (e < nEx) {
+      var shift = 0; var p = 0L; var by = 0
+      do { by = bytes(pos) & 0xff; p |= (by & 0x7fL) << shift; shift += 7; pos += 1 } while ((by & 0x80) != 0)
+      shift = 0; var h = 0L
+      do { by = bytes(pos) & 0xff; h |= (by & 0x7fL) << shift; shift += 7; pos += 1 } while ((by & 0x80) != 0)
+      out(p.toInt) |= h << b
+      e += 1
+    }
+    out
+  }
+
+  // ---- auto codec: per-block best of varbyte vs packed, 1-byte tag ------
+  final val TagVarByte: Byte = 0
+  final val TagPacked: Byte = 1
+
+  /** Encode a strictly increasing docID list: first value varbyte'd, gaps
+    * via whichever of varbyte / patched-bitpack is smaller (deterministic).
+    */
+  def encodeDeltasAuto(sorted: Array[Long]): Array[Byte] = {
+    val gaps = new Array[Long](sorted.length)
+    var i = 0
+    var prev = 0L
+    while (i < sorted.length) {
+      gaps(i) = if (i == 0) sorted(0) else sorted(i) - prev
+      prev = sorted(i)
+      i += 1
+    }
+    pickSmaller(gaps)
+  }
+
+  def decodeDeltasAuto(bytes: Array[Byte], count: Int): Array[Long] = {
+    val gaps = decodeAutoVals(bytes, count)
+    var i = 1
+    while (i < count) { gaps(i) += gaps(i - 1); i += 1 }
+    gaps
+  }
+
+  /** Encode non-negative ints (tf/dl streams) with the auto codec. */
+  def encodeIntsAuto(vals: Array[Int]): Array[Byte] =
+    pickSmaller(vals.map(_.toLong))
+
+  def decodeIntsAuto(bytes: Array[Byte], count: Int): Array[Int] =
+    decodeAutoVals(bytes, count).map(_.toInt)
+
+  private def pickSmaller(vals: Array[Long]): Array[Byte] = {
+    val vb = {
+      val out = new ArrayBuffer[Byte](vals.length * 2)
+      var i = 0
+      while (i < vals.length) { writeVarLong(vals(i), out); i += 1 }
+      out.toArray
+    }
+    val pk = encodePacked(vals)
+    if (pk.length < vb.length) TagPacked +: pk
+    else TagVarByte +: vb
+  }
+
+  private def decodeAutoVals(bytes: Array[Byte], count: Int): Array[Long] = {
+    val body = java.util.Arrays.copyOfRange(bytes, 1, bytes.length)
+    bytes(0) match {
+      case TagPacked => decodePacked(body, count)
+      case _ =>
+        val out = new Array[Long](count)
+        var pos = 0
+        var i = 0
+        while (i < count) {
+          var shift = 0; var v = 0L; var b = 0
+          do {
+            b = body(pos) & 0xff; v |= (b & 0x7fL) << shift; shift += 7; pos += 1
+          } while ((b & 0x80) != 0)
+          out(i) = v
+          i += 1
+        }
+        out
+    }
+  }
 }

@@ -246,7 +246,7 @@ object IndexBuilder {
         .as[(String, Int, Array[Byte])]
         .map { case (term, n, tfs) =>
           var s = 0L
-          val t = graft.functions.Codec.decodeInts(tfs, n)
+          val t = graft.functions.Codec.decodeIntsAuto(tfs, n)
           var i = 0
           while (i < n) { s += t(i); i += 1 }
           (term, n.toLong, s)
@@ -301,9 +301,9 @@ object IndexBuilder {
         val row = PostingRow(
           grp, slice, term, blockId,
           ids.head, ids.last, ids.length,
-          Codec.encodeDeltas(ids.toArray),
-          Codec.encodeInts(tfs.toArray),
-          Codec.encodeInts(dls.toArray),
+          Codec.encodeDeltasAuto(ids.toArray),
+          Codec.encodeIntsAuto(tfs.toArray),
+          Codec.encodeIntsAuto(dls.toArray),
           maxImpact
         )
         blockId += 1

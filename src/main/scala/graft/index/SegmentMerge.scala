@@ -66,9 +66,9 @@ object SegmentMerge {
           .select($"term", $"count", $"deltas", $"tfs", $"dls")
           .as[(String, Int, Array[Byte], Array[Byte], Array[Byte])]
           .flatMap { case (term, n, deltas, tfs, dls) =>
-            val ids = Codec.decodeDeltas(deltas, n)
-            val tf = Codec.decodeInts(tfs, n)
-            val dl = Codec.decodeInts(dls, n)
+            val ids = Codec.decodeDeltasAuto(deltas, n)
+            val tf = Codec.decodeIntsAuto(tfs, n)
+            val dl = Codec.decodeIntsAuto(dls, n)
             Iterator.tabulate(n)(i => (ids(i) + off, term, tf(i), dl(i)))
           }
           .toDF("doc_id", "term", "tf", "doc_len")

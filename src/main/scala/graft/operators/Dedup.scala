@@ -56,14 +56,22 @@ object Dedup {
       }
       .toDF("id", "shingles", "bandkeys")
 
-    val banded = sigs.select($"id", $"shingles", explode($"bandkeys").as("band"))
-    // self-join within band buckets; id_a < id_b kills mirror+self pairs
-    val a = banded.select($"band", $"id".as("id_a"), $"shingles".as("sh_a"))
-    val b = banded.select($"band", $"id".as("id_b"), $"shingles".as("sh_b"))
-    a.join(b, Seq("band"))
+    // candidate pairs on BARE IDs (16 bytes/row through the join+distinct);
+    // the shingle payloads join back only for the surviving distinct pairs
+    // — a pair colliding in several bands would otherwise drag its two
+    // shingle arrays through the shuffle once per collision.
+    val banded = sigs.select($"id", explode($"bandkeys").as("band"))
+    val a = banded.select($"band", $"id".as("id_a"))
+    val b = banded.select($"band", $"id".as("id_b"))
+    val pairs = a.join(b, Seq("band"))
       .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
+      .distinct()
+    val sh = sigs.select($"id", $"shingles")
+    pairs
+      .join(sh.select($"id".as("id_a"), $"shingles".as("sh_a")), "id_a")
+      .join(sh.select($"id".as("id_b"), $"shingles".as("sh_b")), "id_b")
       .select($"id_a", $"id_b", $"sh_a", $"sh_b")
-      .distinct() // a pair may collide in several bands
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (ia, ib, sa, sb) => (ia, ib, TextFeatures.jaccard(sa, sb)) }
       .toDF("id_a", "id_b", "jaccard")
@@ -176,12 +184,21 @@ object Dedup {
         explode(expr(s"transform(sequence(0, $planes), i -> " +
           "CASE WHEN i = 0 THEN sketch ELSE cast(sketch as bigint) ^ shiftleft(1L, cast(i - 1 as int)) END)"))
       )
-    val a = banded.select($"bucket", $"id".as("id_a"), $"vec".as("v_a"), $"nrm".as("n_a"))
-    val b = banded.select($"bucket", $"id".as("id_b"), $"vec".as("v_b"), $"nrm".as("n_b"))
-    a.join(b, Seq("bucket"))
+    // same bare-ID candidate discipline as minHashLsh: clustered
+    // embeddings make LSH buckets hot (m rows → m² candidates), and
+    // dragging two 64-float vectors per candidate through the distinct
+    // was ~10× the cost of the whole operator
+    val a = banded.select($"bucket", $"id".as("id_a"))
+    val b = banded.select($"bucket", $"id".as("id_b"))
+    val pairs = a.join(b, Seq("bucket"))
       .where($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", $"v_a", $"v_b", $"n_a", $"n_b")
+      .select($"id_a", $"id_b")
       .distinct()
+    val vs = sk.select($"id", $"vec", $"nrm")
+    pairs
+      .join(vs.select($"id".as("id_a"), $"vec".as("v_a"), $"nrm".as("n_a")), "id_a")
+      .join(vs.select($"id".as("id_b"), $"vec".as("v_b"), $"nrm".as("n_b")), "id_b")
+      .select($"id_a", $"id_b", $"v_a", $"v_b", $"n_a", $"n_b")
       .as[(Long, Long, Array[Float], Array[Float], Double, Double)]
       .map { case (ia, ib, va, vb, na, nb) =>
         (ia, ib, Ann.dot(va, vb) / (na * nb))

@@ -43,9 +43,9 @@ object BlockMaxWand {
     private def decodeIfNeeded(): Unit = {
       if (bi < blocks.length && ids == null) {
         val b = blocks(bi)
-        ids = Codec.decodeDeltas(b.deltas, b.count)
-        tfs = Codec.decodeInts(b.tfs, b.count)
-        dls = Codec.decodeInts(b.dls, b.count)
+        ids = Codec.decodeDeltasAuto(b.deltas, b.count)
+        tfs = Codec.decodeIntsAuto(b.tfs, b.count)
+        dls = Codec.decodeIntsAuto(b.dls, b.count)
       }
     }
 

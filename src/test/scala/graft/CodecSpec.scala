@@ -43,4 +43,45 @@ class CodecSpec extends AnyFunSuite with GenCheck {
     val bytes = Codec.encodeDeltas(ids)
     assert(bytes.length <= ids.length + 10)
   }
+
+  test("packed (PForDelta-style) codec round-trips") {
+    for (
+      vals <- Seq(
+        Array(0L), Array(0L, 0L, 0L), Array(1L, 127L, 128L, 1L << 40),
+        Array.tabulate(128)(i => (i % 7).toLong), // tiny values → few bits
+        Array.tabulate(100)(i => if (i == 50) 1L << 50 else 3L) // one outlier → exception patch
+      )
+    ) {
+      assert(Codec.decodePacked(Codec.encodePacked(vals), vals.length).toSeq == vals.toSeq)
+    }
+    forAllSeeded(Gen.nonEmptyListOf(Gen.chooseNum(0L, 1L << 45))) { vs =>
+      val a = vs.toArray
+      assert(Codec.decodePacked(Codec.encodePacked(a), a.length).toSeq == a.toSeq)
+    }
+  }
+
+  test("auto codec round-trips and never exceeds varbyte size") {
+    val gen = for {
+      gs <- Gen.nonEmptyListOf(Gen.chooseNum(1L, 1L << 20))
+      start <- Gen.chooseNum(0L, 1L << 40)
+    } yield gs.scanLeft(start)(_ + _).toArray
+    forAllSeeded(gen) { ids =>
+      val auto = Codec.encodeDeltasAuto(ids)
+      assert(Codec.decodeDeltasAuto(auto, ids.length).toSeq == ids.toSeq)
+      assert(auto.length <= Codec.encodeDeltas(ids).length + 1) // +1 tag byte
+    }
+    forAllSeeded(Gen.nonEmptyListOf(Gen.chooseNum(0, 1 << 20))) { vs =>
+      val a = vs.toArray
+      assert(Codec.decodeIntsAuto(Codec.encodeIntsAuto(a), a.length).toSeq == a.toSeq)
+    }
+  }
+
+  test("packed beats varbyte on uniform dense gaps (the common posting shape)") {
+    // gaps of a hot term in a dense docID space: mostly 1-4
+    val ids = Iterator.iterate(100L)(x => x + 1 + (x % 3)).take(1000).toArray
+    val auto = Codec.encodeDeltasAuto(ids)
+    val vb = Codec.encodeDeltas(ids)
+    assert(auto.head == Codec.TagPacked, "expected packed codec selected")
+    assert(auto.length < vb.length, s"packed ${auto.length} !< varbyte ${vb.length}")
+  }
 }

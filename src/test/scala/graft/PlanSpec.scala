@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import graft.index.IndexBuilder
+import graft.index.IndexBuilder.BuildConfig
+import graft.sources.PagesGen
+
+/** Physical-plan assertions — the scale contract, checked in CI, not by
+  * eyeballing explain output:
+  *   - query-side docs reads never scan the `text` column (column pruning
+  *     through the fused docs table);
+  *   - posting scans push the term filter into the parquet source;
+  *   - the dictionary lookup join in the gate queries broadcasts;
+  *   - WAND search plans contain no cartesian/nested-loop joins.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = TestSpark.spark
+  private var dir: String = _
+
+  override def beforeAll(): Unit = {
+    dir = Files.createTempDirectory("graft-plan").toString
+    IndexBuilder.build(
+      spark, PagesGen.pages(spark, 300L, 4), dir,
+      BuildConfig(nPartitions = 4, nGroups = 2, nSlices = 4, blockSize = 32)
+    )
+  }
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("docs dimension read prunes the text column (ReadSchema without text)") {
+    val df = IndexBuilder.readDocs(spark, dir).toDF()
+    val scan = df.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(scan).getOrElse("")
+    assert(readSchema.nonEmpty, s"no ReadSchema in plan:\n$scan")
+    assert(!readSchema.contains("text"), s"text column not pruned: $readSchema")
+    assert(readSchema.contains("doc_len"))
+  }
+
+  test("postings scan pushes the term predicate to parquet (PushedFilters)") {
+    val df = IndexBuilder.readPostings(spark, dir)
+      .where(col("term").isin("w0", "w1"))
+    val plan = executedPlan(df)
+    val pushed = "PushedFilters: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("In(term"), s"term filter not pushed down: $pushed\n$plan")
+  }
+
+  test("group-stage input prunes doc-range partitions (grp=g)") {
+    val df = spark.read.parquet(s"$dir/docs").where(col("grp") === 1)
+    val plan = executedPlan(df)
+    // partition filter must appear as PartitionFilters, not a post-scan Filter
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*grp".r.findFirstIn(plan).isDefined,
+      s"grp not a partition filter:\n$plan")
+  }
+
+  test("dictionary lookup join broadcasts the dimension (J1/J2)") {
+    val events = spark.range(100).toDF("user_id")
+    val dim = spark.range(10).toDF("c_custkey").withColumn("c_name", concat(lit("n"), col("c_custkey")))
+    val joined = events.join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+    val plan = executedPlan(joined)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$plan")
+  }
+
+  test("search plan has no cartesian or nested-loop join") {
+    val df = graft.query.Search.topK(spark, dir, Seq("w0", "w1"), "or", 10)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pathological join in search plan:\n$plan")
+  }
+
+  test("gate q_dict_join uses broadcast hash join end-to-end") {
+    val df = SparkEntry.queries("q_dict_join")(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), s"q_dict_join not broadcast:\n$plan")
+  }
+}
