@@ -105,6 +105,19 @@ object OpsQueries {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .select(col("keep_id"), col("n_dups"))
     },
+    // native codegen Expression (graft_cosine) through the SQL registry
+    "q_cosine_expr" -> { (s, dir) =>
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      val e = embs(s, dir)
+      val q = e.where($"vec_id" === 0).select($"embedding".as("qvec"))
+      e.crossJoin(broadcast(q))
+        .select(
+          $"vec_id",
+          round(graft.plans.GraftFunctions.cosineSim($"embedding", $"qvec") * 10000)
+            .cast("long").as("cosine_e4")
+        )
+    },
     // P9: recursive variant→string render (genuine UDF, ≙ LgpReader.cs:178-220)
     "q_variant_render" -> { (s, dir) =>
       import s.implicits._
@@ -239,6 +252,11 @@ object OpsQueries {
                 b.mean_token_len_e6, b.stopword_ratio_e6,
                 round((r.max_tf::DOUBLE / r.n) * 1000000)::BIGINT AS max_repeat_ratio_e6
          FROM base b JOIN rep r USING (doc_id)""",
+    "q_cosine_expr" ->
+      """SELECT e.vec_id,
+                round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) * 10000)::BIGINT AS cosine_e4
+         FROM embeddings e
+         CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q""",
     "q_variant_render" ->
       """SELECT event_id,
                 'Item 1: ' || event_type || chr(10) ||

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.index.IndexBuilder
+import graft.index.IndexBuilder.BuildConfig
+import graft.query.{NaiveBm25, Search}
+import graft.sources.HtmlText
+
+/** Property: WAND top-k ≡ exhaustive-scoring top-k on random corpora
+  * (SURVEY.md §5.2) — random tiny vocabularies maximize ties, empty docs,
+  * single-posting terms, and block-boundary cases that the fixed
+  * generator corpus can't cover densely.
+  */
+class WandPropertySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+
+  private def corpusGen: Gen[List[String]] =
+    Gen.chooseNum(5, 120).flatMap { n =>
+      Gen.listOfN(
+        n,
+        Gen.frequency(
+          9 -> Gen.chooseNum(1, 30).flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))),
+          1 -> Gen.const("") // empty docs
+        )
+      )
+    }
+
+  private def queryGen: Gen[(List[String], String)] =
+    for {
+      nt <- Gen.chooseNum(1, 3)
+      ts <- Gen.listOfN(nt, Gen.oneOf(vocab :+ "zz")) // zz never occurs
+      mode <- Gen.oneOf("and", "or")
+    } yield (ts, mode)
+
+  test("WAND top-k ≡ naive exhaustive top-k on random corpora (20 corpora × 6 queries)") {
+    (0 until 20).foreach { trial =>
+      val texts = corpusGen(Gen.Parameters.default, Seed(1000L + trial)).get
+      val dir = Files.createTempDirectory(s"wand-prop-$trial").toString
+      val pages = spark.createDataset(texts.zipWithIndex.map { case (t, i) =>
+        val url = f"p/$i%06d"
+        Page(url, new java.sql.Timestamp(1609459200000L + i), HtmlText.wrap(url, t), t, "en")
+      })
+      // tiny blockSize forces multi-block lists; multiple slices + groups
+      IndexBuilder.build(spark, pages, dir,
+        BuildConfig(nPartitions = 4, nGroups = 2, nSlices = 4, blockSize = 4))
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      (0 until 6).foreach { q =>
+        val (terms, mode) = queryGen(Gen.Parameters.default, Seed(5000L + trial * 31 + q)).get
+        val expected = NaiveBm25.topK(corpus, terms, mode, 5)
+        val got = Search.topK(spark, dir, terms, mode, 5)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(got.length == expected.length, s"trial $trial q=$terms/$mode size: got ${got.toSeq} want $expected")
+        expected.zip(got).foreach { case (e, (gid, gs)) =>
+          assert(gid == e.docId && math.abs(gs - e.score) < 1e-9,
+            s"trial $trial q=$terms/$mode: got ${got.toSeq} want $expected")
+        }
+      }
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+}
