@@ -72,6 +72,35 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming exact dedup with custom state: first-seen doc per text
+    * hash is emitted, later duplicates are dropped — across micro-batches
+    * and across restarts (state lives in the checkpoint). This is the
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` rendition of the
+    * reference's in-sink idempotence (T6: monotonic Id + position columns
+    * let re-ingested rows be deduplicated, `EventLogReader.cs:105-106`).
+    * Within a batch the lowest url wins (deterministic).
+    */
+  def dedupStream(spark: SparkSession, inputDir: String): Dataset[(Long, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.emptyDataset[Page].schema
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .as[Page]
+      .map(p => (graft.functions.TextFeatures.hashString(p.text), p.url))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()
+      ) { (hash: Long, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          Iterator.single((hash, rows.map(_._2).min))
+        }
+      }
+  }
+
   /** Pure streaming aggregation demo: per-(day, term) counts with an
     * event-time watermark (the windowed-agg shape of A1's time bucketing,
     * `ElasticSearchStorage.cs:293-320`, under streaming semantics).

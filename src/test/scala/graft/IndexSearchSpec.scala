@@ -142,6 +142,18 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     new Directory(d3.toFile).deleteRecursively()
   }
 
+  test("hot-term skew is split across slices (no single-partition hot term)") {
+    // the Zipf head term must span multiple doc-range slices, each an
+    // independently encoded sub-list — the skew-salting contract
+    val hot = IndexBuilder.readTerms(spark, dir.toString)
+      .orderBy(org.apache.spark.sql.functions.desc("doc_freq"))
+      .limit(1).collect().head.term
+    val slices = IndexBuilder.readPostings(spark, dir.toString)
+      .where(org.apache.spark.sql.functions.col("term") === hot)
+      .select("slice").distinct().count()
+    assert(slices >= 4, s"hot term '$hot' concentrated in $slices slice(s)")
+  }
+
   test("build metrics cover all groups with committed status") {
     val m = IndexBuilder.readMetrics(spark, dir.toString).collect()
     assert(m.nonEmpty)

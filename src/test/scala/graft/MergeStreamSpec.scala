@@ -97,6 +97,36 @@ class MergeStreamSpec extends AnyFunSuite {
     expected.zip(got).foreach { case (e, (_, s)) => assert(math.abs(s - e.score) < 1e-9) }
   }
 
+  test("streaming stateful dedup: duplicates dropped across micro-batches and restarts") {
+    val root = Files.createTempDirectory("stream-dedup").toString
+    val inDir = s"$root/in"
+    val ckpt = s"$root/ckpt"
+    val outDir = s"$root/out"
+    def run(): Long = {
+      val q = StreamingIngest.dedupStream(spark, inDir)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).count()
+    }
+    // batch 1: docs 0..99 (distinct texts per generator, minus its own dups)
+    pagesWithPrefix("d1", 0, 100).coalesce(1).write.mode("append").parquet(inDir)
+    val n1 = run()
+    val distinct1 = (0L until 100L).map(PagesGen.textFor).distinct.size
+    assert(n1 == distinct1, s"first batch: $n1 != $distinct1")
+    // batch 2 (NEW files, restarted query): same texts again + 50 new docs
+    pagesWithPrefix("d2", 0, 100).coalesce(1).write.mode("append").parquet(inDir)
+    pagesWithPrefix("d3", 100, 150).coalesce(1).write.mode("append").parquet(inDir)
+    val n2 = run()
+    val distinctAll = (0L until 150L).map(PagesGen.textFor).distinct.size
+    assert(n2 == distinctAll, s"after restart: $n2 != $distinctAll (state must survive the restart)")
+  }
+
   test("streaming windowed term counts with watermark (memory sink)") {
     val inDir = Files.createTempDirectory("stream-agg").toString + "/in"
     pagesWithPrefix("t", 0, 100).coalesce(1).write.parquet(inDir)
