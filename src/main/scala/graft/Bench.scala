@@ -78,7 +78,7 @@ object Bench {
         "java.base/sun.security.action", "java.base/sun.util.calendar"
       ).flatMap(m => Seq("--add-opens", s"$m=ALL-UNNAMED"))
       val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ addOpens ++ Seq(
-        s"-XX:ActiveProcessorCount=$cores", "-XX:+UseParallelGC", "-Xmx8g",
+        s"-XX:ActiveProcessorCount=$cores", "-XX:+UseParallelGC", "-Xmx8g", "-Xmn4g",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", cp, "graft.BuildProbe", cores.toString, benchDocs.toString
       )
@@ -125,10 +125,14 @@ object Bench {
     val qSecs = (System.nanoTime() - tq0) / 1e9
     val qps = batch.size / qSecs
     require(nHits > 0)
-    // ad-hoc single-query latency (uncached path)
+    // ad-hoc single-query latency: distributed path vs driver-local path
     val tl0 = System.nanoTime()
     Search.topK(spark, dir32, Seq("w1", "w2"), "or", 10).collect()
     val adhocSec = (System.nanoTime() - tl0) / 1e9
+    searcher.topKLocal(Seq("w4990", "w4991"), "or", 10) // warm
+    val tll = System.nanoTime()
+    searcher.topKLocal(Seq("w4992", "w4993"), "or", 10)
+    val localSec = (System.nanoTime() - tll) / 1e9
     spark.stop()
     // clean up every probe run's temp index (incl. non-best runs)
     new java.io.File("/tmp").listFiles()
@@ -136,7 +140,7 @@ object Bench {
       .foreach(f => rmrf(f.getAbsolutePath))
 
     println(
-      f"""{"metric":"index_docs_per_sec_32cores","value":$tp32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","bench_docs":$benchDocs,"index_docs_per_sec_8cores":$tp8%.1f,"index_mib_per_sec_8cores":$mib8%.2f,"index_mib_per_sec_32cores":$mib32%.2f,"scaling_efficiency_8_to_32":$efficiency%.3f,"bm25_queries_per_sec_32cores":$qps%.1f,"bm25_adhoc_latency_sec":$adhocSec%.3f,"gate_queries_total_sec":$queriesTotal%.1f}"""
+      f"""{"metric":"index_docs_per_sec_32cores","value":$tp32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","bench_docs":$benchDocs,"index_docs_per_sec_8cores":$tp8%.1f,"index_mib_per_sec_8cores":$mib8%.2f,"index_mib_per_sec_32cores":$mib32%.2f,"scaling_efficiency_8_to_32":$efficiency%.3f,"bm25_queries_per_sec_32cores":$qps%.1f,"bm25_adhoc_latency_sec":$adhocSec%.3f,"bm25_local_latency_sec":$localSec%.3f,"gate_queries_total_sec":$queriesTotal%.1f}"""
     )
   }
 }

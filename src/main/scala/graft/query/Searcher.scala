@@ -94,6 +94,54 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
       .where($"rank" <= k)
   }
 
+  /** Driver-local serving path for ad-hoc queries: when the matched
+    * posting blocks are small enough (rare/medium terms — the common
+    * interactive case), collect them once and run WAND on the driver —
+    * ~10-50 ms instead of a full Spark job round trip. Falls back to the
+    * distributed path when the blocks exceed `maxBlocks` (hot terms at
+    * 10^12-doc scale must never be collected). Results are identical:
+    * same blocks, same WAND, same tie-break.
+    */
+  def topKLocal(
+      queryTerms: Seq[String], mode: String, k: Int, maxBlocks: Int = 4096
+  ): Seq[(Long, Double)] = {
+    val terms = queryTerms.distinct
+    val dfs = dfOf(terms)
+    if (terms.isEmpty || (mode == "and" && terms.exists(t => !dfs.contains(t))))
+      return Nil
+    val present = terms.filter(dfs.contains)
+    if (present.isEmpty) return Nil
+    val rows = postings
+      .where($"term".isin(present: _*))
+      .select(
+        $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"max_impact"
+      )
+      .limit(maxBlocks + 1)
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Double)]
+      .collect()
+    if (rows.length > maxBlocks) {
+      // hot query — stay distributed
+      return topK(queryTerms, mode, k).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val idfs = terms.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
+    val hits = rows.groupBy(_._1).iterator.flatMap { case (_, sliceRows) =>
+      val byTerm = sliceRows.groupBy(_._2)
+      val iters = terms.iterator.zipWithIndex.flatMap { case (t, ti) =>
+        byTerm.get(t).map { rs =>
+          val refs = rs.sortBy(r => (r._4, r._3))
+            .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10))
+          new PostingIter(ti, idfs(ti), refs, avgDl)
+        }
+      }.toArray
+      if (mode == "and") {
+        if (iters.length < terms.length) Iterator.empty
+        else BlockMaxWand.and(iters, k).iterator
+      } else BlockMaxWand.or(iters, k).iterator
+    }.toSeq
+    hits.sortBy(h => (-h.score, h.docId)).take(k).map(h => (h.docId, h.score))
+  }
+
   def topK(queryTerms: Seq[String], mode: String, k: Int): DataFrame = {
     // AND with a missing term can short-circuit to empty without a job
     val dfs = dfOf(queryTerms)

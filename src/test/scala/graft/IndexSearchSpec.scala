@@ -110,6 +110,22 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("driver-local serving path: rank-identical to oracle, falls back on hot queries") {
+    val searcher = new graft.query.Searcher(spark, dir.toString)
+    queries.foreach { case (terms, mode) =>
+      val expected = NaiveBm25.topK(corpus, terms, mode, 10)
+      val got = searcher.topKLocal(terms, mode, 10)
+      assert(got.length == expected.length, s"$terms/$mode size")
+      expected.zip(got).foreach { case (e, (gid, gs)) =>
+        assert(gid == e.docId && math.abs(gs - e.score) < 1e-9, s"$terms/$mode")
+      }
+    }
+    // fallback path (maxBlocks=1 forces the distributed route) agrees too
+    val viaFallback = searcher.topKLocal(Seq("w0"), "or", 10, maxBlocks = 1)
+    val expected = NaiveBm25.topK(corpus, Seq("w0"), "or", 10)
+    assert(viaFallback.map(_._1) == expected.map(_.docId))
+  }
+
   test("interrupted build resumes to an identical index") {
     val d2 = Files.createTempDirectory("graft-resume")
     val pages = PagesGen.pages(spark, 500L, 4)
