@@ -22,12 +22,13 @@ object BuildProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val pages = PagesGen.pages(spark, nDocs, 64).cache()
+    val nParts = sys.env.getOrElse("GRAFT_PROBE_PARTS", "64").toInt
+    val pages = PagesGen.pages(spark, nDocs, nParts).cache()
     pages.count()
     val dir = Files.createTempDirectory(s"graft-probe").toString + "/idx"
     val textBytes = pages.select(sum(octet_length(col("text")))).head().getLong(0)
     val t0 = System.nanoTime()
-    IndexBuilder.build(spark, pages, dir, BuildConfig(nPartitions = 64, nGroups = 1, nSlices = 16, blockSize = 128))
+    IndexBuilder.build(spark, pages, dir, BuildConfig(nPartitions = nParts, nGroups = 1, nSlices = 16, blockSize = 128))
     val secs = (System.nanoTime() - t0) / 1e9
     System.err.println(f"[probe] cores=$cores docs=$nDocs total=$secs%.2fs tp=${nDocs / secs}%.0f docs/s")
     // machine-readable line for the Bench parent process

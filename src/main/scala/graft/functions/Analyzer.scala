@@ -86,6 +86,43 @@ object Analyzer extends Serializable {
     if (hasAlnum) out += text.substring(start, end).toLowerCase(Locale.ROOT)
   }
 
+  /** Token count only — the tokenize state machine without materializing
+    * token strings (no substring/lowercase/buffer allocations). Used for
+    * `doc_len` in the staging pass, where the full token list is never
+    * needed; must equal `tokenize(text).length` exactly (property-tested).
+    */
+  def tokenCount(text: String): Int = {
+    if (text == null || text.isEmpty) return 0
+    var count = 0
+    val n = text.length
+    var i = 0
+    var start = -1
+    var hasAlnum = false
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isTokenChar(cp)) {
+        if (start < 0) { start = i; hasAlnum = false }
+        if (!hasAlnum && Character.isLetterOrDigit(cp)) hasAlnum = true
+        i += w
+      } else if (
+        start >= 0 && i + w < n && {
+          val next = text.codePointAt(i + w)
+          val prev = text.codePointBefore(i)
+          (isMidLetter(cp) && Character.isLetter(prev) && Character.isLetter(next)) ||
+          (isMidNum(cp) && Character.isDigit(prev) && Character.isDigit(next))
+        }
+      ) {
+        i += w
+      } else {
+        if (start >= 0) { if (hasAlnum) count += 1; start = -1 }
+        i += w
+      }
+    }
+    if (start >= 0 && hasAlnum) count += 1
+    count
+  }
+
   /** Per-document term frequencies in one map-side pass (no shuffle):
     * tokenize then count — the "operator fusion" the reference hand-codes
     * (`LgpReader.cs:102-176`) that whole-stage codegen / typed flatMap

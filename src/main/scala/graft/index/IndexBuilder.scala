@@ -135,11 +135,20 @@ object IndexBuilder {
         timed("dense-id")(DenseId.assignWithCount(prepared, "url", "doc_id", cfg.nPartitions))
       val nDocs = math.max(1L, total)
 
+      // corpus token total rides the write job as an accumulator instead
+      // of a separate scan-the-docs-table job afterwards. Accumulator
+      // updates inside an action are applied exactly once per successful
+      // task, so retried tasks cannot double-count (stats feed BM25 —
+      // they must be exact). doc_len uses the count-only tokenizer: same
+      // state machine as tokenize() but no token-string allocations.
+      val tokenAcc = spark.sparkContext.longAccumulator("graft.total_tokens")
       timed("docs-write")(withIds
         .select($"doc_id", $"url", $"warc_ts", $"lang", $"text")
         .as[(Long, String, java.sql.Timestamp, String, String)]
         .map { case (id, url, ts, lang, text) =>
-          (id, url, ts, lang, Analyzer.tokenize(text).length, text)
+          val dl = Analyzer.tokenCount(text)
+          tokenAcc.add(dl.toLong)
+          (id, url, ts, lang, dl, text)
         }
         .toDF("doc_id", "url", "warc_ts", "lang", "doc_len", "text")
         .withColumn("grp", least(lit(cfg.nGroups - 1), ($"doc_id" * cfg.nGroups / nDocs).cast("int")))
@@ -147,14 +156,10 @@ object IndexBuilder {
         .partitionBy("grp")
         .parquet(s"$indexDir/docs"))
 
-      // corpus stats — column-pruned read (doc_len only) of the docs table
-      val stats = spark.read.parquet(s"$indexDir/docs")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          coalesce(avg($"doc_len"), lit(0.0)).as("avg_dl"),
-          coalesce(sum($"doc_len"), lit(0L)).as("total_tokens")
-        )
-      timed("stats")(stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats"))
+      val totalTokens = tokenAcc.value.longValue()
+      val avgDl = if (total > 0) totalTokens.toDouble / total else 0.0
+      timed("stats")(Seq(CorpusStats(total, avgDl, totalTokens)).toDS()
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats"))
       commitUnit(indexDir, "staged")
     }
 
@@ -201,34 +206,58 @@ object IndexBuilder {
         if (groupsBuilt >= failAfterGroups)
           throw new RuntimeException(s"injected failure before $unit")
         val partsPerGroup = math.max(1, cfg.nPartitions / cfg.nGroups)
+        // per-partition build metrics ride the write job as an accumulator
+        // (one add per completed task; action-side accumulators are
+        // exactly-once per successful task) — no second read-the-postings
+        // job per group. Input is sorted by term, so distinct terms are
+        // counted as run transitions.
+        val metricsAcc =
+          spark.sparkContext.collectionAccumulator[(Int, Long, Long, Long, Long)](s"graft.metrics.grp-$g")
         val blocks = groupInput(g)
           .repartition(partsPerGroup, $"term", $"slice")
           .sortWithinPartitions("term", "slice", "doc_id")
           .select($"term", $"slice", $"doc_id", $"tf", $"doc_len")
           .as[(String, Int, Long, Int, Int)]
           .mapPartitions { it =>
-            blockify(it, g, blockSize, avgDl)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val base = blockify(it, g, blockSize, avgDl)
+            new Iterator[PostingRow] {
+              private var terms = 0L
+              private var postings = 0L
+              private var nBlocks = 0L
+              private var bytes = 0L
+              private var lastTerm: String = null
+              private var reported = false
+              def hasNext: Boolean = {
+                val h = base.hasNext
+                if (!h && !reported) {
+                  reported = true
+                  if (nBlocks > 0) metricsAcc.add((pid, terms, postings, nBlocks, bytes))
+                }
+                h
+              }
+              def next(): PostingRow = {
+                val r = base.next()
+                if (r.term != lastTerm) { terms += 1; lastTerm = r.term }
+                postings += r.count
+                nBlocks += 1
+                bytes += r.deltas.length + r.tfs.length + r.dls.length
+                r
+              }
+            }
           }
         // `grp` comes back as the directory partition column on read
         timed(s"postings-grp-$g")(blocks.drop("grp")
           .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings/grp=$g"))
 
-        // per-partition build metrics (lineage; ≙ build_metrics table)
-        val m = spark.read.parquet(s"$indexDir/postings/grp=$g")
-          .withColumn("pid", spark_partition_id())
-          .groupBy($"pid")
-          .agg(
-            countDistinct($"term").as("terms"),
-            sum($"count").cast("long").as("postings"),
-            count(lit(1)).as("blocks"),
-            sum(length($"deltas") + length($"tfs") + length($"dls"))
-              .cast("long").as("bytes")
-          )
-          .select(
-            $"pid".as("partition_id"), $"terms",
-            $"postings", $"blocks", $"bytes", lit("committed").as("status")
-          )
-        timed(s"metrics-grp-$g")(m.coalesce(1).write.mode(SaveMode.Overwrite)
+        val metricRows = scala.jdk.CollectionConverters
+          .ListHasAsScala(metricsAcc.value).asScala.toSeq.sortBy(_._1)
+          .map { case (pid, terms, postings, nBlocks, bytes) =>
+            (pid, terms, postings, nBlocks, bytes, "committed")
+          }
+        timed(s"metrics-grp-$g")(metricRows
+          .toDF("partition_id", "terms", "postings", "blocks", "bytes", "status")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
           .parquet(s"$indexDir/build_metrics/grp=$g"))
         commitUnit(indexDir, unit)
         groupsBuilt += 1
@@ -236,22 +265,15 @@ object IndexBuilder {
     }
 
     // ---- stage 3: term dictionary (df per term) ------------------------
-    // Derived from posting-block METADATA (per-block count + decoded tf
-    // sums), not by re-shuffling every term-doc row: the input is
-    // ~blockSize× smaller. Each (term, slice) sub-list lives in exactly
-    // one partition, so summing block counts per term is exact.
+    // Derived from posting-block METADATA (count + tf_sum columns written
+    // at encode time), not by re-shuffling every term-doc row or decoding
+    // tf bytes: the scan is column-pruned to 3 small columns and the
+    // input is ~blockSize× smaller than the posting stream. Each
+    // (term, slice) sub-list lives in exactly one partition, so summing
+    // block counts per term is exact.
     if (!completedUnits(indexDir).contains("terms")) timed("terms") {
       readPostings(spark, indexDir)
-        .select($"term", $"count", $"tfs")
-        .as[(String, Int, Array[Byte])]
-        .map { case (term, n, tfs) =>
-          var s = 0L
-          val t = graft.functions.Codec.decodeIntsAuto(tfs, n)
-          var i = 0
-          while (i < n) { s += t(i); i += 1 }
-          (term, n.toLong, s)
-        }
-        .toDF("term", "doc_freq", "total_tf")
+        .select($"term", $"count".cast("long").as("doc_freq"), $"tf_sum".as("total_tf"))
         .groupBy($"term")
         .agg(sum($"doc_freq").as("doc_freq"), sum($"total_tf").as("total_tf"))
         .repartitionByRange(math.max(1, cfg.nPartitions / 4), $"term")
@@ -288,6 +310,7 @@ object IndexBuilder {
         val tfs = new ArrayBuffer[Int](blockSize)
         val dls = new ArrayBuffer[Int](blockSize)
         var maxImpact = 0.0
+        var tfSum = 0L
         while (
           in.hasNext && ids.length < blockSize && {
             val h = in.head; h._1 == term && h._2 == slice
@@ -295,6 +318,7 @@ object IndexBuilder {
         ) {
           val (_, _, docId, tf, dl) = in.next()
           ids += docId; tfs += tf; dls += dl
+          tfSum += tf
           val imp = impact(tf, dl, avgDl)
           if (imp > maxImpact) maxImpact = imp
         }
@@ -304,6 +328,7 @@ object IndexBuilder {
           Codec.encodeDeltasAuto(ids.toArray),
           Codec.encodeIntsAuto(tfs.toArray),
           Codec.encodeIntsAuto(dls.toArray),
+          tfSum,
           maxImpact
         )
         blockId += 1

@@ -58,6 +58,7 @@ final case class PostingRow(
     deltas: Array[Byte],
     tfs: Array[Byte],
     dls: Array[Byte],
+    tf_sum: Long,
     max_impact: Double
 )
 

@@ -27,6 +27,27 @@ class AnalyzerHtmlSpec extends AnyFunSuite with GenCheck {
     assert(tfs.toMap == Map("a" -> 3, "b" -> 2, "c" -> 1))
   }
 
+  test("tokenCount == tokenize().length (allocation-free doc_len path)") {
+    val goldens = Seq(
+      "", "   \t  ", "Hello, World!", "a-b c_d", "2021 год, Привет МИР",
+      "three.four 3.14 o'neil 1,024", "___", "a.", ".a", "a.b.c", "1.2.3",
+      "x" * 300, "a·b c:d 1;2", "😀 emoji ok", "а-б’в"
+    )
+    goldens.foreach { s =>
+      assert(Analyzer.tokenCount(s) == Analyzer.tokenize(s).length, s"golden: '$s'")
+    }
+    forAllSeeded(Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.oneOf(".", ",", "'", "’", ":", "·", ";", "_", "-", " ", "\n", "і", "3.14", "а б")
+    ))) { parts =>
+      val s = parts.mkString
+      Analyzer.tokenCount(s) == Analyzer.tokenize(s).length
+    }
+    (0L until 500L).foreach { i =>
+      val t = PagesGen.pageFor(i).text
+      assert(Analyzer.tokenCount(t) == Analyzer.tokenize(t).length, s"doc $i")
+    }
+  }
+
   test("html wrap/extract is byte-identical on generator corpus (per-row invariant)") {
     (0L until 500L).foreach { i =>
       val p = PagesGen.pageFor(i)
