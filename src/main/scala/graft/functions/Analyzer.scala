@@ -131,9 +131,15 @@ object Analyzer extends Serializable {
   def termFreqs(text: String): (Int, Array[(String, Int)]) = {
     val toks = tokenize(text)
     if (toks.isEmpty) return (0, Array.empty)
-    val m = mutable.HashMap.empty[String, Int]
+    // AnyRefMap: open-addressing, no per-entry node allocation (this is
+    // the per-doc hot loop of the whole build)
+    val m = new mutable.AnyRefMap[String, Int](math.min(toks.length, 64))
     var i = 0
-    while (i < toks.length) { m.update(toks(i), m.getOrElse(toks(i), 0) + 1); i += 1 }
+    while (i < toks.length) {
+      val t = toks(i)
+      m.update(t, m.getOrElse(t, 0) + 1)
+      i += 1
+    }
     (toks.length, m.toArray)
   }
 }

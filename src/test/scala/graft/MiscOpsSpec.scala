@@ -74,4 +74,35 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(s1.count() == 2)
     assert(s1.select("part").distinct().collect().map(_.getString(0)).sorted.toSeq == Seq("p1", "p2"))
   }
+
+  test("IndexJob CLI: build from parquet pages, resume no-op, search matches oracle") {
+    val base = Files.createTempDirectory("indexjob").toString
+    val pagesPath = s"$base/pages"
+    val idxDir = s"$base/idx"
+    spark.range(0L, 300L, 1, 3).map(i => PagesGen.pageFor(i))
+      .write.parquet(pagesPath)
+
+    IndexJob.run(spark, Seq("build", pagesPath, idxDir, "--partitions=4", "--groups=2", "--slices=4", "--block=32"))
+    assert(IndexBuilder.completedUnits(idxDir).contains("done"))
+    // re-submitting the same command resumes to an immediate no-op
+    val ckptLines = Files.readAllLines(IndexBuilder.ckptPath(idxDir)).size
+    IndexJob.run(spark, Seq("build", pagesPath, idxDir, "--partitions=4", "--groups=2", "--slices=4", "--block=32"))
+    assert(Files.readAllLines(IndexBuilder.ckptPath(idxDir)).size == ckptLines)
+
+    // oracle corpus keyed by the engine's docID convention: url sort rank
+    val corpus = (0L until 300L).map { i => val p = PagesGen.pageFor(i); (p.url, p.text) }
+      .sortBy(_._1).zipWithIndex.map { case ((_, t), id) => (id.toLong, t) }
+    val expected = graft.query.NaiveBm25.topK(corpus, Seq("w1", "w2"), "or", 5)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) {
+      IndexJob.run(spark, Seq("search", idxDir, "or", "5", "w1", "w2"))
+    }
+    val got = out.toString.trim.split("\n").map { l =>
+      val Array(id, s) = l.split("\t"); (id.toLong, s.toDouble)
+    }
+    assert(got.length == expected.length)
+    expected.zip(got).foreach { case (e, (gid, gs)) =>
+      assert(gid == e.docId && math.abs(gs - e.score) < 1e-9)
+    }
+  }
 }
