@@ -23,9 +23,16 @@ object BuildProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val nParts = sys.env.getOrElse("GRAFT_PROBE_PARTS", "64").toInt
-    val pages = PagesGen.pages(spark, nDocs, nParts).cache()
-    pages.count()
-    val dir = Files.createTempDirectory(s"graft-probe").toString + "/idx"
+    // Stage the corpus as a parquet table first and build FROM THE TABLE
+    // (north-rule input shape) — an in-heap .cache() of the corpus skews
+    // the measurement: at multi-GB corpora it competes with execution
+    // memory and collapses 32-core throughput.
+    val base = Files.createTempDirectory(s"graft-probe").toString
+    PagesGen.pages(spark, nDocs, nParts)
+      .write.mode("overwrite").parquet(s"$base/pages")
+    val pages = spark.read.parquet(s"$base/pages").as[Page](
+      org.apache.spark.sql.Encoders.product[Page])
+    val dir = s"$base/idx"
     val textBytes = pages.select(sum(octet_length(col("text")))).head().getLong(0)
     val t0 = System.nanoTime()
     IndexBuilder.build(spark, pages, dir, BuildConfig(nPartitions = nParts, nGroups = 1, nSlices = 16, blockSize = 128))

@@ -246,9 +246,15 @@ object IndexBuilder {
               }
             }
           }
-        // `grp` comes back as the directory partition column on read
+        // `grp` comes back as the directory partition column on read.
+        // The block payloads (deltas/tfs/dls) are already entropy-coded by
+        // our codec — parquet's snappy layer on top buys ~nothing for them
+        // and costs CPU; term/metadata columns still get parquet dictionary
+        // + RLE encoding, which compression=uncompressed does not disable.
         timed(s"postings-grp-$g")(blocks.drop("grp")
-          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings/grp=$g"))
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", sys.env.getOrElse("GRAFT_POSTINGS_CODEC", "uncompressed"))
+          .parquet(s"$indexDir/postings/grp=$g"))
 
         val metricRows = scala.jdk.CollectionConverters
           .ListHasAsScala(metricsAcc.value).asScala.toSeq.sortBy(_._1)
