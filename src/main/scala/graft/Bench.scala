@@ -94,9 +94,11 @@ object Bench {
         case None => throw new RuntimeException(s"probe at $cores cores produced no PROBE line:\n$out")
       }
     }
-    // interleave levels (8,32,8,32) so shared-host noise phases hit both
-    // levels, then take best-of per level
-    val pairs = (1 to 2).map(_ => (probeRun(8), probeRun(32)))
+    // interleave levels (8,32,8,32,…) so shared-host noise phases hit both
+    // levels, then take best-of per level (max ≈ the machine's capability
+    // under additive noise; measured same-command swings reach 2×)
+    val probeRuns = sys.env.getOrElse("GRAFT_PROBE_RUNS", "3").toInt
+    val pairs = (1 to probeRuns).map(_ => (probeRun(8), probeRun(32)))
     val (tp8, mib8, dir8) = pairs.map(_._1).maxBy(_._1)
     val (tp32, mib32, dir32) = pairs.map(_._2).maxBy(_._1)
     val efficiency = tp32 / (4.0 * tp8)

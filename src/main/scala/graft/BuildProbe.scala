@@ -35,7 +35,8 @@ object BuildProbe {
     val dir = s"$base/idx"
     val textBytes = pages.select(sum(octet_length(col("text")))).head().getLong(0)
     val t0 = System.nanoTime()
-    IndexBuilder.build(spark, pages, dir, BuildConfig(nPartitions = nParts, nGroups = 1, nSlices = 16, blockSize = 128))
+    val nGroups = sys.env.getOrElse("GRAFT_PROBE_GROUPS", "1").toInt
+    IndexBuilder.build(spark, pages, dir, BuildConfig(nPartitions = nParts, nGroups = nGroups, nSlices = 16, blockSize = 128))
     val secs = (System.nanoTime() - t0) / 1e9
     System.err.println(f"[probe] cores=$cores docs=$nDocs total=$secs%.2fs tp=${nDocs / secs}%.0f docs/s")
     // machine-readable line for the Bench parent process
