@@ -84,6 +84,13 @@ object IndexBuilder {
   @inline def impact(tf: Int, dl: Int, avgDl: Double): Double =
     tf / (tf + K1 * (1 - B + B * dl / avgDl))
 
+  /** Test-only chaos hook: when set, the first posting-write task to
+    * produce a block dies mid-iteration (after partial local metrics
+    * state) — its retry must yield exact, not double-counted, metrics.
+    * Local-mode only (same JVM); a no-op in production.
+    */
+  private[graft] val chaosOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private val verbose = sys.env.contains("GRAFT_BUILD_VERBOSE")
   private def timed[T](label: String)(body: => T): T = {
     val t0 = System.nanoTime()
@@ -229,6 +236,9 @@ object IndexBuilder {
               private var lastTerm: String = null
               private var reported = false
               def hasNext: Boolean = {
+                // volatile read only on the production path (CAS just for tests)
+                if (nBlocks > 0 && chaosOnce.get && chaosOnce.compareAndSet(true, false))
+                  throw new RuntimeException("injected mid-task chaos")
                 val h = base.hasNext
                 if (!h && !reported) {
                   reported = true

@@ -126,6 +126,24 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaFallback.map(_._1) == expected.map(_.docId))
   }
 
+  test("task retry does not double-count accumulator-carried metrics") {
+    val d = Files.createTempDirectory("graft-chaos")
+    val pages = PagesGen.pages(spark, 300L, 4)
+    IndexBuilder.chaosOnce.set(true)
+    // maxFailures=2 (TestSpark local[4, 2]): the injected task death is
+    // retried; the failed attempt's partial metrics must be discarded
+    IndexBuilder.build(spark, pages, d.toString,
+      BuildConfig(nPartitions = 4, nGroups = 1, nSlices = 4, blockSize = 32))
+    assert(!IndexBuilder.chaosOnce.get, "chaos hook did not fire")
+    val m = IndexBuilder.readMetrics(spark, d.toString).collect()
+    val totalPostings = m.map(_.getAs[Long]("postings")).sum
+    val expected = (0L until 300L)
+      .map(i => Analyzer.termFreqs(PagesGen.pageFor(i).text)._2.length.toLong).sum
+    assert(totalPostings == expected, "metrics double-counted across task retry")
+    import scala.reflect.io.Directory
+    new Directory(d.toFile).deleteRecursively()
+  }
+
   test("interrupted build resumes to an identical index") {
     val d2 = Files.createTempDirectory("graft-resume")
     val pages = PagesGen.pages(spark, 500L, 4)

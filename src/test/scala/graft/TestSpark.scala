@@ -5,8 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** One shared local SparkSession for all suites (JVM-wide). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // local[4, 2]: 4 threads, maxFailures=2 — lets the chaos test exercise
+    // task retry; harmless elsewhere (no other test fails tasks)
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
