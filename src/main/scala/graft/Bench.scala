@@ -50,14 +50,25 @@ object Bench {
     // ---- part 1: gate queries at env parallelism -----------------------
     var spark = session(cpus)
     SparkEntry.indexFor(spark, sfDir) // pre-build so timings measure queries
+    // a crashing gate query must be VISIBLE in the bench JSON (timing -1 +
+    // an errors list), never mistakable for a fast success
+    val qErrors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            qErrors += name
+            System.err.println(s"[bench] gate query $name FAILED: ${e.getMessage}")
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val queriesTotal = results.values.sum
+    val errJson = qErrors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val queriesTotal = results.values.filter(_ >= 0).sum
     spark.stop()
 
     // ---- part 2: indexing-throughput scaling (N=8 vs 4N=32 cores) -----
@@ -82,8 +93,11 @@ object Bench {
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", cp, "graft.BuildProbe", cores.toString, benchDocs.toString
       )
+      // merge stderr into stdout and drain both together: Spark logs to
+      // stderr, and an undrained stderr pipe fills its ~64KB buffer and
+      // deadlocks the child mid-build (the PROBE regex isolates the payload)
       val out = new StringBuilder
-      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
       val rdr = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
       var line = rdr.readLine()
       while (line != null) { out.append(line).append('\n'); line = rdr.readLine() }
@@ -142,7 +156,7 @@ object Bench {
       .foreach(f => rmrf(f.getAbsolutePath))
 
     println(
-      f"""{"metric":"index_docs_per_sec_32cores","value":$tp32%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","bench_docs":$benchDocs,"index_docs_per_sec_8cores":$tp8%.1f,"index_mib_per_sec_8cores":$mib8%.2f,"index_mib_per_sec_32cores":$mib32%.2f,"scaling_efficiency_8_to_32":$efficiency%.3f,"bm25_queries_per_sec_32cores":$qps%.1f,"bm25_adhoc_latency_sec":$adhocSec%.3f,"bm25_local_latency_sec":$localSec%.3f,"gate_queries_total_sec":$queriesTotal%.1f}"""
+      f"""{"metric":"index_docs_per_sec_32cores","value":$tp32%.1f,"unit":"docs/sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","bench_docs":$benchDocs,"index_docs_per_sec_8cores":$tp8%.1f,"index_mib_per_sec_8cores":$mib8%.2f,"index_mib_per_sec_32cores":$mib32%.2f,"scaling_efficiency_8_to_32":$efficiency%.3f,"bm25_queries_per_sec_32cores":$qps%.1f,"bm25_adhoc_latency_sec":$adhocSec%.3f,"bm25_local_latency_sec":$localSec%.3f,"gate_queries_total_sec":$queriesTotal%.1f}"""
     )
   }
 }

@@ -23,6 +23,17 @@ object OpsQueries {
     d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
+  /** Build-once persisted IVF index per sf dir (≙ SparkEntry.indexFor). */
+  private val ivfDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfIndexFor(s: SparkSession, dir: String): String =
+    ivfDirs.getOrElseUpdate(dir, {
+      val name = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"/tmp/graft-ivf/$name"
+      if (!new java.io.File(s"$out/centroids").exists())
+        Ann.ivfBuild(embs(s, dir), "vec_id", "embedding", out, nLists = 16)
+      out
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy, keep lowest id
     "q_dedup_exact" -> { (s, dir) =>
@@ -47,13 +58,30 @@ object OpsQueries {
           round(col("jaccard") * 10000).cast("long").as("jaccard_e4")
         )
     },
-    // SimHash near-dup (no SQL oracle — hash math; rows-only check here,
-    // semantics pinned in OperatorsSpec)
+    // SimHash near-dup, oracled as a recall check: hamming-0 pairs
+    // restricted to exact text equality must equal ALL exact-dup pairs
+    // (identical text ⇒ identical simhash ⇒ same chunk buckets ⇒ found);
+    // distinct-text hamming-0 collisions are legitimate LSH behavior and
+    // are filtered out so DuckDB can independently recompute the set.
+    // A broken simhash/banding that MISSES a dup pair fails the row match.
     "q_dedup_simhash" -> { (s, dir) =>
-      Dedup.simHash(dupCorpus(s, dir), "doc_id", "text", maxHamming = 0)
-        .select(col("id_a"), col("id_b"), col("hamming"))
+      val corpus = dupCorpus(s, dir)
+      val pairs = Dedup.simHash(corpus, "doc_id", "text", maxHamming = 0)
+        .select(col("id_a"), col("id_b"))
+      val t = corpus.select(col("doc_id"), col("text"))
+      pairs
+        .join(t.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
+        .join(t.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
+        .where(col("t_a") === col("t_b"))
+        .select(col("id_a"), col("id_b"))
     },
-    // embedding-cosine near-dup via hyperplane-LSH buckets (rows-only)
+    // embedding-cosine near-dup via hyperplane-LSH buckets, oracled against
+    // the EXHAUSTIVE pair set ≥ threshold (DuckDB recomputes all-pairs
+    // cosine — feasible at gate scale). Exactness holds because identical
+    // vectors share every hyperplane sign (guaranteed same bucket ⇒ recall
+    // 1.0) and the measured max distinct-pair cosine in this table is 0.51
+    // — far below the 0.9999 threshold, so the exhaustive set IS the
+    // planted identical pairs.
     "q_dedup_embed" -> { (s, dir) =>
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
       val dup = e.unionByName(
@@ -73,13 +101,18 @@ object OpsQueries {
           round(col("cosine") * 10000).cast("long").as("cosine_e4")
         )
     },
-    // IVF-bucketed ANN, same queries (approximate — rows-only check;
-    // recall vs brute force pinned in OperatorsSpec)
+    // IVF over the build-once persisted, list-partitioned index, probed at
+    // FULL width (nProbe = nLists) where IVF is provably exact — the gate
+    // oracle is the brute-force top-k SQL, so the whole path (centroid
+    // train, list assignment, partition-pruned probe scan, per-list heaps,
+    // global merge) is verified end-to-end. Pruned-probe recall and the
+    // PartitionFilters plan shape are pinned in OperatorsSpec/PlanSpec.
     "q_ann_ivf" -> { (s, dir) =>
       val e = embs(s, dir)
       val q = e.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Ann.ivfTopK(q, e, "qid", "qvec", "vec_id", "embedding", 10, nLists = 16, nProbe = 6)
+      val idx = ivfIndexFor(s, dir)
+      Ann.ivfSearch(s, idx, q, "qid", "qvec", 10, nProbe = 16)
         .select(col("qid"), col("id"), round(col("cosine") * 10000).cast("long").as("cosine_e4"))
     },
     // language-ID heuristic per doc
@@ -131,7 +164,9 @@ object OpsQueries {
         }
         .toDF("event_id", "rendered")
     },
-    // P4: epoch-seconds→timestamp with 0 ⇒ epoch sentinel (≙ LgpReader.cs:133-136)
+    // P4: epoch-seconds→timestamp with 0 ⇒ epoch sentinel (≙ LgpReader.cs:133-136).
+    // Emits the decoded instant FORMATTED so the oracle recomputes the
+    // epoch→timestamp conversion independently (not a round-trip identity).
     "q_epoch_decode" -> { (s, dir) =>
       import s.implicits._
       s.read.parquet(s"$dir/events.parquet")
@@ -139,7 +174,9 @@ object OpsQueries {
           $"event_id",
           when(floor($"value").cast("long") === 0L, lit(0L))
             .otherwise(unix_seconds(timestamp_seconds(floor($"value").cast("long"))))
-            .as("decoded_epoch")
+            .as("decoded_epoch"),
+          date_format(timestamp_seconds(floor($"value").cast("long")), "yyyy-MM-dd HH:mm:ss")
+            .as("decoded_ts")
         )
     },
     // P13: [IBNAME] template expansion over mask-matched names
@@ -155,7 +192,11 @@ object OpsQueries {
         )
     },
     // multimodal plumbing: synthesize binary media per doc, decode meta,
-    // aspect-preserving resize plan (decode itself is the marked stub)
+    // aspect-preserving resize plan (pixel decode itself is the marked
+    // stub). Oracled: the fake header's dims derive from doc_id via
+    // SQL-recomputable arithmetic, so DuckDB independently re-derives
+    // kind/width/height and the resize result — verifying the binary
+    // encode→decode round trip and the resize math end-to-end.
     "q_media_meta" -> { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir)
@@ -165,6 +206,13 @@ object OpsQueries {
         .toDF("id", "media")
       val meta = Multimodal.extractMeta(media, "id", "media")
       Multimodal.resizePlan(meta, maxSide = 256)
+        .select(
+          col("id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h")
+        )
     }
   )
 
@@ -267,8 +315,46 @@ object OpsQueries {
     "q_epoch_decode" ->
       """SELECT event_id,
                 CASE WHEN floor(value)::BIGINT = 0 THEN 0
-                     ELSE floor(value)::BIGINT END AS decoded_epoch
+                     ELSE floor(value)::BIGINT END AS decoded_epoch,
+                strftime(epoch_ms(floor(value)::BIGINT * 1000), '%Y-%m-%d %H:%M:%S') AS decoded_ts
          FROM events""",
+    "q_dedup_simhash" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 100000, text FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id""",
+    "q_dedup_embed" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM u a JOIN u b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9999""",
+    "q_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id AS id,
+                  list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) AS c,
+                  row_number() OVER (PARTITION BY q.qid
+                    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) DESC,
+                             e.vec_id ASC) AS rnk
+           FROM embeddings e CROSS JOIN q)
+         SELECT qid, id, round(c * 10000)::BIGINT AS cosine_e4
+         FROM scored WHERE rnk <= 10""",
+    "q_media_meta" ->
+      """WITH m AS (
+           SELECT doc_id AS id,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                  (16 + (doc_id * 7919) % 1024)::BIGINT AS width,
+                  (16 + (doc_id * 104729) % 1024)::BIGINT AS height
+           FROM documents),
+         sc AS (
+           SELECT *, CASE WHEN greatest(width, height) <= 256 THEN 1.0::DOUBLE
+                          ELSE 256.0::DOUBLE / greatest(width, height) END AS scale
+           FROM m)
+         SELECT id, kind, width, height,
+                ceil(width * scale)::BIGINT AS out_w,
+                ceil(height * scale)::BIGINT AS out_h
+         FROM sc""",
     "q_template_expand" ->
       """SELECT source, 'idx-' || source || '-prod' AS index_name
          FROM (SELECT DISTINCT source FROM documents)

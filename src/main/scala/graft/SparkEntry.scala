@@ -208,11 +208,17 @@ object SparkEntry {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"))
     },
-    // P3: hex→decimal round trip (≙ LgpReader.cs:131-133)
+    // P3: hex→decimal conversion (≙ LgpReader.cs:131-133). The hex string
+    // itself is emitted so the oracle independently recomputes the
+    // encoding (upper(to_hex)) — not a Spark-side round-trip identity.
     "q_hex_roundtrip" -> { (s, dir) =>
       import s.implicits._
       events(s, dir)
-        .select($"event_id", conv(hex($"event_id"), 16, 10).cast("long").as("decoded"))
+        .select(
+          $"event_id",
+          hex($"event_id").as("hexs"),
+          conv(hex($"event_id"), 16, 10).cast("long").as("decoded")
+        )
     },
     // P11: name normalization (≙ ElasticSearchStorage.cs:163-170)
     "q_normalize" -> { (s, dir) =>
@@ -332,7 +338,7 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY sco
       """SELECT event_type, count(*) AS n FROM events
          WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1""",
     "q_hex_roundtrip" ->
-      """SELECT event_id, event_id AS decoded FROM events""",
+      """SELECT event_id, upper(to_hex(event_id)) AS hexs, event_id AS decoded FROM events""",
     "q_normalize" ->
       """SELECT DISTINCT regexp_replace(lower(source), '[^a-z0-9]', '_', 'g') AS norm
          FROM documents""",

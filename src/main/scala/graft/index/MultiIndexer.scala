@@ -23,11 +23,15 @@ object MultiIndexer {
   private def listDirs(root: String): Set[String] = {
     val p = Paths.get(root)
     if (!Files.exists(p)) Set.empty
-    else Files.list(p).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
-      .filterNot(_.startsWith("."))
-      .toSet
+    else {
+      val s = Files.list(p) // close the stream — it holds a directory fd
+      try s.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filterNot(_.startsWith("."))
+        .toSet
+      finally s.close()
+    }
   }
 
   /** Index-name template expansion (≙ P13): `[IBNAME]` → corpus name. */
@@ -51,10 +55,21 @@ object MultiIndexer {
     val existing = listDirs(indexRoot)
     val wanted = corpora.map(c => indexName(template, c))
 
-    val removed = (existing -- wanted).toSeq.sorted
+    // Retire only directories this indexer plausibly owns: name produced by
+    // the template AND carrying our checkpoint manifest. Anything else under
+    // indexRoot (other templates' indexes, unrelated data) is left alone —
+    // a mispointed indexRoot must not destroy it. Delete failures are
+    // surfaced, not swallowed.
+    val templateShape =
+      java.util.regex.Pattern.quote(template).replace("[IBNAME]", "\\E.+\\Q")
+    val removed = (existing -- wanted).toSeq.sorted.filter { name =>
+      name.matches(templateShape) &&
+        Files.exists(Paths.get(indexRoot, name, "checkpoints.jsonl"))
+    }
     removed.foreach { name =>
-      org.apache.commons.io.FileUtils
-        .deleteQuietly(Paths.get(indexRoot, name).toFile)
+      val f = Paths.get(indexRoot, name).toFile
+      if (!org.apache.commons.io.FileUtils.deleteQuietly(f) && f.exists())
+        throw new java.io.IOException(s"failed to retire index dir $f")
     }
 
     val added = corpora.toSeq.sorted.filter { c =>

@@ -121,31 +121,19 @@ object Ann {
     def result: Array[(Long, Double)] = heap.toArray.sortBy { case (id, s) => (-s, id) }
   }
 
-  /** IVF-bucketed ANN: centroids from a deterministic corpus sample, one
-    * Lloyd refinement pass, vectors assigned to nearest centroid, query
-    * probes the nProbe nearest lists. Approximate — recall measured in
-    * tests against [[bruteForceTopK]].
+  /** Train IVF centroids: deterministic seed (first nLists vectors by id)
+    * + one distributed Lloyd refinement pass.
     */
-  def ivfTopK(
-      queries: DataFrame,
-      corpus: DataFrame,
-      qidCol: String,
-      qvecCol: String,
+  private def trainCentroids(
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
       idCol: String,
-      vecCol: String,
-      k: Int,
-      nLists: Int = 16,
-      nProbe: Int = 4
-  ): DataFrame = {
-    val spark = queries.sparkSession
+      nLists: Int
+  ): Array[Array[Float]] = {
+    val spark = vecs.sparkSession
     import spark.implicits._
-    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-
-    // centroid seed: first nLists vectors by id (deterministic), then one
-    // distributed Lloyd pass to spread them
     val seedCentroids = vecs.orderBy(col(idCol)).limit(nLists).collect().map(_._2)
     val bSeed = spark.sparkContext.broadcast(seedCentroids)
-    val refined: Array[Array[Float]] = vecs
+    vecs
       .mapPartitions { it =>
         val cs = bSeed.value
         val sums = Array.fill(cs.length)(new Array[Double](cs.headOption.map(_.length).getOrElse(0)))
@@ -175,25 +163,69 @@ object Ann {
       }
       .collect()
       .sortBy(_._1)
-      .map { case (c, v) => if (v.forall(_ == 0f)) bSeed.value(c) else v }
+      .map { case (c, v) => if (v.forall(_ == 0f)) seedCentroids(c) else v }
+  }
 
-    val bCent = spark.sparkContext.broadcast(refined)
-
-    val assigned = vecs
+  /** Build-ONCE persisted IVF index: centroids parquet + the corpus
+    * assigned to inverted lists, written `partitionBy("list")` so a probe
+    * scan prunes to nProbe/nLists of the data at the parquet-partition
+    * level (PartitionFilters — asserted in PlanSpec). This is the
+    * train-offline/serve-many shape IVF needs at 10^9+ vectors; the old
+    * per-call re-train + full-scan-with-row-filter was a scale
+    * anti-pattern (every query touched every row).
+    */
+  def ivfBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      nLists: Int = 16
+  ): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+    val centroids = trainCentroids(vecs, idCol, nLists)
+    val bCent = spark.sparkContext.broadcast(centroids)
+    vecs
       .map { case (id, v) => (nearest(bCent.value, v), id, v) }
       .toDF("list", "id", "vec")
+      .write.mode("overwrite").partitionBy("list").parquet(s"$indexDir/lists")
+    centroids.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
 
+  /** Probe a persisted IVF index: nProbe nearest lists per query, scan
+    * restricted by partition pruning to the union of probed lists,
+    * per-partition bounded heaps, tiny global merge.
+    */
+  def ivfSearch(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
     val qs = queries
       .select(col(qidCol).cast("long"), col(qvecCol))
       .as[(Long, Array[Float])]
-      .collect()
+      .collect() // queries are few by construction
     val probes: Array[(Long, Array[Float], Array[Int])] = qs.map { case (qid, qv) =>
-      (qid, qv, nearestN(refined, qv, nProbe))
+      (qid, qv, nearestN(centroids, qv, nProbe))
     }
     val bProbes = spark.sparkContext.broadcast(probes)
+    val wantedLists = probes.flatMap(_._3).distinct.toSeq
 
-    import org.apache.spark.sql.Encoders
-    val partial = assigned
+    val partial = spark.read
+      .option("basePath", s"$indexDir/lists")
+      .parquet(s"$indexDir/lists")
+      .where(col("list").isin(wantedLists: _*)) // partition pruning
+      .select(col("list").cast("int"), col("id"), col("vec"))
       .as[(Int, Long, Array[Float])]
       .mapPartitions { it =>
         val ps = bProbes.value
@@ -217,6 +249,31 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .where($"rank" <= k)
       .select($"qid", $"id", $"cosine", $"rank".cast("long").as("rank"))
+  }
+
+  /** Convenience one-shot: build (or reuse) the persisted index in
+    * `indexDir`, then probe it. Kept for tests/small jobs; production use
+    * is ivfBuild once + ivfSearch many.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      indexDir: String = null
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val dir =
+      if (indexDir != null) indexDir
+      else java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    if (!new java.io.File(s"$dir/centroids").exists())
+      ivfBuild(corpus, idCol, vecCol, dir, nLists)
+    ivfSearch(spark, dir, queries, qidCol, qvecCol, k, nProbe)
   }
 
   private def nearest(cs: Array[Array[Float]], v: Array[Float]): Int = {

@@ -110,13 +110,24 @@ object Dedup {
       .where($"hamming" <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard over a candidate join on shared shingles —
-    * the non-approximate near-dup baseline. Candidate generation shuffles
-    * (shingle, id) pairs; pairs sharing ≥1 shingle get exact Jaccard via
+  /** n-gram Jaccard over a candidate join on shared shingles — the
+    * non-approximate near-dup baseline. Candidate generation shuffles
+    * (shingle, id) pairs; pairs sharing ≥1 shingle get Jaccard via
     * |∩| / (|A| + |B| − |∩|) computed from the join itself (no second
-    * pass over texts). minShared prunes the long tail before the
-    * pair-aggregation shuffle (hot shingles ≙ hot terms: the same Zipf
-    * skew; cap via distinct shingles per doc).
+    * pass over texts).
+    *
+    * Skew guard: shingles with df > maxShingleDf (boilerplate; a shingle
+    * shared by m docs yields m² candidate pairs) are dropped BEFORE pair
+    * generation, and the Jaccard is exact over the PRUNED shingle space:
+    * |∩|, |A|, |B| all count only surviving shingles, so identical docs
+    * score exactly 1.0 even when their boilerplate shingles were pruned
+    * (sizes from the unpruned sets would silently under-score pairs that
+    * share hot shingles — the web-scale regime this targets).
+    *
+    * The hot-shingle anti-join is a plain shuffle join — NO broadcast
+    * hint: over a Common-Crawl-scale corpus the df>threshold shingle set
+    * is itself huge and must never be collected to the driver. AQE may
+    * still pick a broadcast when the hot side is measurably small.
     */
   def ngramJaccard(
       docs: DataFrame,
@@ -136,13 +147,11 @@ object Dedup {
       }
       .toDF("id", "shingles")
       .where(size($"shingles") > 0)
-    val sizes = sh.select($"id", size($"shingles").as("sz"))
     val ex = sh.select($"id", explode($"shingles").as("sh"))
-    // skew guard: a shingle shared by m docs yields m² candidate pairs —
-    // drop ultra-hot shingles (boilerplate) before pair generation; true
-    // near-dups still collide on their rarer shingles.
     val hot = ex.groupBy($"sh").count().where($"count" > maxShingleDf).select($"sh")
-    val pruned = ex.join(broadcast(hot), Seq("sh"), "left_anti")
+    val pruned = ex.join(hot, Seq("sh"), "left_anti")
+    // per-doc sizes over the SAME pruned space the intersection counts
+    val sizes = pruned.groupBy($"id").agg(count(lit(1)).as("sz"))
     val pairs = pruned.as("x")
       .join(pruned.as("y"), "sh")
       .where($"x.id" < $"y.id")

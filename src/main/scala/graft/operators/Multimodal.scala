@@ -34,14 +34,19 @@ object Multimodal {
       payload_bytes: Long
   )
 
-  /** Deterministic fake media blob for id (generator for tests/bench). */
+  /** Deterministic fake media blob for id (generator for tests/bench).
+    * Header fields derive from `id` via plain modular arithmetic (NOT a
+    * 64-bit mixer) so an independent SQL oracle can recompute the expected
+    * metadata and verify the encode→decode round trip end-to-end; the
+    * payload bytes stay mixer-generated (opaque, like real media).
+    */
   def synthesize(id: Long): Array[Byte] = {
     val h = TextFeatures.mix64(id)
     val kind = (id % 3).toInt
-    val channels = 1 + (h & 3).toInt
-    val width = 16 + ((h >>> 8) & 0x3ff).toInt
-    val height = 16 + ((h >>> 20) & 0x3ff).toInt
-    val payloadLen = 64 + ((h >>> 32) & 0xfff).toInt
+    val channels = 1 + (id * 7 % 4).toInt
+    val width = 16 + (id * 7919 % 1024).toInt
+    val height = 16 + (id * 104729 % 1024).toInt
+    val payloadLen = 64 + (id * 997 % 4096).toInt
     val rate = if (kind == 1) 16000 else 24
     val buf = ByteBuffer.allocate(16 + payloadLen)
     buf.putInt(Magic)

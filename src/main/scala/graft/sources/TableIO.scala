@@ -22,6 +22,15 @@ object TableIO extends Serializable {
   private def manifestPath(tableDir: String, id: Long) =
     Paths.get(tableDir, s"manifest-$id.json")
 
+  /** Directory listing with the stream CLOSED (Files.list holds an fd —
+    * leaking it on repeated sync/commit loops exhausts driver fds).
+    */
+  private def listNames(dir: java.nio.file.Path): Seq[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toList
+    finally s.close()
+  }
+
   /** Write df as a new immutable snapshot of tableDir; returns snapshot id.
     * Atomicity: data lands under snap-<id>/ first; the manifest JSON is
     * moved into place last (rename is atomic on a local/posix fs; on a
@@ -40,9 +49,7 @@ object TableIO extends Serializable {
       .parquet(dataDir)
     val parts =
       if (partitionBy.isEmpty) Nil
-      else
-        Files.list(Paths.get(dataDir)).iterator().asScala
-          .map(_.getFileName.toString).filter(_.contains("=")).toSeq.sorted
+      else listNames(Paths.get(dataDir)).filter(_.contains("=")).sorted
     val json =
       s"""{"snapshot_id":$id,"data":"snap-$id","partition_by":[${partitionBy
           .map("\"" + _ + "\"").mkString(",")}],"partitions":[${parts
@@ -61,12 +68,11 @@ object TableIO extends Serializable {
   def snapshotIds(tableDir: String): Seq[Long] = {
     val dir = Paths.get(tableDir)
     if (!Files.exists(dir)) return Nil
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    listNames(dir)
       .collect { case s if s.startsWith("manifest-") && s.endsWith(".json") =>
         s.stripPrefix("manifest-").stripSuffix(".json").toLong
       }
-      .toSeq.sorted
+      .sorted
   }
 
   /** Read the latest (or a specific) snapshot as a DataFrame. */

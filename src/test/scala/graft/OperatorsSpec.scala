@@ -105,6 +105,32 @@ class OperatorsSpec extends AnyFunSuite {
       .forall(i => pairs.contains((i, 200L + i))))
   }
 
+  test("ngram jaccard is exact over the pruned shingle space; no broadcast dependence") {
+    // every doc shares a hot boilerplate prefix whose shingles exceed
+    // maxShingleDf and get pruned; the planted identical pair must STILL
+    // score exactly 1.0 (sizes counted over the same pruned space as the
+    // intersection — unpruned sizes would under-score it). Broadcast joins
+    // are disabled to prove the hot-shingle anti-join works as a plain
+    // shuffle join (at web scale the hot set cannot be broadcast).
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (0L until 40L).map(i => (i, s"$boiler unique$i content$i token$i extra$i"))
+    val planted = Seq(
+      (100L, s"$boiler special one two three four"),
+      (101L, s"$boiler special one two three four")
+    )
+    val df = spark.createDataFrame(filler ++ planted).toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val res = Dedup.ngramJaccard(df, "doc_id", "text", n = 3, threshold = 0.99, maxShingleDf = 10)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      assert(res.exists(r => r._1 == 100L && r._2 == 101L && r._3 == 1.0),
+        s"planted pair missing or under-scored after pruning: ${res.toSeq}")
+      // no filler doc pairs: their surviving shingles are all doc-unique
+      assert(res.forall(r => r._1 >= 100L), s"unexpected filler pair: ${res.toSeq}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ngram jaccard: planted dup pairs score 1.0") {
     val res = Dedup.ngramJaccard(dupDocs, "doc_id", "text", threshold = 0.99)
       .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
@@ -140,13 +166,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF ANN: self is rank 1, recall@10 ≥ 0.6 vs brute force") {
+  test("IVF ANN: self is rank 1, recall@10 ≥ 0.6 vs brute force; full probe is exact") {
     val data = synthEmbeddings(400, 16)
     val corpus = spark.createDataFrame(data).toDF("id", "vec")
     val queries = spark.createDataFrame(data.take(5)).toDF("qid", "qvec")
-    val bf = Ann.bruteForceTopK(queries, corpus, "qid", "qvec", "id", "vec", 10)
-      .select($"qid", $"id").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val ivf = Ann.ivfTopK(queries, corpus, "qid", "qvec", "id", "vec", 10, nLists = 8, nProbe = 3)
+    val bfRanked = Ann.bruteForceTopK(queries, corpus, "qid", "qvec", "id", "vec", 10)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect()
+    val bf = bfRanked.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // build once, probe twice at different widths (the production shape)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    Ann.ivfBuild(corpus, "id", "vec", idxDir, nLists = 8)
+    val ivf = Ann.ivfSearch(spark, idxDir, queries, "qid", "qvec", 10, nProbe = 3)
       .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect()
     val byQ = ivf.groupBy(_._1)
     data.take(5).foreach { case (qid, _) =>
@@ -155,6 +185,10 @@ class OperatorsSpec extends AnyFunSuite {
       val recall = hits.map(_._2).toSet.intersect(bf(qid)).size / 10.0
       assert(recall >= 0.6, s"recall $recall for query $qid")
     }
+    // probing every list must reproduce brute force exactly (ranks + ids)
+    val full = Ann.ivfSearch(spark, idxDir, queries, "qid", "qvec", 10, nProbe = 8)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect()
+    assert(full.toSet == bfRanked.toSet, "full-probe IVF != brute force")
   }
 
   // ---- multimodal plumbing ------------------------------------------------

@@ -74,6 +74,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pathological join in search plan:\n$plan")
   }
 
+  test("IVF probe scan prunes list partitions (PartitionFilters on list)") {
+    import spark.implicits._
+    val data = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d) % 13 - 6).toFloat))
+    }
+    val corpus = spark.createDataFrame(data).toDF("id", "vec")
+    val idxDir = Files.createTempDirectory("graft-ivf-plan").toString
+    graft.operators.Ann.ivfBuild(corpus, "id", "vec", idxDir, nLists = 4)
+    val probe = spark.read.option("basePath", s"$idxDir/lists")
+      .parquet(s"$idxDir/lists").where(col("list").isin(0, 1))
+    val plan = executedPlan(probe)
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*list".r.findFirstIn(plan).isDefined,
+      s"list not a partition filter:\n$plan")
+  }
+
   test("gate q_dict_join uses broadcast hash join end-to-end") {
     val df = SparkEntry.queries("q_dict_join")(spark, "/root/testdata/sf0.001")
     val plan = executedPlan(df)
