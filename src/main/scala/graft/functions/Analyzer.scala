@@ -128,6 +128,22 @@ object Analyzer extends Serializable {
     * (`LgpReader.cs:102-176`) that whole-stage codegen / typed flatMap
     * gives us per task.
     */
+  /** Per-document term → sorted token positions, one map-side pass
+    * (positions are 0-based token indexes in the analyzed stream — what
+    * Lucene records for text fields by default, enabling phrase queries).
+    */
+  def termPositions(text: String): (Int, Array[(String, Array[Int])]) = {
+    val toks = tokenize(text)
+    if (toks.isEmpty) return (0, Array.empty)
+    val m = new mutable.AnyRefMap[String, mutable.ArrayBuffer[Int]](math.min(toks.length, 64))
+    var i = 0
+    while (i < toks.length) {
+      m.getOrElseUpdate(toks(i), new mutable.ArrayBuffer[Int](2)) += i
+      i += 1
+    }
+    (toks.length, m.iterator.map { case (t, ps) => (t, ps.toArray) }.toArray)
+  }
+
   def termFreqs(text: String): (Int, Array[(String, Int)]) = {
     val toks = tokenize(text)
     if (toks.isEmpty) return (0, Array.empty)

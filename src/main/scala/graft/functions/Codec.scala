@@ -257,6 +257,105 @@ object Codec extends Serializable {
     else TagVarByte +: vb
   }
 
+  // ---- base-relative docID gaps ------------------------------------------
+  // The payload stores ONLY the count-1 gaps between consecutive docIDs;
+  // the first docID is the block's doc_id_min COLUMN. Remapping a block to
+  // a new docID space (segment merge / multi-segment search) is then a
+  // pure column update — the payload is never decoded or re-encoded.
+
+  /** Encode ids[1..] as gaps (ids[0] lives in the doc_id_min column). */
+  def encodeGapsFromBase(sorted: Array[Long]): Array[Byte] = {
+    val gaps = new Array[Long](math.max(0, sorted.length - 1))
+    var i = 1
+    while (i < sorted.length) {
+      require(sorted(i) > sorted(i - 1), s"docIDs must be strictly increasing at $i")
+      gaps(i - 1) = sorted(i) - sorted(i - 1)
+      i += 1
+    }
+    pickSmaller(gaps)
+  }
+
+  /** Decode a base-relative block back to absolute docIDs. */
+  def decodeGapsFromBase(base: Long, bytes: Array[Byte], count: Int): Array[Long] = {
+    val out = new Array[Long](count)
+    if (count == 0) return out
+    out(0) = base
+    if (count > 1) {
+      val gaps = decodeAutoVals(bytes, count - 1)
+      var i = 1
+      while (i < count) { out(i) = out(i - 1) + gaps(i - 1); i += 1 }
+    }
+    out
+  }
+
+  // ---- position chunks ---------------------------------------------------
+  // One posting's token positions, encoded map-side as a self-delimiting
+  // plain-varbyte stream: first position raw, then gaps (≥1). Blocks
+  // concatenate these chunks as-is (the per-posting tf says how many
+  // varints belong to each posting), so the shuffle carries compact bytes
+  // and block assembly never re-encodes.
+
+  /** Encode one posting's sorted position list (plain varbyte, no tag). */
+  def encodePosChunk(pos: Array[Int]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](pos.length + 2)
+    var prev = 0
+    var i = 0
+    while (i < pos.length) {
+      writeVarLong(if (i == 0) pos(0).toLong else (pos(i) - prev).toLong, out)
+      prev = pos(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Sequential varint reader over a concatenated position stream. */
+  final class PosReader(bytes: Array[Byte]) {
+    private var pos = 0
+    def hasRemaining: Boolean = pos < bytes.length
+    def byteOffset: Int = pos
+    private def readVarInt(): Int = {
+      var shift = 0; var v = 0L; var b = 0
+      do {
+        b = bytes(pos) & 0xff; v |= (b & 0x7fL) << shift; shift += 7; pos += 1
+      } while ((b & 0x80) != 0)
+      v.toInt
+    }
+    /** Read the next posting's `tf` positions (prefix-summed to absolute). */
+    def readPositions(tf: Int): Array[Int] = {
+      val out = new Array[Int](tf)
+      var prev = 0
+      var i = 0
+      while (i < tf) { prev += readVarInt(); out(i) = prev; i += 1 }
+      out
+    }
+    /** Skip the next posting's `tf` positions without materializing. */
+    def skipPositions(tf: Int): Unit = {
+      var i = 0
+      while (i < tf) {
+        while ((bytes(pos) & 0x80) != 0) pos += 1
+        pos += 1
+        i += 1
+      }
+    }
+  }
+
+  /** Split a block's concatenated position stream back into per-posting
+    * chunks (byte slices — no integer decode), given the tf stream.
+    */
+  def splitPosChunks(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Byte]] = {
+    val r = new PosReader(bytes)
+    val out = new Array[Array[Byte]](tfs.length)
+    var i = 0
+    var start = 0
+    while (i < tfs.length) {
+      r.skipPositions(tfs(i))
+      out(i) = java.util.Arrays.copyOfRange(bytes, start, r.byteOffset)
+      start = r.byteOffset
+      i += 1
+    }
+    out
+  }
+
   private def decodeAutoVals(bytes: Array[Byte], count: Int): Array[Long] = {
     val body = java.util.Arrays.copyOfRange(bytes, 1, bytes.length)
     bytes(0) match {

@@ -44,12 +44,41 @@ object IndexBuilder {
   val K1 = 1.2
   val B = 0.75
 
+  /** `positions`: index token positions (phrase queries) — on by default,
+    * matching ES text-field defaults the reference provisions.
+    */
   final case class BuildConfig(
       nPartitions: Int = 32,
       nGroups: Int = 4,
       nSlices: Int = 16,
-      blockSize: Int = 128
+      blockSize: Int = 128,
+      positions: Boolean = true
   )
+
+  /** Persisted index metadata (≙ the ES index-template the reference
+    * installs once, `ElasticSearchStorage.cs:187-243`): layout constants a
+    * searcher needs without re-deriving them from data.
+    */
+  def writeMeta(indexDir: String, cfg: BuildConfig): Unit = {
+    Files.createDirectories(Paths.get(indexDir))
+    Files.write(
+      Paths.get(indexDir, "meta.json"),
+      s"""{"n_groups":${cfg.nGroups},"n_slices":${cfg.nSlices},"block_size":${cfg.blockSize},"positions":${cfg.positions}}""".getBytes(StandardCharsets.UTF_8)
+    )
+  }
+
+  def readMeta(indexDir: String): BuildConfig = {
+    val p = Paths.get(indexDir, "meta.json")
+    if (!Files.exists(p)) return BuildConfig()
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    def num(k: String) = s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    BuildConfig(
+      nGroups = num("n_groups").getOrElse(4),
+      nSlices = num("n_slices").getOrElse(16),
+      blockSize = num("block_size").getOrElse(128),
+      positions = s.contains(""""positions":true""")
+    )
+  }
 
   // ---- checkpoint manifest (JSONL, append-only; ≙ EventLogPosition) ----
   def ckptPath(indexDir: String) = Paths.get(indexDir, "checkpoints.jsonl")
@@ -115,6 +144,7 @@ object IndexBuilder {
     require(cfg.nSlices % cfg.nGroups == 0, "nSlices must be a multiple of nGroups")
     val done = completedUnits(indexDir)
     if (done.contains("done")) return
+    writeMeta(indexDir, cfg)
 
     // ---- stage 1: docID assignment + fused docs/text staging ----------
     // ONE table `docs` holds (doc_id, url, warc_ts, lang, doc_len, text),
@@ -158,6 +188,10 @@ object IndexBuilder {
           (id, url, ts, lang, dl, text)
         }
         .toDF("doc_id", "url", "warc_ts", "lang", "doc_len", "text")
+        // slice is materialized on the docs row so filtered search can ship
+        // doc-filter sets to the right WAND task by equi-key, decoupled
+        // from the id→slice formula (fast-merged indexes renumber slices)
+        .withColumn("slice", least(lit(cfg.nSlices - 1), ($"doc_id" * cfg.nSlices / nDocs).cast("int")))
         .withColumn("grp", least(lit(cfg.nGroups - 1), ($"doc_id" * cfg.nGroups / nDocs).cast("int")))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("grp")
@@ -172,6 +206,7 @@ object IndexBuilder {
 
     val nDocs = math.max(1L, spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head().n_docs)
     val nSlices = cfg.nSlices
+    val withPos = cfg.positions
     val groupInput: Int => DataFrame = { g =>
       spark.read.parquet(s"$indexDir/docs")
         .where($"grp" === g) // partition pruning: 1/nGroups of the bytes
@@ -179,10 +214,20 @@ object IndexBuilder {
         .as[(Long, String)]
         .flatMap { case (id, text) =>
           val slice = math.min(nSlices - 1, (id * nSlices / nDocs).toInt)
-          val (dl, tfs) = Analyzer.termFreqs(text)
-          tfs.iterator.map { case (t, tf) => (t, slice, id, tf, dl) }
+          if (withPos) {
+            // positions encoded map-side into self-delimiting varbyte
+            // chunks — the shuffle carries compact bytes, and block
+            // assembly concatenates without re-encoding
+            val (dl, tps) = Analyzer.termPositions(text)
+            tps.iterator.map { case (t, ps) =>
+              (t, slice, id, ps.length, dl, Codec.encodePosChunk(ps))
+            }
+          } else {
+            val (dl, tfs) = Analyzer.termFreqs(text)
+            tfs.iterator.map { case (t, tf) => (t, slice, id, tf, dl, null: Array[Byte]) }
+          }
         }
-        .toDF("term", "slice", "doc_id", "tf", "doc_len")
+        .toDF("term", "slice", "doc_id", "tf", "doc_len", "pos")
     }
     buildGroups(spark, indexDir, cfg, groupInput, failAfterGroups)
   }
@@ -223,8 +268,8 @@ object IndexBuilder {
         val blocks = groupInput(g)
           .repartition(partsPerGroup, $"term", $"slice")
           .sortWithinPartitions("term", "slice", "doc_id")
-          .select($"term", $"slice", $"doc_id", $"tf", $"doc_len")
-          .as[(String, Int, Long, Int, Int)]
+          .select($"term", $"slice", $"doc_id", $"tf", $"doc_len", $"pos")
+          .as[(String, Int, Long, Int, Int, Array[Byte])]
           .mapPartitions { it =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val base = blockify(it, g, blockSize, avgDl)
@@ -251,7 +296,7 @@ object IndexBuilder {
                 if (r.term != lastTerm) { terms += 1; lastTerm = r.term }
                 postings += r.count
                 nBlocks += 1
-                bytes += r.deltas.length + r.tfs.length + r.dls.length
+                bytes += r.deltas.length + r.tfs.length + r.dls.length + r.poss.length
                 r
               }
             }
@@ -301,12 +346,16 @@ object IndexBuilder {
     commitUnit(indexDir, "done")
   }
 
+  private val EmptyBytes = Array.empty[Byte]
+
   /** Encode one sorted partition iterator into posting blocks.
     * Input rows sorted by (term, slice, doc_id); consecutive runs of the
     * same (term, slice) become one posting sub-list, chunked into blocks.
+    * Per-posting position chunks (nullable) concatenate into the block's
+    * `poss` stream without re-encoding.
     */
   def blockify(
-      it: Iterator[(String, Int, Long, Int, Int)],
+      it: Iterator[(String, Int, Long, Int, Int, Array[Byte])],
       grp: Int,
       blockSize: Int,
       avgDl: Double
@@ -318,34 +367,43 @@ object IndexBuilder {
       private var blockId: Int = 0
       def hasNext: Boolean = in.hasNext
       def next(): PostingRow = {
-        val (term, slice, _, _, _) = in.head
+        val (term, slice, _, _, _, _) = in.head
         if (term != curTerm || slice != curSlice) {
           curTerm = term; curSlice = slice; blockId = 0
         }
         val ids = new ArrayBuffer[Long](blockSize)
         val tfs = new ArrayBuffer[Int](blockSize)
         val dls = new ArrayBuffer[Int](blockSize)
+        val posOut = new ArrayBuffer[Byte]()
         var maxImpact = 0.0
         var tfSum = 0L
+        var maxTf = 0
+        var minDl = Int.MaxValue
         while (
           in.hasNext && ids.length < blockSize && {
             val h = in.head; h._1 == term && h._2 == slice
           }
         ) {
-          val (_, _, docId, tf, dl) = in.next()
+          val (_, _, docId, tf, dl, pos) = in.next()
           ids += docId; tfs += tf; dls += dl
           tfSum += tf
+          if (tf > maxTf) maxTf = tf
+          if (dl < minDl) minDl = dl
+          if (pos != null) posOut ++= pos
           val imp = impact(tf, dl, avgDl)
           if (imp > maxImpact) maxImpact = imp
         }
         val row = PostingRow(
           grp, slice, term, blockId,
           ids.head, ids.last, ids.length,
-          Codec.encodeDeltasAuto(ids.toArray),
+          Codec.encodeGapsFromBase(ids.toArray),
           Codec.encodeIntsAuto(tfs.toArray),
           Codec.encodeIntsAuto(dls.toArray),
+          if (posOut.isEmpty) EmptyBytes else posOut.toArray,
           tfSum,
-          maxImpact
+          maxImpact,
+          maxTf,
+          if (minDl == Int.MaxValue) 0 else minDl
         )
         blockId += 1
         row

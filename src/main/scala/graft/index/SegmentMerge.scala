@@ -34,6 +34,7 @@ object SegmentMerge {
     import spark.implicits._
     val done = IndexBuilder.completedUnits(outDir)
     if (done.contains("done")) return
+    IndexBuilder.writeMeta(outDir, cfg)
 
     if (!done.contains("staged")) {
       val statsA = IndexBuilder.readStats(spark, idxA)
@@ -46,7 +47,12 @@ object SegmentMerge {
       val docsA = spark.read.parquet(s"$idxA/docs").select(docCols: _*)
       val docsB = spark.read.parquet(s"$idxB/docs").select(docCols: _*)
         .withColumn("doc_id", $"doc_id" + offset)
+      val nDocsAll = Seq(idxA, idxB).map(IndexBuilder.readStats(spark, _).n_docs).sum.max(1L)
       docsA.unionByName(docsB)
+        .withColumn(
+          "slice",
+          least(lit(cfg.nSlices - 1), ($"doc_id" * cfg.nSlices / nDocsAll).cast("int"))
+        )
         .repartitionByRange(cfg.nPartitions, $"doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
@@ -60,18 +66,24 @@ object SegmentMerge {
       stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
       val nDocs = math.max(1L, spark.read.parquet(s"$outDir/stats").as[CorpusStats].head().n_docs)
 
-      // decode both segments' blocks back to term-docs, remap B, restage
+      // decode both segments' blocks back to term-docs, remap B, restage.
+      // Positions carry over as opaque byte chunks (varint skip to find the
+      // per-posting boundaries — never decoded to ints).
       def decoded(idx: String, off: Long): DataFrame =
         IndexBuilder.readPostings(spark, idx)
-          .select($"term", $"count", $"deltas", $"tfs", $"dls")
-          .as[(String, Int, Array[Byte], Array[Byte], Array[Byte])]
-          .flatMap { case (term, n, deltas, tfs, dls) =>
-            val ids = Codec.decodeDeltasAuto(deltas, n)
+          .select($"term", $"count", $"doc_id_min", $"deltas", $"tfs", $"dls", $"poss")
+          .as[(String, Int, Long, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+          .flatMap { case (term, n, idMin, deltas, tfs, dls, poss) =>
+            val ids = Codec.decodeGapsFromBase(idMin, deltas, n)
             val tf = Codec.decodeIntsAuto(tfs, n)
             val dl = Codec.decodeIntsAuto(dls, n)
-            Iterator.tabulate(n)(i => (ids(i) + off, term, tf(i), dl(i)))
+            val chunks =
+              if (poss == null || poss.isEmpty) null
+              else Codec.splitPosChunks(poss, tf)
+            Iterator.tabulate(n)(i =>
+              (ids(i) + off, term, tf(i), dl(i), if (chunks == null) null else chunks(i)))
           }
-          .toDF("doc_id", "term", "tf", "doc_len")
+          .toDF("doc_id", "term", "tf", "doc_len", "pos")
 
       decoded(idxA, 0L).unionByName(decoded(idxB, offset))
         .withColumn(
@@ -81,7 +93,7 @@ object SegmentMerge {
         // grp nests slices (nSlices % nGroups == 0): same doc-range-group
         // layout the from-scratch build uses
         .withColumn("grp", ($"slice" * cfg.nGroups / cfg.nSlices).cast("int"))
-        .select($"doc_id", $"doc_len", $"term", $"tf", $"slice", $"grp")
+        .select($"doc_id", $"doc_len", $"term", $"tf", $"pos", $"slice", $"grp")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("grp")
         .parquet(s"$outDir/staged")
@@ -90,7 +102,7 @@ object SegmentMerge {
 
     val groupInput: Int => DataFrame = { g =>
       spark.read.parquet(s"$outDir/staged").where(col("grp") === g)
-        .select(col("term"), col("slice"), col("doc_id"), col("tf"), col("doc_len"))
+        .select(col("term"), col("slice"), col("doc_id"), col("tf"), col("doc_len"), col("pos"))
     }
     IndexBuilder.buildGroups(spark, outDir, cfg, groupInput)
   }

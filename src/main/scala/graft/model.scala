@@ -36,13 +36,32 @@ final case class Doc(
   */
 final case class TermDoc(term: String, doc_id: Long, tf: Int, doc_len: Int)
 
-/** One compressed posting block: up to `count` docIDs (delta+varbyte in
-  * `deltas`) with aligned tf and doc-length streams (varbyte `tfs`/`dls`),
-  * plus block-max metadata for block-max WAND (≙ ClickHouse sparse-index
-  * granularity `index_granularity=8192`, `ClickHouseStorage.cs:182`,
-  * reimagined as per-block score bounds).
-  * `max_impact` = max over the block of tf/(tf + k1*(1-b+b*dl/avgdl)) —
-  * multiply by idf(term) for the WAND upper bound (exact, build-time).
+/** One compressed posting block: up to `count` docIDs with aligned tf,
+  * doc-length, and (optional) position streams, plus block-max metadata
+  * for block-max WAND (≙ ClickHouse sparse-index granularity
+  * `index_granularity=8192`, `ClickHouseStorage.cs:182`, reimagined as
+  * per-block score bounds).
+  *
+  * `deltas` is BASE-RELATIVE: it holds only the count−1 gaps between
+  * consecutive docIDs — the first docID is the `doc_id_min` column, so a
+  * segment merge remaps a block to a new docID space by updating columns
+  * only (never decoding payloads).
+  *
+  * Score bounds, two forms:
+  *   - `max_impact` = max over the block of tf/(tf + k1*(1−b+b·dl/avgdl))
+  *     at the BUILD-time avgdl — exact; valid only while queries use that
+  *     same avgdl (single-segment search).
+  *   - `max_tf`/`min_dl` — avgdl-INDEPENDENT: impact is monotone ↑tf, ↓dl,
+  *     so impact(max_tf, min_dl, a) bounds every posting in the block for
+  *     ANY avgdl a. Multi-segment search (global avgdl ≠ each segment's)
+  *     derives its bounds from these.
+  *
+  * `poss` concatenates per-posting position chunks (Codec.encodePosChunk;
+  * boundaries implied by the tf stream); empty when the index is built
+  * with positions=false. ES indexes positions on text fields by default
+  * (`ElasticSearchStorage.cs:217,227,231` declares analyzed text), so our
+  * default matches.
+  *
   * `slice` is the doc-range salt bucket: hot (Zipf-head) terms are split
   * across slices so no single shuffle partition receives a whole hot
   * term's postings (explicit skew handling per the north rule).
@@ -58,8 +77,11 @@ final case class PostingRow(
     deltas: Array[Byte],
     tfs: Array[Byte],
     dls: Array[Byte],
+    poss: Array[Byte],
     tf_sum: Long,
-    max_impact: Double
+    max_impact: Double,
+    max_tf: Int,
+    min_dl: Int
 )
 
 /** Per-term dictionary entry (doc_freq drives idf). */

@@ -34,6 +34,7 @@ object BlockMaxWand {
     private var ids: Array[Long] = _
     private var tfs: Array[Int] = _
     private var dls: Array[Int] = _
+    private var poscache: Array[Array[Int]] = _ // decoded lazily, phrase mode only
     val maxScore: Double = // term-level upper bound
       if (blocks.isEmpty) 0.0
       else idf * blocks.map(_.maxImpact).max * Bound
@@ -43,10 +44,28 @@ object BlockMaxWand {
     private def decodeIfNeeded(): Unit = {
       if (bi < blocks.length && ids == null) {
         val b = blocks(bi)
-        ids = Codec.decodeDeltasAuto(b.deltas, b.count)
+        ids = Codec.decodeGapsFromBase(b.docIdMin, b.deltas, b.count)
         tfs = Codec.decodeIntsAuto(b.tfs, b.count)
         dls = Codec.decodeIntsAuto(b.dls, b.count)
+        poscache = null
       }
+    }
+
+    /** Token positions of the CURRENT posting (phrase queries). Decodes
+      * the whole block's position stream on first use within a block —
+      * blocks are small (≤ blockSize postings) and phrase evaluation only
+      * reaches blocks where all terms intersect.
+      */
+    def positions: Array[Int] = {
+      decodeIfNeeded()
+      if (poscache == null) {
+        val b = blocks(bi)
+        require(b.poss != null && b.poss.nonEmpty,
+          "index built without positions — phrase queries need positions=true")
+        val r = new Codec.PosReader(b.poss)
+        poscache = Array.tabulate(b.count)(j => r.readPositions(tfs(j)))
+      }
+      poscache(i)
     }
 
     def exhausted: Boolean = bi >= blocks.length
@@ -99,6 +118,10 @@ object BlockMaxWand {
 
   private val Bound = 1.0 + 1e-9
 
+  /** `maxImpact` is whatever bound the READER chose for its avgdl: the
+    * stored exact `max_impact` when querying with the index's own avgdl,
+    * or impact(max_tf, min_dl, globalAvgdl) for cross-segment queries.
+    */
   final case class BlockRef(
       docIdMin: Long,
       docIdMax: Long,
@@ -106,6 +129,7 @@ object BlockMaxWand {
       deltas: Array[Byte],
       tfs: Array[Byte],
       dls: Array[Byte],
+      poss: Array[Byte],
       maxImpact: Double
   )
 

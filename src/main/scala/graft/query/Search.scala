@@ -63,9 +63,9 @@ object Search {
       .where($"term".isin(terms: _*))
       .select(
         $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
-        $"count", $"deltas", $"tfs", $"dls", $"max_impact"
+        $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
       )
-      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Double)]
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
 
     val isAnd = mode == "and"
     val localTopK = blocks
@@ -77,7 +77,7 @@ object Search {
           byTerm.get(t).map { rs =>
             val refs = rs
               .sortBy(r => (r._4, r._3)) // by doc_id_min, block_id
-              .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10))
+              .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
             new PostingIter(ti, qIdfs(ti), refs, avgDl)
           }
         }.toArray

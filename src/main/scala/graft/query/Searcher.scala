@@ -29,7 +29,7 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
     val p = IndexBuilder.readPostings(spark, indexDir)
       .select(
         $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
-        $"count", $"deltas", $"tfs", $"dls", $"max_impact"
+        $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
       )
     if (cachePostings) p.cache() else p
   }
@@ -67,12 +67,12 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
     val avg = avgDl
     val localTopK = postings
       .where($"term".isin(presentTerms: _*))
-      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Double)]
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
       .groupByKey(_._1)
       .flatMapGroups { (_, rows) =>
         val byTerm = rows.toArray.groupBy(_._2).map { case (t, rs) =>
           t -> rs.sortBy(r => (r._4, r._3))
-            .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10))
+            .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
         }
         bQueries.value.iterator.flatMap { case (qid, qTerms, idfs, isAnd) =>
           val iters = qTerms.iterator.zipWithIndex.flatMap { case (t, ti) =>
@@ -115,10 +115,10 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
       .where($"term".isin(present: _*))
       .select(
         $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
-        $"count", $"deltas", $"tfs", $"dls", $"max_impact"
+        $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
       )
       .limit(maxBlocks + 1)
-      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Double)]
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
       .collect()
     if (rows.length > maxBlocks) {
       // hot query — stay distributed
@@ -130,7 +130,7 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
       val iters = terms.iterator.zipWithIndex.flatMap { case (t, ti) =>
         byTerm.get(t).map { rs =>
           val refs = rs.sortBy(r => (r._4, r._3))
-            .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10))
+            .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
           new PostingIter(ti, idfs(ti), refs, avgDl)
         }
       }.toArray

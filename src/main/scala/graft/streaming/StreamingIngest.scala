@@ -79,11 +79,28 @@ object StreamingIngest {
     * reference's in-sink idempotence (T6: monotonic Id + position columns
     * let re-ingested rows be deduplicated, `EventLogReader.cs:105-106`).
     * Within a batch the lowest url wins (deterministic).
+    *
+    * State-size contract: with `stateTtl = None` one state entry lives
+    * PER DISTINCT TEXT HASH FOREVER — correct exactly-once dedup, but
+    * only for bounded corpora (the reference's event-log replay window is
+    * likewise bounded by the sink's retention). For unbounded streams pass
+    * a TTL (e.g. "30 minutes"): state entries idle longer than the TTL
+    * are evicted, so memory is bounded by the dedup window — a duplicate
+    * arriving after the window is re-emitted (the standard windowed-dedup
+    * trade; downstream exact dedup of the at-rest table remains available
+    * via [[graft.operators.Dedup.exact]]).
     */
-  def dedupStream(spark: SparkSession, inputDir: String): Dataset[(Long, String)] = {
+  def dedupStream(
+      spark: SparkSession,
+      inputDir: String,
+      stateTtl: Option[String] = None
+  ): Dataset[(Long, String)] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = spark.emptyDataset[Page].schema
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     spark.readStream
       .schema(schema)
       .parquet(inputDir)
@@ -91,11 +108,15 @@ object StreamingIngest {
       .map(p => (graft.functions.TextFeatures.hashString(p.text), p.url))
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, (Long, String)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()
+        OutputMode.Append(), timeout
       ) { (hash: Long, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
-        if (state.exists) Iterator.empty
-        else {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else if (state.exists) {
+          stateTtl.foreach(state.setTimeoutDuration) // refresh the window
+          Iterator.empty
+        } else {
           state.update(true)
+          stateTtl.foreach(state.setTimeoutDuration)
           Iterator.single((hash, rows.map(_._2).min))
         }
       }

@@ -76,6 +76,39 @@ class CodecSpec extends AnyFunSuite with GenCheck {
     }
   }
 
+  test("base-relative gap codec round-trips; remap = base change only") {
+    val gen = for {
+      gs <- Gen.nonEmptyListOf(Gen.chooseNum(1L, 1L << 20))
+      start <- Gen.chooseNum(0L, 1L << 40)
+    } yield gs.scanLeft(start)(_ + _).toArray
+    forAllSeeded(gen) { ids =>
+      val enc = Codec.encodeGapsFromBase(ids)
+      assert(Codec.decodeGapsFromBase(ids.head, enc, ids.length).toSeq == ids.toSeq)
+      // the decode-free merge property: shifting every docID by a constant
+      // needs ONLY a new base — the payload bytes are reused verbatim
+      val off = 1L << 41
+      assert(Codec.decodeGapsFromBase(ids.head + off, enc, ids.length).toSeq ==
+        ids.map(_ + off).toSeq)
+    }
+    assert(Codec.decodeGapsFromBase(7L, Codec.encodeGapsFromBase(Array(7L)), 1).toSeq == Seq(7L))
+  }
+
+  test("position chunk codec: encode/concat/split/read round-trips") {
+    val posGen = Gen.nonEmptyListOf(Gen.chooseNum(1, 1 << 16)).map(_.scanLeft(0)(_ + _).tail.toArray)
+    forAllSeeded(Gen.nonEmptyListOf(posGen)) { docs =>
+      val chunks = docs.map(d => Codec.encodePosChunk(d))
+      val block = chunks.toArray.flatten.toArray
+      val tfs = docs.map(_.length).toArray
+      // sequential read reproduces every doc's positions
+      val r = new Codec.PosReader(block)
+      docs.foreach(d => assert(r.readPositions(d.length).toSeq == d.toSeq))
+      assert(!r.hasRemaining)
+      // splitting recovers the original per-doc chunks byte-for-byte
+      val split = Codec.splitPosChunks(block, tfs)
+      split.zip(chunks).foreach { case (s, c) => assert(s.toSeq == c.toSeq) }
+    }
+  }
+
   test("packed beats varbyte on uniform dense gaps (the common posting shape)") {
     // gaps of a hot term in a dense docID space: mostly 1-4
     val ids = Iterator.iterate(100L)(x => x + 1 + (x % 3)).take(1000).toArray

@@ -167,7 +167,9 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
           (r.getAs[String]("term"), r.getAs[Int]("slice"), r.getAs[Int]("block_id"),
             r.getAs[Long]("doc_id_min"), r.getAs[Long]("doc_id_max"), r.getAs[Int]("count"),
             r.getAs[Array[Byte]]("deltas").toSeq, r.getAs[Array[Byte]]("tfs").toSeq,
-            r.getAs[Array[Byte]]("dls").toSeq, r.getAs[Double]("max_impact"))
+            (r.getAs[Array[Byte]]("dls").toSeq, r.getAs[Array[Byte]]("poss").toSeq,
+              r.getAs[Int]("max_tf"), r.getAs[Int]("min_dl")),
+            r.getAs[Double]("max_impact"))
         }
         .sortBy(t => (t._1, t._2, t._3))
     assert(dump(d2.toString).toSeq == dump(d3.toString).toSeq)
