@@ -65,6 +65,7 @@ object SparkEntry {
   /** BM25 queries used by the correctness gate (hot + medium terms). */
   private val QueryOr = Seq("spark", "merge", "window")
   private val QueryAnd = Seq("spark", "merge")
+  private val QueryPhrase = Seq("spark", "merge")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = OpsQueries.queries ++ Map(
     // ---- fulltext core (north rule; SURVEY.md §2.1 S8→internalized) ----
@@ -110,6 +111,32 @@ object SparkEntry {
       import s.implicits._
       Search.topK(s, indexFor(s, dir), QueryAnd, "and", 10)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // filtered top-k: BM25 ranking gated by a keyword predicate — THE
+    // event-log query shape the reference provisions (keyword fields next
+    // to text fields, ElasticSearchStorage.cs:208-233). Scores are
+    // corpus-global; the filter only gates candidates (ES filter context).
+    "q_bm25_filtered_kw" -> { (s, dir) =>
+      import s.implicits._
+      Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, docFilter = $"lang" === "es")
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // exact-phrase top-k (≙ ES match_phrase over an analyzed text field;
+    // positions are indexed by default on text fields)
+    "q_bm25_phrase" -> { (s, dir) =>
+      import s.implicits._
+      Search.phraseTopK(s, indexFor(s, dir), QueryPhrase, 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // filtered top-k: date-range predicate (≙ ES date fields + dateTime
+    // range query), AND-mode conjunctive retrieval under the filter
+    "q_bm25_filtered_date" -> { (s, dir) =>
+      import s.implicits._
+      Search.topK(
+        s, indexFor(s, dir), QueryAnd, "and", 10,
+        docFilter = $"warc_ts" >= lit("2021-01-01 02:00:00").cast("timestamp") &&
+          $"warc_ts" < lit("2021-01-01 05:00:00").cast("timestamp")
+      ).select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
     // ---- relational operators (SURVEY.md §2.2-2.8) ---------------------
     // J1/J2: stream–dimension broadcast LEFT lookup join, missing → ""
@@ -250,9 +277,16 @@ object SparkEntry {
     * same formula the engine uses; `documents` text is single-space
     * separated [a-z0-9]+ so string_split ≡ the engine analyzer here.
     */
-  private def bm25OracleSql(terms: Seq[String], and: Boolean): String = {
+  private def bm25OracleSql(
+      terms: Seq[String], and: Boolean, candWhere: String = ""
+  ): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val having = if (and) s"HAVING count(*) = ${terms.distinct.size}" else ""
+    // candidate filter gates ONLY which docs may be returned — n/avgdl/df
+    // stay corpus-global (ES filter-context semantics)
+    val cand =
+      if (candWhere.isEmpty) ""
+      else s"WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE $candWhere)"
     s"""WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
 ), dl AS (
@@ -270,7 +304,47 @@ object SparkEntry {
          sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl))) AS score
   FROM tf JOIN df USING (term) JOIN alldocs ad ON ad.doc_id = tf.doc_id CROSS JOIN stats s
+  $cand
   GROUP BY tf.doc_id $having
+)
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY score DESC, doc_id LIMIT 10"""
+  }
+
+  /** Exact-phrase oracle: freq = adjacency-join count, idf summed per
+    * phrase position — the BlockMaxWand.phrase scoring contract.
+    */
+  private def phraseOracleSql(phrase: Seq[String]): String = {
+    val inList = phrase.distinct.map(t => s"'$t'").mkString(", ")
+    // chained positional self-joins: t0.pos+i must hold term i
+    val joins = (1 until phrase.size).map { i =>
+      s"JOIN toks t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.term = '${phrase(i)}'"
+    }.mkString("\n           ")
+    s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks WHERE term IN ($inList) GROUP BY 1
+), occ(term) AS (VALUES ${phrase.map(t => s"('$t')").mkString(", ")}
+), idfs AS (
+  SELECT sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idfsum
+  FROM occ JOIN df USING (term) CROSS JOIN stats s
+), pf AS (
+  SELECT t0.doc_id, count(*) AS freq
+  FROM toks t0
+           $joins
+  WHERE t0.term = '${phrase.head}'
+  GROUP BY 1
+), scores AS (
+  SELECT pf.doc_id,
+         i.idfsum * (pf.freq / (pf.freq + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl))) AS score
+  FROM pf JOIN alldocs ad ON ad.doc_id = pf.doc_id CROSS JOIN stats s CROSS JOIN idfs i
 )
 SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY score DESC, doc_id LIMIT 10"""
   }
@@ -299,6 +373,16 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY sco
          GROUP BY term""",
     "q_bm25_topk_or" -> bm25OracleSql(QueryOr, and = false),
     "q_bm25_topk_and" -> bm25OracleSql(QueryAnd, and = true),
+    "q_bm25_filtered_kw" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang = 'es'"),
+    "q_bm25_phrase" -> phraseOracleSql(QueryPhrase),
+    // the gate index synthesizes warc_ts = epoch(2021-01-01) + doc_id
+    // minutes (SparkEntry.documentsAsPages), so the oracle derives the
+    // same timestamp from doc_id and applies the SAME date predicate
+    "q_bm25_filtered_date" -> bm25OracleSql(
+      QueryAnd, and = true,
+      candWhere = "epoch_ms(1609459200000 + doc_id * 60000) >= TIMESTAMP '2021-01-01 02:00:00' " +
+        "AND epoch_ms(1609459200000 + doc_id * 60000) < TIMESTAMP '2021-01-01 05:00:00'"
+    ),
     "q_dict_join" ->
       """SELECT e.event_id, coalesce(c.c_name, '') AS user_name,
                 coalesce(c.c_mktsegment, '') AS segment

@@ -83,6 +83,9 @@ object BlockMaxWand {
       idf * impact(tfs(i), dls(i), avgDl)
     }
 
+    def docLen: Int = { decodeIfNeeded(); dls(i) }
+    def avgDocLen: Double = avgDl
+
     def next(): Unit = {
       if (exhausted) return
       decodeIfNeeded()
@@ -135,6 +138,42 @@ object BlockMaxWand {
 
   final case class Hit(docId: Long, score: Double)
 
+  /** Non-scoring doc filter — the Lucene "filter context" analog that the
+    * reference provisions via ES keyword/date fields next to text fields
+    * (`ElasticSearchStorage.cs:208-233`): a sorted docID allow-list this
+    * slice may emit. Contributes no score; candidates outside it are
+    * skipped before scoring, and WAND terminates early once it exhausts.
+    */
+  final class FilterIter(ids: Array[Long]) {
+    private var i = 0
+    def exhausted: Boolean = i >= ids.length
+    /** Is `target` allowed? Advances the cursor (targets are ascending). */
+    def contains(target: Long): Boolean = {
+      // gallop then binary search — candidate stream and filter are both
+      // ascending, so the cursor is monotone and amortized O(log gap)
+      var lo = i
+      if (lo >= ids.length) return false
+      if (ids(lo) >= target) { i = lo; return ids(lo) == target }
+      var step = 1
+      var hi = lo + step
+      while (hi < ids.length && ids(hi) < target) { lo = hi; step <<= 1; hi = lo + step }
+      if (hi >= ids.length) hi = ids.length - 1
+      if (ids(hi) < target) { i = ids.length; return false }
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ids(mid) < target) lo = mid + 1 else hi = mid
+      }
+      i = lo
+      ids(lo) == target
+    }
+    /** Smallest allowed doc ≥ target (Long.MaxValue when exhausted). */
+    def ceil(target: Long): Long = {
+      if (contains(target)) target
+      else if (i >= ids.length) Long.MaxValue
+      else ids(i)
+    }
+  }
+
   /** (score desc, docId asc)-best-k heap: min-heap ordered so the WORST
     * kept hit is at the head. A candidate beats the head iff its score is
     * higher, or equal score with smaller docId.
@@ -160,11 +199,14 @@ object BlockMaxWand {
   /** Top-k disjunctive (OR) retrieval with block-max WAND. `iters` must be
     * in query-term order (termIdx = position) — scoring re-walks them in
     * that order for float-identical sums vs the naive oracle.
+    * `filter` (nullable): non-scoring allow-list; scores are unchanged,
+    * only candidate eligibility is gated (ES filter-context semantics).
     */
-  def or(iters: Array[PostingIter], k: Int): Array[Hit] = {
+  def or(iters: Array[PostingIter], k: Int, filter: FilterIter = null): Array[Hit] = {
     val top = new TopK(k)
     val live = iters.filter(!_.exhausted)
     if (live.isEmpty) return Array.empty
+    if (filter != null && filter.exhausted) return Array.empty
     val order = live.clone() // sorted by current doc each round
 
     var continue = true
@@ -189,33 +231,47 @@ object BlockMaxWand {
         else {
           val pivot = order(p).doc
           if (order(0).doc == pivot) {
-            // all prefix iterators aligned on pivot: block-max check.
-            // The bound must cover EVERY iterator that could contribute to
-            // pivot's score — including ones beyond the prefix that happen
-            // to sit on pivot — or we could wrongly skip a true top-k doc.
-            var bacc = 0.0
-            var m = 0
-            while (m < order.length) {
-              if (m <= p) order(m).advance(pivot) // position blocks at pivot
-              if (order(m).doc == pivot) bacc += order(m).blockMaxScore
-              m += 1
-            }
-            if (bacc > theta) {
-              // exact score, summing in ORIGINAL query-term order
-              var s = 0.0
-              var t = 0
-              while (t < iters.length) {
-                val it = iters(t)
-                if (!it.exhausted && it.doc == pivot) s += it.score
-                t += 1
+            val allowed = filter == null || filter.contains(pivot)
+            if (allowed) {
+              // all prefix iterators aligned on pivot: block-max check.
+              // The bound must cover EVERY iterator that could contribute to
+              // pivot's score — including ones beyond the prefix that happen
+              // to sit on pivot — or we could wrongly skip a true top-k doc.
+              var bacc = 0.0
+              var m = 0
+              while (m < order.length) {
+                if (m <= p) order(m).advance(pivot) // position blocks at pivot
+                if (order(m).doc == pivot) bacc += order(m).blockMaxScore
+                m += 1
               }
-              top.offer(Hit(pivot, s))
-            }
-            // advance every iterator sitting on pivot
-            var a = 0
-            while (a < order.length) {
-              if (order(a).doc == pivot) order(a).next()
-              a += 1
+              if (bacc > theta) {
+                // exact score, summing in ORIGINAL query-term order
+                var s = 0.0
+                var t = 0
+                while (t < iters.length) {
+                  val it = iters(t)
+                  if (!it.exhausted && it.doc == pivot) s += it.score
+                  t += 1
+                }
+                top.offer(Hit(pivot, s))
+              }
+              // advance every iterator sitting on pivot
+              var a = 0
+              while (a < order.length) {
+                if (order(a).doc == pivot) order(a).next()
+                a += 1
+              }
+            } else {
+              // pivot filtered out: every doc up to the filter's next
+              // allowed id is ineligible — jump iterators on pivot straight
+              // past the gap (selective filters skip most of the postings)
+              val nxt = filter.ceil(pivot + 1)
+              if (nxt == Long.MaxValue) continue = false
+              var a = 0
+              while (a < order.length) {
+                if (order(a).doc == pivot) order(a).advance(nxt)
+                a += 1
+              }
             }
           } else {
             // advance the laggards up to the pivot
@@ -231,16 +287,104 @@ object BlockMaxWand {
     top.result
   }
 
+  /** Exact-phrase top-k (ES `match_phrase` over analyzed text — positions
+    * are provisioned capability: the reference's template declares the
+    * comment/data fields `text`, `ElasticSearchStorage.cs:217,227,231`,
+    * and ES indexes positions on text fields by default).
+    *
+    * Scoring (mirrored bit-for-bit by NaiveBm25.phraseTopK and the DuckDB
+    * oracle): freq = number of exact phrase occurrences; score =
+    * idfSum · freq/(freq + k1·(1 − b + b·dl/avgdl)) where idfSum sums the
+    * idf of every phrase position (duplicated terms counted per
+    * occurrence) — Lucene PhraseQuery's shape.
+    *
+    * `iters` carry one PostingIter per DISTINCT phrase term in
+    * first-occurrence order (so offsets(0) contains 0); `offsets(j)` =
+    * the phrase indexes where distinct term j occurs. Retrieval is a
+    * leapfrog AND over the distinct terms (with doc-filter as an extra
+    * non-scoring conjunct), then a positional verify on aligned docs.
+    */
+  def phrase(
+      iters: Array[PostingIter],
+      offsets: Array[Array[Int]],
+      idfSum: Double,
+      k: Int,
+      filter: FilterIter = null
+  ): Array[Hit] = {
+    val top = new TopK(k)
+    if (iters.isEmpty || iters.exists(_.exhausted)) return Array.empty
+    val avgDl = iters(0).avgDocLen
+    var target = iters.map(_.doc).max
+    var done = false
+    while (!done) {
+      var aligned = true
+      if (filter != null) {
+        val c = filter.ceil(target)
+        if (c == Long.MaxValue) done = true
+        else if (c > target) { target = c; aligned = false }
+      }
+      var t = 0
+      while (t < iters.length && !done) {
+        iters(t).advance(target)
+        if (iters(t).exhausted) done = true
+        else if (iters(t).doc > target) { target = iters(t).doc; aligned = false }
+        t += 1
+      }
+      if (!done && aligned) {
+        val poss = iters.map(_.positions)
+        val freq = phraseFreq(poss, offsets)
+        if (freq > 0) {
+          val s = idfSum * impact(freq, iters(0).docLen, avgDl)
+          top.offer(Hit(target, s))
+        }
+        target += 1
+      }
+    }
+    top.result
+  }
+
+  /** Count exact phrase occurrences given per-distinct-term sorted
+    * position arrays. A start p counts iff ∀j ∀o∈offsets(j):
+    * (p+o) ∈ poss(j). Starts iterate poss(0) (offsets(0) contains 0).
+    */
+  def phraseFreq(poss: Array[Array[Int]], offsets: Array[Array[Int]]): Int = {
+    var freq = 0
+    var s = 0
+    while (s < poss(0).length) {
+      val start = poss(0)(s)
+      var ok = true
+      var j = 0
+      while (ok && j < poss.length) {
+        val offs = offsets(j)
+        var o = 0
+        while (ok && o < offs.length) {
+          if (java.util.Arrays.binarySearch(poss(j), start + offs(o)) < 0) ok = false
+          o += 1
+        }
+        j += 1
+      }
+      if (ok) freq += 1
+      s += 1
+    }
+    freq
+  }
+
   /** Top-k conjunctive (AND) retrieval: leapfrog intersection with block
     * skipping; exact scores summed in query-term order.
+    * `filter` (nullable) joins the leapfrog as a non-scoring conjunct.
     */
-  def and(iters: Array[PostingIter], k: Int): Array[Hit] = {
+  def and(iters: Array[PostingIter], k: Int, filter: FilterIter = null): Array[Hit] = {
     val top = new TopK(k)
     if (iters.isEmpty || iters.exists(_.exhausted)) return Array.empty
     var target = iters.map(_.doc).max
     var done = false
     while (!done) {
       var aligned = true
+      if (filter != null) {
+        val c = filter.ceil(target)
+        if (c == Long.MaxValue) done = true
+        else if (c > target) { target = c; aligned = false }
+      }
       var t = 0
       while (t < iters.length && !done) {
         iters(t).advance(target)

@@ -33,6 +33,19 @@ object NaiveBm25 {
       terms: Seq[String],
       mode: String,
       k: Int
+  ): Seq[Scored] = topKFiltered(corpus, terms, mode, k, null)
+
+  /** Filtered variant (ES filter-context semantics): `allowed` gates which
+    * docs may be RETURNED, but N/avgdl/df — and therefore every score —
+    * are computed over the FULL corpus, exactly like an ES bool query
+    * with a filter clause next to the scoring match clauses.
+    */
+  def topKFiltered(
+      corpus: Seq[(Long, String)],
+      terms: Seq[String],
+      mode: String,
+      k: Int,
+      allowed: Long => Boolean
   ): Seq[Scored] = {
     val analyzed = corpus.map { case (id, text) =>
       val (dl, tfs) = Analyzer.termFreqs(text)
@@ -51,8 +64,10 @@ object NaiveBm25 {
 
     val scored = analyzed.flatMap { case (id, dl, tfs) =>
       val present = terms.distinct.filter(tfs.contains)
-      val ok = if (mode == "and") present.size == terms.distinct.size
-               else present.nonEmpty
+      val ok = (allowed == null || allowed(id)) && {
+        if (mode == "and") present.size == terms.distinct.size
+        else present.nonEmpty
+      }
       if (!ok) None
       else {
         var s = 0.0
@@ -67,5 +82,50 @@ object NaiveBm25 {
     scored
       .sortBy(h => (-h.score, h.docId))
       .take(k)
+  }
+
+  /** Exhaustive exact-phrase oracle (BlockMaxWand.phrase contract:
+    * freq = phrase occurrences, idf summed per phrase position).
+    */
+  def phraseTopK(
+      corpus: Seq[(Long, String)],
+      phrase: Seq[String],
+      k: Int,
+      allowed: Long => Boolean = null
+  ): Seq[Scored] = {
+    val analyzed = corpus.map { case (id, text) => (id, Analyzer.tokenize(text)) }
+    val n = corpus.size.toLong
+    val avgDl = {
+      val total = analyzed.map(_._2.length.toLong).sum
+      if (n > 0 && total > 0) total.toDouble / n else 1.0
+    }
+    val dfs: Map[String, Long] = phrase.distinct.map { t =>
+      t -> analyzed.count { case (_, toks) => toks.contains(t) }.toLong
+    }.toMap
+    if (dfs.values.exists(_ == 0L)) return Nil
+    val idfSum = phrase.map(t => idf(n, dfs(t))).sum
+    val scored = analyzed.flatMap { case (id, toks) =>
+      if (allowed != null && !allowed(id)) None
+      else {
+        var freq = 0
+        var p = 0
+        while (p + phrase.length <= toks.length) {
+          var ok = true
+          var i = 0
+          while (ok && i < phrase.length) {
+            if (toks(p + i) != phrase(i)) ok = false
+            i += 1
+          }
+          if (ok) freq += 1
+          p += 1
+        }
+        if (freq == 0) None
+        else {
+          val dl = toks.length
+          Some(Scored(id, idfSum * (freq.toDouble / (freq + K1 * (1 - B + B * dl.toDouble / avgDl)))))
+        }
+      }
+    }
+    scored.sortBy(h => (-h.score, h.docId)).take(k)
   }
 }

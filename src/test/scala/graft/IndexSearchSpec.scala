@@ -91,6 +91,72 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("filtered BM25: keyword/date predicates rank-identical to filtered oracle") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // doc attributes keyed by the engine's docID (url sort rank)
+    val byUrl = (0L until NDocs).map(i => PagesGen.pageFor(i)).sortBy(_.url)
+    val langOf = byUrl.map(_.lang).toArray
+    val tsOf = byUrl.map(_.warc_ts).toArray
+    val cut = tsOf.sortBy(_.getTime).apply(NDocs.toInt / 3)
+    val cases: Seq[(Seq[String], String, org.apache.spark.sql.Column, Long => Boolean)] = Seq(
+      (Seq("w1", "w2"), "or", col("lang") === "ru", id => langOf(id.toInt) == "ru"),
+      (Seq("w0"), "or", col("lang") === "de", id => langOf(id.toInt) == "de"),
+      (Seq("w1", "w2"), "and", col("warc_ts") < lit(cut),
+        id => tsOf(id.toInt).before(cut)),
+      (Seq("w0", "w3"), "or",
+        col("lang") === "ru" && col("warc_ts") >= lit(cut),
+        id => langOf(id.toInt) == "ru" && !tsOf(id.toInt).before(cut)),
+      (Seq("w0"), "or", col("lang") === "zz", _ => false) // empty allow-list
+    )
+    cases.foreach { case (terms, mode, pred, allow) =>
+      val expected = NaiveBm25.topKFiltered(corpus, terms, mode, 10, allow)
+      val got = Search.topK(spark, dir.toString, terms, mode, 10, docFilter = pred)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.length == expected.length, s"$terms/$mode/$pred size: ${got.length} vs ${expected.length}")
+      expected.zip(got).zipWithIndex.foreach { case ((e, (gid, gs)), rank) =>
+        assert(gid == e.docId, s"$terms/$mode rank $rank docId: got $gid want ${e.docId}")
+        assert(math.abs(gs - e.score) < 1e-9, s"$terms/$mode rank $rank score")
+      }
+      // filtered scores must equal UNfiltered scores for the same docs
+      // (filter context never changes scoring — ES semantics)
+      val unfiltered = NaiveBm25.topK(corpus, terms, mode, NDocs.toInt)
+        .map(s => s.docId -> s.score).toMap
+      got.foreach { case (id, sc) =>
+        assert(math.abs(sc - unfiltered(id)) < 1e-12, s"score of $id changed under filter")
+      }
+    }
+  }
+
+  test("phrase top-k: rank-identical to naive phrase oracle (incl. dup terms, filters)") {
+    import org.apache.spark.sql.functions.col
+    val byUrl = (0L until NDocs).map(i => PagesGen.pageFor(i)).sortBy(_.url)
+    val langOf = byUrl.map(_.lang).toArray
+    val phrases: Seq[Seq[String]] = Seq(
+      Seq("w0", "w1"), Seq("w1", "w0"), Seq("w2", "w0", "w1"),
+      Seq("w0", "w0"), // duplicated term: idf counted per occurrence
+      Seq("w0"), // single-term phrase ≡ tf-scored term query
+      Seq("nosuchterm", "w1") // absent term → empty
+    )
+    var nonEmpty = 0
+    phrases.foreach { p =>
+      val expected = NaiveBm25.phraseTopK(corpus, p, 10)
+      val got = Search.phraseTopK(spark, dir.toString, p, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.length == expected.length, s"phrase $p size: ${got.length} vs ${expected.length}")
+      if (got.nonEmpty) nonEmpty += 1
+      expected.zip(got).zipWithIndex.foreach { case ((e, (gid, gs)), rank) =>
+        assert(gid == e.docId, s"phrase $p rank $rank docId: got $gid want ${e.docId}")
+        assert(math.abs(gs - e.score) < 1e-9, s"phrase $p rank $rank score")
+      }
+    }
+    assert(nonEmpty >= 2, "phrase coverage too trivial — corpus has no matching phrases")
+    // filtered phrase
+    val expectedF = NaiveBm25.phraseTopK(corpus, Seq("w0", "w1"), 10, id => langOf(id.toInt) == "en")
+    val gotF = Search.phraseTopK(spark, dir.toString, Seq("w0", "w1"), 10, docFilter = col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(gotF.map(_._1).toSeq == expectedF.map(_.docId))
+  }
+
   test("batched Searcher: whole query set in one job, rank-identical to oracle") {
     val searcher = new graft.query.Searcher(spark, dir.toString)
     val batch = queries.zipWithIndex.map { case ((terms, mode), i) =>
