@@ -119,7 +119,8 @@ object Bench {
 
     // ---- part 3: BM25 query throughput over the big index --------------
     spark = session(cpus)
-    val searcher = new graft.query.Searcher(spark, dir32)
+    // bench index (1.92M docs) fits memory — the documented cache opt-in
+    val searcher = new graft.query.Searcher(spark, dir32, cachePostings = true)
     val baseQueries: Seq[(Seq[String], String)] = Seq(
       (Seq("w0"), "or"), (Seq("w1", "w2"), "or"), (Seq("w1", "w2"), "and"),
       (Seq("w0", "w4999"), "or"), (Seq("rareterm7"), "or"),

@@ -106,4 +106,100 @@ object SegmentMerge {
     }
     IndexBuilder.buildGroups(spark, outDir, cfg, groupInput)
   }
+
+  /** DECODE-FREE merge: concatenate segments into one physical index by
+    * pure column remaps — posting payloads (base-relative gaps, tf/dl/pos
+    * streams) are copied verbatim, never decoded or re-encoded. This is
+    * the Lucene-style "stacked segments" merge: doc ranges concatenate
+    * (segment i's ids shift by Σ n_docs of its predecessors), slices and
+    * groups renumber by per-segment offsets, so slices remain disjoint doc
+    * ranges and every WAND invariant holds.
+    *
+    * vs [[merge]]: merge() restages and rebuilds — byte-identical to a
+    * from-scratch build of the union, at ~rebuild cost. fastMerge() is
+    * I/O-bound (read blocks, update 4 small columns, write) and yields
+    * RANK-IDENTICAL search results (tested), with `max_impact` re-derived
+    * from the avgdl-independent max_tf/min_dl bounds at the union's avgdl
+    * (a valid, marginally looser skip bound).
+    */
+  def fastMerge(
+      spark: SparkSession,
+      segDirs: Seq[String],
+      outDir: String
+  ): Unit = {
+    import spark.implicits._
+    require(segDirs.nonEmpty)
+    if (IndexBuilder.completedUnits(outDir).contains("done")) return
+
+    val metas = segDirs.map(IndexBuilder.readMeta)
+    val stats = segDirs.map(IndexBuilder.readStats(spark, _))
+    val bases = stats.map(_.n_docs).scanLeft(0L)(_ + _).init
+    val sliceOffs = metas.map(_.nSlices).scanLeft(0)(_ + _).init
+    val grpOffs = metas.map(_.nGroups).scanLeft(0)(_ + _).init
+    val nDocs = stats.map(_.n_docs).sum
+    val totalTokens = stats.map(_.total_tokens).sum
+    val avgDl = if (nDocs > 0 && totalTokens > 0) totalTokens.toDouble / nDocs else 1.0
+
+    IndexBuilder.writeMeta(
+      outDir,
+      IndexBuilder.BuildConfig(
+        nGroups = metas.map(_.nGroups).sum,
+        nSlices = metas.map(_.nSlices).sum,
+        blockSize = metas.map(_.blockSize).max,
+        positions = metas.forall(_.positions)
+      )
+    )
+
+    // docs: ids shift by base, slice/grp renumber — still disjoint ranges
+    segDirs.zipWithIndex
+      .map { case (d, i) =>
+        spark.read.option("basePath", s"$d/docs").parquet(s"$d/docs")
+          .select($"doc_id", $"url", $"warc_ts", $"lang", $"doc_len", $"slice", $"grp")
+          .withColumn("doc_id", $"doc_id" + bases(i))
+          .withColumn("slice", $"slice" + sliceOffs(i))
+          .withColumn("grp", $"grp".cast("int") + grpOffs(i))
+      }
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("grp")
+      .parquet(s"$outDir/docs")
+
+    Seq(CorpusStats(nDocs, avgDl, totalTokens)).toDS()
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
+
+    // postings: payloads verbatim; columns remapped; max_impact re-derived
+    // for the union avgdl from the avgdl-independent block bounds
+    val k1 = IndexBuilder.K1
+    val b = IndexBuilder.B
+    segDirs.zipWithIndex
+      .map { case (d, i) =>
+        IndexBuilder.readPostings(spark, d)
+          .withColumn("grp", $"grp".cast("int") + grpOffs(i))
+          .withColumn("slice", $"slice" + sliceOffs(i))
+          .withColumn("doc_id_min", $"doc_id_min" + bases(i))
+          .withColumn("doc_id_max", $"doc_id_max" + bases(i))
+          .withColumn(
+            "max_impact",
+            $"max_tf".cast("double") /
+              ($"max_tf".cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * $"min_dl".cast("double") / lit(avgDl)))
+          )
+      }
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("grp")
+      .option("compression", sys.env.getOrElse("GRAFT_POSTINGS_CODEC", "uncompressed"))
+      .parquet(s"$outDir/postings")
+
+    // term dictionary: Σ per-segment (df, tf) per term
+    segDirs
+      .map(d => IndexBuilder.readTerms(spark, d).toDF())
+      .reduce(_ unionByName _)
+      .groupBy($"term")
+      .agg(sum($"doc_freq").as("doc_freq"), sum($"total_tf").as("total_tf"))
+      .repartitionByRange(4, $"term")
+      .sortWithinPartitions("term")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
+
+    IndexBuilder.commitUnitPublic(outDir, "done")
+  }
 }

@@ -1,0 +1,122 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Page
+import graft.index.IndexBuilder.BuildConfig
+import graft.query.MultiSearcher
+
+/** Time-bucketed index family — the engine's rendition of the reference's
+  * ES time routing: rows land in `{prefix}-yyyyMM(dd/hh)` indices
+  * (`ElasticSearchStorage.cs:293-320`) precisely so date-ranged queries
+  * PRUNE whole indices. Here: one immutable index segment per
+  * `month(warc_ts)`, a JSON manifest of (bucket, n_docs), and a searcher
+  * that selects only the buckets overlapping a date range (segment-level
+  * partition pruning), applying the exact predicate in-WAND as the
+  * residual filter.
+  *
+  * Build shape at scale: ONE pass stages pages partitioned by bucket
+  * (shuffle-free `partitionBy` write), then each bucket's build reads its
+  * own partition with pruning — the same bounded-failure-domain trade the
+  * per-group build makes, now along the time axis. docID spaces are
+  * per-segment; global ids = manifest-order base offsets (stable under
+  * any pruning selection).
+  */
+object TimeBuckets {
+
+  final case class Bucket(bucket: String, dir: String, n_docs: Long)
+
+  private def manifestPath(root: String) = Paths.get(root, "buckets.json")
+
+  def readManifest(root: String): Seq[Bucket] = {
+    val p = manifestPath(root)
+    if (!Files.exists(p)) return Nil
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    """\{"bucket":"(\d+)","n_docs":(\d+)\}""".r
+      .findAllMatchIn(s)
+      .map(m => Bucket(m.group(1), s"$root/seg-${m.group(1)}", m.group(2).toLong))
+      .toSeq
+  }
+
+  /** Build (or resume) one index segment per month(warc_ts). */
+  def build(
+      spark: SparkSession,
+      pages: Dataset[Page],
+      root: String,
+      cfg: BuildConfig = BuildConfig()
+  ): Seq[Bucket] = {
+    import spark.implicits._
+    if (readManifest(root).nonEmpty) return readManifest(root)
+
+    // one staging pass: pages partitioned by bucket (ES routing analog)
+    val staged = s"$root/staged_pages"
+    if (!IndexBuilder.completedUnits(root).contains("staged_pages")) {
+      pages.toDF()
+        .withColumn("bucket", date_format($"warc_ts", "yyyyMM"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(staged)
+      IndexBuilder.commitUnitPublic(root, "staged_pages")
+    }
+    val buckets = spark.read.parquet(staged)
+      .select($"bucket").distinct().as[String].collect().sorted
+
+    val built = buckets.map { b =>
+      val dir = s"$root/seg-$b"
+      // partition-pruned read: only this bucket's pages
+      val segPages = spark.read.option("basePath", staged).parquet(staged)
+        .where($"bucket" === b)
+        .select($"url", $"warc_ts", $"html", $"text", $"lang")
+        .as[Page]
+      IndexBuilder.build(spark, segPages, dir, cfg)
+      Bucket(b, dir, IndexBuilder.readStats(spark, dir).n_docs)
+    }
+    val json = built
+      .map(b => s"""{"bucket":"${b.bucket}","n_docs":${b.n_docs}}""")
+      .mkString("[", ",", "]")
+    Files.write(manifestPath(root), json.getBytes(StandardCharsets.UTF_8))
+    built.toSeq
+  }
+
+  /** Buckets overlapping [from, to) — month-granularity segment pruning. */
+  def selectBuckets(
+      root: String,
+      from: java.sql.Timestamp,
+      to: java.sql.Timestamp
+  ): Seq[Bucket] = {
+    val fmt = new java.text.SimpleDateFormat("yyyyMM")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val lo = fmt.format(from)
+    val hi = fmt.format(new java.sql.Timestamp(to.getTime - 1))
+    readManifest(root).filter(b => b.bucket >= lo && b.bucket <= hi)
+  }
+
+  /** Searcher over the buckets overlapping [from, to): whole non-matching
+    * segments are never opened (the pruning win), and callers pass the
+    * exact `warc_ts` predicate as the searcher's docFilter for the
+    * residual intra-month cut. Global docIDs use manifest-order bases, so
+    * answers are stable regardless of how many buckets were pruned.
+    */
+  def searcher(
+      spark: SparkSession,
+      root: String,
+      from: java.sql.Timestamp,
+      to: java.sql.Timestamp
+  ): (MultiSearcher, Seq[Bucket]) = {
+    val all = readManifest(root)
+    val bases = all.map(_.n_docs).scanLeft(0L)(_ + _).init
+    val baseOf = all.map(_.bucket).zip(bases).toMap
+    val picked = selectBuckets(root, from, to)
+    require(picked.nonEmpty, s"no index buckets overlap [$from, $to)")
+    // stats/df over the FULL family: pruning is a pure I/O optimization —
+    // scores must equal the unpruned family's (only term-dict rows of
+    // pruned buckets are touched, never their posting blocks)
+    (new MultiSearcher(
+      spark, picked.map(_.dir),
+      Some(picked.map(b => baseOf(b.bucket))),
+      Some(all.map(_.dir))
+    ), picked)
+  }
+}

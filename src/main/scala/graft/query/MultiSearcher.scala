@@ -1,0 +1,237 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.IndexBuilder
+import graft.query.BlockMaxWand.{BlockRef, FilterIter, PostingIter}
+
+/** Query N immutable index segments as ONE logical index — no physical
+  * merge (≙ Elasticsearch serving a search across its `{prefix}-yyyyMMdd`
+  * indices, `ElasticSearchStorage.cs:293-320`; streaming micro-batch
+  * segments become queryable the moment they commit).
+  *
+  * Semantics (rank-identical to searching the physically merged index):
+  *   - global stats: N = Σ n_docs, avgdl = Σ tokens / N;
+  *   - global df(t) = Σ per-segment df(t) → one idf per term;
+  *   - output docIDs are global: segment base offset + local id — the
+  *     SAME remap [[graft.index.SegmentMerge]] applies, so answers match
+  *     the merged index exactly;
+  *   - WAND bounds: stored per-block `max_impact` is exact only at each
+  *     segment's own avgdl, so cross-segment bounds are derived from the
+  *     avgdl-independent `max_tf`/`min_dl` block columns (impact is
+  *     monotone ↑tf ↓dl ⇒ impact(max_tf, min_dl, globalAvgdl) bounds every
+  *     posting for the global avgdl). Bounds only gate skips — scores are
+  *     always exact.
+  *
+  * Scale shape: one job; the only shuffle moves the matched posting
+  * blocks (and filter ids) of all segments keyed by (segment, slice) —
+  * disjoint doc ranges, so per-key local top-k union ⊇ global top-k and
+  * the final merge is exact over (Σ nSlices)·k rows.
+  *
+  * `explicitBases`: global docID base per segment. Defaults to cumulative
+  * n_docs in `segmentDirs` order; pass absolute bases when querying a
+  * SUBSET of a larger segment family (e.g. time-bucket pruning) so global
+  * ids stay stable across selections.
+  *
+  * `statsFamily`: the FULL segment family to compute N/avgdl/df over when
+  * `segmentDirs` is a pruned subset — pruning must be a pure I/O
+  * optimization, so scores (which depend on corpus stats) must equal the
+  * unpruned family's. Defaults to `segmentDirs`. (Term-dict lookups over
+  * non-selected segments are tiny — posting blocks of pruned segments are
+  * still never opened.)
+  */
+final class MultiSearcher(
+    spark: SparkSession,
+    segmentDirs: Seq[String],
+    explicitBases: Option[Seq[Long]] = None,
+    statsFamily: Option[Seq[String]] = None
+) {
+  import spark.implicits._
+  require(segmentDirs.nonEmpty, "no segments")
+
+  private val segStats = segmentDirs.map(IndexBuilder.readStats(spark, _))
+  private val familyDirs = statsFamily.getOrElse(segmentDirs)
+  private val familyStats =
+    if (statsFamily.isEmpty) segStats
+    else familyDirs.map(IndexBuilder.readStats(spark, _))
+  val bases: Seq[Long] =
+    explicitBases.getOrElse(segStats.map(_.n_docs).scanLeft(0L)(_ + _).init)
+  require(bases.length == segmentDirs.length)
+  val nDocs: Long = familyStats.map(_.n_docs).sum
+  private val totalTokens = familyStats.map(_.total_tokens).sum
+  val avgDl: Double =
+    if (nDocs > 0 && totalTokens > 0) totalTokens.toDouble / nDocs else 1.0
+
+  /** Global df per query term: Σ over the stats family (one tiny job;
+    * per-segment terms tables are term-sorted parquet → pushdown each).
+    */
+  def dfOf(queryTerms: Seq[String]): Map[String, Long] = {
+    val t = queryTerms.distinct
+    familyDirs
+      .map(d =>
+        IndexBuilder.readTerms(spark, d).where($"term".isin(t: _*)).toDF())
+      .reduce(_ unionByName _)
+      .groupBy($"term").agg(sum($"doc_freq").as("df"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+  }
+
+  private type BlockRow =
+    (Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Int, Int)
+
+  /** Matched blocks of all segments, keyed by (seg, slice); the WAND bound
+    * column is derived from max_tf/min_dl at the GLOBAL avgdl.
+    */
+  private def segBlocks(terms: Seq[String]): org.apache.spark.sql.Dataset[BlockRow] =
+    segmentDirs.zipWithIndex
+      .map { case (d, i) =>
+        IndexBuilder.readPostings(spark, d)
+          .where($"term".isin(terms: _*))
+          .select(
+            lit(i).as("seg"), $"slice", $"term", $"block_id", $"doc_id_min",
+            $"doc_id_max", $"count", $"deltas", $"tfs", $"dls", $"poss",
+            $"max_tf", $"min_dl"
+          )
+      }
+      .reduce(_ unionByName _)
+      .as[BlockRow]
+
+  /** BM25 top-k over all segments; `docFilter` applies to every segment's
+    * docs table (ES filter context; scores unchanged).
+    */
+  def topK(
+      queryTerms: Seq[String],
+      mode: String,
+      k: Int,
+      docFilter: Column = null
+  ): DataFrame = {
+    val terms = queryTerms.distinct
+    val dfs = dfOf(terms)
+    if (mode == "and" && terms.exists(t => !dfs.contains(t)))
+      return spark.emptyDataset[Search.QueryHit].toDF()
+    val present = terms.filter(dfs.contains)
+    if (present.isEmpty) return spark.emptyDataset[Search.QueryHit].toDF()
+
+    val n = nDocs
+    val idfs = terms.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
+    val bTerms = spark.sparkContext.broadcast((terms.toArray, idfs))
+    val bBases = spark.sparkContext.broadcast(bases.toArray)
+    val avg = avgDl
+    val isAnd = mode == "and"
+
+    def wand(seg: Int, rows: Iterator[BlockRow], filter: FilterIter): Iterator[Search.QueryHit] = {
+      val (qTerms, qIdfs) = bTerms.value
+      val byTerm = rows.toArray.groupBy(_._3)
+      val iters = qTerms.iterator.zipWithIndex.flatMap { case (t, ti) =>
+        byTerm.get(t).map { rs =>
+          val refs = rs
+            .sortBy(r => (r._5, r._4))
+            .map(r =>
+              BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11,
+                IndexBuilder.impact(r._12, r._13, avg)))
+          new PostingIter(ti, qIdfs(ti), refs, avg)
+        }
+      }.toArray
+      val hits =
+        if (isAnd) {
+          if (iters.length < qTerms.length) Array.empty[BlockMaxWand.Hit]
+          else BlockMaxWand.and(iters, k, filter)
+        } else BlockMaxWand.or(iters, k, filter)
+      val base = bBases.value(seg)
+      hits.iterator.map(h => Search.QueryHit(base + h.docId, h.score))
+    }
+
+    val blocks = segBlocks(present)
+    val localTopK =
+      if (docFilter == null)
+        blocks
+          .groupByKey(r => (r._1, r._2))
+          .flatMapGroups { (key, rows) => wand(key._1, rows, null) }
+      else {
+        val filterIds = segmentDirs.zipWithIndex
+          .map { case (d, i) =>
+            spark.read.parquet(s"$d/docs")
+              .where(docFilter)
+              .select(lit(i).as("seg"), $"slice".cast("int"), $"doc_id")
+          }
+          .reduce(_ unionByName _)
+          .as[(Int, Int, Long)]
+        blocks
+          .groupByKey(r => (r._1, r._2))
+          .cogroup(filterIds.groupByKey(r => (r._1, r._2))) { (key, rows, fids) =>
+            val allow = fids.map(_._3).toArray
+            if (allow.isEmpty) Iterator.empty
+            else {
+              java.util.Arrays.sort(allow)
+              wand(key._1, rows, new FilterIter(allow))
+            }
+          }
+      }
+
+    localTopK.toDF().orderBy(desc("score"), asc("doc_id")).limit(k)
+  }
+
+  /** Exact-phrase top-k across segments (BlockMaxWand.phrase contract). */
+  def phraseTopK(
+      phraseTerms: Seq[String],
+      k: Int,
+      docFilter: Column = null
+  ): DataFrame = {
+    val distinctTerms = phraseTerms.distinct
+    val offsets: Array[Array[Int]] = distinctTerms.map { t =>
+      phraseTerms.zipWithIndex.collect { case (pt, i) if pt == t => i }.toArray
+    }.toArray
+    val dfs = dfOf(distinctTerms)
+    if (distinctTerms.exists(t => !dfs.contains(t)))
+      return spark.emptyDataset[Search.QueryHit].toDF()
+    val idfSum = phraseTerms.map(t => NaiveBm25.idf(nDocs, dfs(t))).sum
+    val bCtx = spark.sparkContext.broadcast((distinctTerms.toArray, offsets, idfSum))
+    val bBases = spark.sparkContext.broadcast(bases.toArray)
+    val avg = avgDl
+
+    def run(seg: Int, rows: Iterator[BlockRow], filter: FilterIter): Iterator[Search.QueryHit] = {
+      val (qTerms, offs, idfS) = bCtx.value
+      val byTerm = rows.toArray.groupBy(_._3)
+      if (!qTerms.forall(byTerm.contains)) return Iterator.empty
+      val iters = qTerms.map { t =>
+        val refs = byTerm(t)
+          .sortBy(r => (r._5, r._4))
+          .map(r =>
+            BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11,
+              IndexBuilder.impact(r._12, r._13, avg)))
+        new PostingIter(0, 0.0, refs, avg)
+      }
+      val base = bBases.value(seg)
+      BlockMaxWand.phrase(iters, offs, idfS, k, filter)
+        .iterator.map(h => Search.QueryHit(base + h.docId, h.score))
+    }
+
+    val blocks = segBlocks(distinctTerms)
+    val localTopK =
+      if (docFilter == null)
+        blocks.groupByKey(r => (r._1, r._2)).flatMapGroups { (key, rows) => run(key._1, rows, null) }
+      else {
+        val filterIds = segmentDirs.zipWithIndex
+          .map { case (d, i) =>
+            spark.read.parquet(s"$d/docs")
+              .where(docFilter)
+              .select(lit(i).as("seg"), $"slice".cast("int"), $"doc_id")
+          }
+          .reduce(_ unionByName _)
+          .as[(Int, Int, Long)]
+        blocks
+          .groupByKey(r => (r._1, r._2))
+          .cogroup(filterIds.groupByKey(r => (r._1, r._2))) { (key, rows, fids) =>
+            val allow = fids.map(_._3).toArray
+            if (allow.isEmpty) Iterator.empty
+            else {
+              java.util.Arrays.sort(allow)
+              run(key._1, rows, new FilterIter(allow))
+            }
+          }
+      }
+
+    localTopK.toDF().orderBy(desc("score"), asc("doc_id")).limit(k)
+  }
+}

@@ -7,9 +7,15 @@ import graft.index.IndexBuilder
 import graft.query.BlockMaxWand.{BlockRef, PostingIter}
 
 /** Reusable query-session over one index: corpus stats and the term
-  * dictionary are loaded once, posting blocks are Spark-cached (in-memory
-  * columnar, LRU-evicted — at 10^12 docs only the hot fraction stays
-  * resident, which is exactly what a serving tier wants).
+  * dictionary are loaded once.
+  *
+  * `cachePostings` (default OFF): opt-in Spark cache of the posting table
+  * for serving tiers whose index fits the cluster's storage memory —
+  * worth it when the same index answers many batches (the bench's shape).
+  * It is NOT the default because the first query against a 100-TB index
+  * would churn the entire cache through the LRU for no benefit; uncached,
+  * repeated reads still hit the OS page cache and parquet row-group
+  * skipping serves only the matched terms' blocks.
   *
   * [[topKBatch]] answers a whole query SET in one Spark job: the only
   * shuffle moves the matched posting blocks of all queries' terms, grouped
@@ -18,7 +24,7 @@ import graft.query.BlockMaxWand.{BlockRef, PostingIter}
   * north rule's "query set" is measured on. [[Search.topK]] remains the
   * single-ad-hoc-query path.
   */
-final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boolean = true) {
+final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boolean = false) {
   import spark.implicits._
 
   val stats = IndexBuilder.readStats(spark, indexDir)

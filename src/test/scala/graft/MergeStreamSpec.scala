@@ -58,6 +58,54 @@ class MergeStreamSpec extends AnyFunSuite {
     val docsM = IndexBuilder.readDocs(spark, dM).collect().sortBy(_.doc_id).toSeq
     val docsU = IndexBuilder.readDocs(spark, dU).collect().sortBy(_.doc_id).toSeq
     assert(docsM == docsU)
+
+    // query the two segments DIRECTLY (no physical merge) — global stats,
+    // base-offset docIDs: rank-identical to the merged index
+    val ms = new graft.query.MultiSearcher(spark, Seq(dA, dB))
+    Seq((Seq("w0", "w3"), "or"), (Seq("w1", "w2"), "and"), (Seq("w0"), "or")).foreach {
+      case (terms, mode) =>
+        val viaMerged = Search.topK(spark, dU, terms, mode, 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        val viaSegs = ms.topK(terms, mode, 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(viaSegs.map(_._1).toSeq == viaMerged.map(_._1).toSeq, s"$terms/$mode ids")
+        viaMerged.zip(viaSegs).foreach { case ((_, a), (_, b)) =>
+          assert(math.abs(a - b) < 1e-9, s"$terms/$mode score")
+        }
+    }
+    // phrase across segments
+    val phM = Search.phraseTopK(spark, dU, Seq("w0", "w1"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val phS = ms.phraseTopK(Seq("w0", "w1"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(phS.map(_._1).toSeq == phM.map(_._1).toSeq)
+    // filtered across segments (lang is constant "en" here — use a date cut)
+    val cut = new java.sql.Timestamp(1609459200000L + 350 * 1000L)
+    val fM = Search.topK(spark, dU, Seq("w0", "w3"), "or", 10,
+      docFilter = col("warc_ts") < lit(cut)).collect().map(_.getLong(0))
+    val fS = ms.topK(Seq("w0", "w3"), "or", 10,
+      docFilter = col("warc_ts") < lit(cut)).collect().map(_.getLong(0))
+    assert(fS.toSeq == fM.toSeq)
+
+    // decode-free fastMerge: pure column remaps, payloads verbatim —
+    // rank-identical search results on the stacked index
+    val dF = Files.createTempDirectory("seg-f").toString
+    SegmentMerge.fastMerge(spark, Seq(dA, dB), dF)
+    val sF = IndexBuilder.readStats(spark, dF)
+    assert(sF == IndexBuilder.readStats(spark, dU))
+    Seq((Seq("w0", "w3"), "or"), (Seq("w1", "w2"), "and")).foreach { case (terms, mode) =>
+      val viaMerged = Search.topK(spark, dU, terms, mode, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val viaFast = Search.topK(spark, dF, terms, mode, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(viaFast.map(_._1).toSeq == viaMerged.map(_._1).toSeq, s"fastMerge $terms/$mode")
+      viaMerged.zip(viaFast).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-9, s"fastMerge $terms/$mode score")
+      }
+    }
+    val phF = Search.phraseTopK(spark, dF, Seq("w0", "w1"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(phF.map(_._1).toSeq == phM.map(_._1).toSeq, "fastMerge phrase")
   }
 
   test("streaming ingest: per-batch segments + checkpoint resume + merged query correctness") {
@@ -97,6 +145,49 @@ class MergeStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.map(_._1).toSeq == expected.map(_.docId))
     expected.zip(got).foreach { case (e, (_, s)) => assert(math.abs(s - e.score) < 1e-9) }
+
+    // the live-serving path: query the streaming segments DIRECTLY (what
+    // ES does across its per-bucket indices) — no merge step at all —
+    // and match the merged-index answer rank-for-rank
+    val live = new graft.query.MultiSearcher(spark, segDirs.map(s => s"$idxDir/$s").toSeq)
+    val gotLive = live.topK(Seq("w0", "w3"), "or", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(gotLive.map(_._1).toSeq == expected.map(_.docId), "segments-direct ids")
+    expected.zip(gotLive).foreach { case (e, (_, s)) => assert(math.abs(s - e.score) < 1e-9) }
+  }
+
+  test("time-bucketed index family: date-ranged search prunes whole month segments") {
+    import graft.index.TimeBuckets
+    val root = Files.createTempDirectory("graft-buckets").toString
+    // pages interleaved across 3 months (2021-01/02/03)
+    val pages = spark.range(0, 300, 1, 4).map { i =>
+      val month = (i % 3).toInt
+      val ts = new java.sql.Timestamp(1609459200000L + month * 31L * 86400000L + i * 60000L)
+      val text = PagesGen.textFor(i)
+      val url = f"doc://$i%08d"
+      Page(url, ts, HtmlText.wrap(url, text), text, "en")
+    }
+    val cfg = BuildConfig(nPartitions = 4, nGroups = 1, nSlices = 2, blockSize = 32)
+    val buckets = TimeBuckets.build(spark, pages, root, cfg)
+    assert(buckets.map(_.bucket) == Seq("202101", "202102", "202103"))
+    assert(buckets.map(_.n_docs).sum == 300)
+
+    val feb1 = java.sql.Timestamp.valueOf("2021-02-01 00:00:00")
+    val mar1 = java.sql.Timestamp.valueOf("2021-03-01 00:00:00")
+    val (pruned, picked) = TimeBuckets.searcher(spark, root, feb1, mar1)
+    assert(picked.map(_.bucket) == Seq("202102"), s"pruning picked ${picked.map(_.bucket)}")
+
+    // pruned answer ≡ querying ALL segments with the same date predicate
+    // (global ids stable because bases come from the full manifest)
+    val all = new graft.query.MultiSearcher(spark, buckets.map(_.dir))
+    val pred = col("warc_ts") >= lit(feb1) && col("warc_ts") < lit(mar1)
+    val viaAll = all.topK(Seq("w0", "w1"), "or", 10, docFilter = pred)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaPruned = pruned.topK(Seq("w0", "w1"), "or", 10, docFilter = pred)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaAll.nonEmpty)
+    assert(viaPruned.map(_._1).toSeq == viaAll.map(_._1).toSeq)
+    viaAll.zip(viaPruned).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
   }
 
   test("streaming stateful dedup: duplicates dropped across micro-batches and restarts") {
