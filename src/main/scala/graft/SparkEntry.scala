@@ -23,25 +23,45 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   private val indexDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  def documentsAsPages(spark: SparkSession, sfDir: String) = {
+  def documentsAsPages(
+      spark: SparkSession, sfDir: String, textOf: String => String = identity
+  ) = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text", $"lang")
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
         val url = f"doc://$id%012d"
-        Page(url, new Timestamp(1609459200000L + id * 60000L), HtmlText.wrap(url, text), text, lang)
+        val t = textOf(text)
+        Page(url, new Timestamp(1609459200000L + id * 60000L), HtmlText.wrap(url, t), t, lang)
       }
   }
+
+  private val GateConfig = BuildConfig(nPartitions = 16, nGroups = 2, nSlices = 4, blockSize = 128)
 
   def indexFor(spark: SparkSession, sfDir: String): String =
     indexDirs.getOrElseUpdate(sfDir, {
       val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
       val dir = s"/tmp/graft-index/$name"
       if (!IndexBuilder.completedUnits(dir).contains("done")) {
+        IndexBuilder.build(spark, documentsAsPages(spark, sfDir), dir, GateConfig)
+      }
+      dir
+    })
+
+  /** Second analyzed field over the same docs ("title" = first 5 tokens —
+    * ≙ the reference's comment/data/dataPresentation field family): its
+    * own index sharing the docID space (urls identical ⇒ identical ids).
+    */
+  def titleIndexFor(spark: SparkSession, sfDir: String): String =
+    indexDirs.getOrElseUpdate(s"$sfDir#title", {
+      val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"/tmp/graft-index/$name-title"
+      if (!IndexBuilder.completedUnits(dir).contains("done")) {
         IndexBuilder.build(
-          spark, documentsAsPages(spark, sfDir), dir,
-          BuildConfig(nPartitions = 16, nGroups = 2, nSlices = 4, blockSize = 128)
+          spark,
+          documentsAsPages(spark, sfDir, t => t.split(" ").take(5).mkString(" ")),
+          dir, GateConfig
         )
       }
       dir
@@ -119,6 +139,19 @@ object SparkEntry {
     "q_bm25_filtered_kw" -> { (s, dir) =>
       import s.implicits._
       Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, docFilter = $"lang" === "es")
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // fielded search: two analyzed fields (title boost 2.0, body 1.0),
+    // per-field stats, most_fields combination (≙ ES multi_match over the
+    // comment/data/dataPresentation field family)
+    "q_bm25_fielded" -> { (s, dir) =>
+      import s.implicits._
+      import graft.query.FieldedSearch
+      val fields = Seq(
+        FieldedSearch.Field("title", titleIndexFor(s, dir), 2.0),
+        FieldedSearch.Field("body", indexFor(s, dir), 1.0)
+      )
+      FieldedSearch.topK(s, fields, QueryOr, 10)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
     // exact-phrase top-k (≙ ES match_phrase over an analyzed text field;
@@ -349,6 +382,48 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY sco
 SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY score DESC, doc_id LIMIT 10"""
   }
 
+  /** Fielded most_fields oracle: title = first 5 tokens (boost 2.0), body
+    * = full text (boost 1.0); per-field tf/df/dl/avgdl; score = Σ_f
+    * boost·idf·impact; candidates = any field matches.
+    */
+  private def fieldedOracleSql(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tdoc AS (
+  SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS text FROM documents
+), btoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), ttoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM tdoc WHERE text <> ''
+), bdl AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY 1
+), tdl AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY 1
+), ball AS (SELECT d.doc_id, coalesce(bdl.dl, 0) AS dl FROM documents d LEFT JOIN bdl USING (doc_id)
+), tall AS (SELECT d.doc_id, coalesce(tdl.dl, 0) AS dl FROM documents d LEFT JOIN tdl USING (doc_id)
+), bstats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM ball
+), tstats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM tall
+), btf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM btoks WHERE term IN ($inList) GROUP BY 1, 2
+), ttf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ttoks WHERE term IN ($inList) GROUP BY 1, 2
+), bdf AS (SELECT term, count(*)::DOUBLE AS df FROM btf GROUP BY 1
+), tdf AS (SELECT term, count(*)::DOUBLE AS df FROM ttf GROUP BY 1
+), bscore AS (
+  SELECT btf.doc_id,
+         sum(1.0 * ln(1 + (s.n - bdf.df + 0.5) / (bdf.df + 0.5))
+             * (btf.tf / (btf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.dl / s.avgdl)))) AS sc
+  FROM btf JOIN bdf USING (term) JOIN ball ad ON ad.doc_id = btf.doc_id CROSS JOIN bstats s
+  GROUP BY 1
+), tscore AS (
+  SELECT ttf.doc_id,
+         sum(2.0 * ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+             * (ttf.tf / (ttf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.dl / s.avgdl)))) AS sc
+  FROM ttf JOIN tdf USING (term) JOIN tall ad ON ad.doc_id = ttf.doc_id CROSS JOIN tstats s
+  GROUP BY 1
+), merged AS (
+  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+         coalesce(t.sc, 0) + coalesce(b.sc, 0) AS score
+  FROM tscore t FULL OUTER JOIN bscore b ON t.doc_id = b.doc_id
+)
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM merged ORDER BY score DESC, doc_id LIMIT 10"""
+  }
+
   def oracleSql: Map[String, String] = OpsQueries.oracleSql ++ Map(
     "q_doc_stats" ->
       """SELECT doc_id, coalesce(len(string_split(text, ' ')), 0) AS doc_len
@@ -375,6 +450,7 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY sco
     "q_bm25_topk_and" -> bm25OracleSql(QueryAnd, and = true),
     "q_bm25_filtered_kw" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang = 'es'"),
     "q_bm25_phrase" -> phraseOracleSql(QueryPhrase),
+    "q_bm25_fielded" -> fieldedOracleSql(QueryOr),
     // the gate index synthesizes warc_ts = epoch(2021-01-01) + doc_id
     // minutes (SparkEntry.documentsAsPages), so the oracle derives the
     // same timestamp from doc_id and applies the SAME date predicate

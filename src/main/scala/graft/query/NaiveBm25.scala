@@ -84,6 +84,50 @@ object NaiveBm25 {
       .take(k)
   }
 
+  /** Exhaustive fielded-search oracle (FieldedSearch contract — ES
+    * `most_fields`): per-field stats, score = Σ_f boost_f · Σ_t
+    * idf_f(t)·impact, candidates = any (field, term) match, sums in
+    * fields-outer × terms-inner order.
+    */
+  def fieldedTopK(
+      fieldCorpora: Seq[(Seq[(Long, String)], Double)], // (docId→fieldText, boost)
+      terms: Seq[String],
+      k: Int
+  ): Seq[Scored] = {
+    val ts = terms.distinct
+    val perField = fieldCorpora.map { case (corpus, boost) =>
+      val analyzed = corpus.map { case (id, text) =>
+        val (dl, tfs) = Analyzer.termFreqs(text)
+        (id, dl, tfs.toMap)
+      }
+      val n = corpus.size.toLong
+      val avgDl = {
+        val total = analyzed.map(_._2.toLong).sum
+        if (n > 0 && total > 0) total.toDouble / n else 1.0
+      }
+      val idfs = ts.map { t =>
+        t -> idf(n, analyzed.count { case (_, _, tfs) => tfs.contains(t) }.toLong)
+      }.toMap
+      (analyzed.map(a => a._1 -> ((a._2, a._3))).toMap, avgDl, idfs, boost)
+    }
+    val ids = fieldCorpora.head._1.map(_._1)
+    val scored = ids.flatMap { id =>
+      var s = 0.0
+      var any = false
+      perField.foreach { case (docs, avgDl, idfs, boost) =>
+        val (dl, tfs) = docs(id)
+        ts.foreach { t =>
+          tfs.get(t).foreach { tf =>
+            any = true
+            s += boost * idfs(t) * (tf / (tf + K1 * (1 - B + B * dl / avgDl)))
+          }
+        }
+      }
+      if (any) Some(Scored(id, s)) else None
+    }
+    scored.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
   /** Exhaustive exact-phrase oracle (BlockMaxWand.phrase contract:
     * freq = phrase occurrences, idf summed per phrase position).
     */

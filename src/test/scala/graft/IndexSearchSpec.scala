@@ -157,6 +157,43 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotF.map(_._1).toSeq == expectedF.map(_.docId))
   }
 
+  test("fielded search (most_fields, per-field stats + boosts) matches naive oracle") {
+    import graft.query.FieldedSearch
+    // second field over the SAME urls: first 4 tokens of each text —
+    // independent index, shared docID space
+    val titleOf = (t: String) => Analyzer.tokenize(t).take(4).mkString(" ")
+    val titleDir = Files.createTempDirectory("graft-title")
+    val titlePages = {
+      import TestSpark.spark.implicits._
+      TestSpark.spark.range(0, NDocs, 1, 8).map { i =>
+        val p = PagesGen.pageFor(i)
+        val tt = titleOf(p.text)
+        Page(p.url, p.warc_ts, graft.sources.HtmlText.wrap(p.url, tt), tt, p.lang)
+      }
+    }
+    IndexBuilder.build(spark, titlePages, titleDir.toString,
+      BuildConfig(nPartitions = 16, nGroups = 3, nSlices = 6, blockSize = 64))
+
+    val titleCorpus = corpus.map { case (id, t) => (id, titleOf(t)) }
+    Seq(Seq("w0", "w1"), Seq("w3", "w7", "w11"), Seq("nosuchterm", "w2")).foreach { terms =>
+      val expected = NaiveBm25.fieldedTopK(
+        Seq((titleCorpus, 2.0), (corpus, 1.0)), terms, 10)
+      val got = FieldedSearch.topK(
+        spark,
+        Seq(FieldedSearch.Field("title", titleDir.toString, 2.0),
+          FieldedSearch.Field("body", dir.toString, 1.0)),
+        terms, 10
+      ).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.length == expected.length, s"fielded $terms size")
+      expected.zip(got).zipWithIndex.foreach { case ((e, (gid, gs)), rank) =>
+        assert(gid == e.docId, s"fielded $terms rank $rank docId: got $gid want ${e.docId}")
+        assert(math.abs(gs - e.score) < 1e-9, s"fielded $terms rank $rank score")
+      }
+    }
+    import scala.reflect.io.Directory
+    new Directory(titleDir.toFile).deleteRecursively()
+  }
+
   test("batched Searcher: whole query set in one job, rank-identical to oracle") {
     val searcher = new graft.query.Searcher(spark, dir.toString)
     val batch = queries.zipWithIndex.map { case ((terms, mode), i) =>
