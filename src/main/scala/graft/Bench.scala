@@ -75,8 +75,8 @@ object Bench {
     // Each level runs in its OWN JVM, hard-pinned with taskset and
     // -XX:ActiveProcessorCount, so the "8-core executor" cannot borrow
     // the other 24 CPUs for GC/JIT — the honest proxy for an N-core
-    // cluster node. Two runs per level, best-of (shared-host noise).
-    def probeRun(cores: Int): (Double, Double, String) = {
+    // cluster node. Interleaved runs per level, best-of (shared-host noise).
+    def childRun(main: String, cores: Int, extraArgs: Seq[String]): String = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val cp = System.getProperty("java.class.path")
       val addOpens = Seq(
@@ -91,21 +91,33 @@ object Bench {
       val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ addOpens ++ Seq(
         s"-XX:ActiveProcessorCount=$cores", "-XX:+UseParallelGC", "-Xmx8g", "-Xmn4g",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        "-cp", cp, "graft.BuildProbe", cores.toString, benchDocs.toString
-      )
+        "-cp", cp, main, cores.toString
+      ) ++ extraArgs
       // merge stderr into stdout and drain both together: Spark logs to
       // stderr, and an undrained stderr pipe fills its ~64KB buffer and
-      // deadlocks the child mid-build (the PROBE regex isolates the payload)
+      // deadlocks the child mid-build (the payload regex isolates the line)
       val out = new StringBuilder
       val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
       val rdr = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
       var line = rdr.readLine()
       while (line != null) { out.append(line).append('\n'); line = rdr.readLine() }
       proc.waitFor()
-      val re = """PROBE\{"cores":\d+,"docs":\d+,"secs":([\d.]+),"tp":([\d.]+),"mib_s":([\d.]+),"index_dir":"([^"]+)"\}""".r
-      re.findFirstMatchIn(out.toString) match {
+      out.toString
+    }
+    val probeRe = """PROBE\{"cores":\d+,"docs":\d+,"secs":([\d.]+),"tp":([\d.]+),"mib_s":([\d.]+),"index_dir":"([^"]+)"\}""".r
+    val cpuRe = """CPUPROBE\{"cores":\d+,"docs":\d+,"rate":([\d.]+)\}""".r
+    def probeRun(cores: Int): (Double, Double, String) = {
+      val out = childRun("graft.BuildProbe", cores, Seq(benchDocs.toString))
+      probeRe.findFirstMatchIn(out) match {
         case Some(m) => (m.group(2).toDouble, m.group(3).toDouble, m.group(4))
         case None => throw new RuntimeException(s"probe at $cores cores produced no PROBE line:\n$out")
+      }
+    }
+    def controlRun(cores: Int): Double = {
+      val out = childRun("graft.CpuProbe", cores, Seq(benchDocs.toString, "2"))
+      cpuRe.findFirstMatchIn(out) match {
+        case Some(m) => m.group(1).toDouble
+        case None => throw new RuntimeException(s"control at $cores cores produced no CPUPROBE line:\n$out")
       }
     }
     // interleave levels (8,32,8,32,…) so shared-host noise phases hit both
@@ -116,6 +128,16 @@ object Bench {
     val (tp8, mib8, dir8) = pairs.map(_._1).maxBy(_._1)
     val (tp32, mib32, dir32) = pairs.map(_._2).maxBy(_._1)
     val efficiency = tp32 / (4.0 * tp8)
+    // SAME-RUN workload-shaped control (tokenize-only, zero shuffle/IO):
+    // its 8→32 efficiency is this box's memory-system ceiling; report the
+    // pipeline's efficiency relative to it (north-rule evidence that the
+    // plan, not the box, is the limiting factor — on a real cluster N→4N
+    // executors multiply memory bandwidth/disks with cores)
+    val ctlPairs = (1 to math.min(probeRuns, 2)).map(_ => (controlRun(8), controlRun(32)))
+    val ctl8 = ctlPairs.map(_._1).max
+    val ctl32 = ctlPairs.map(_._2).max
+    val controlEff = ctl32 / (4.0 * ctl8)
+    val effVsControl = efficiency / controlEff
 
     // ---- part 3: BM25 query throughput over the big index --------------
     spark = session(cpus)
@@ -157,7 +179,7 @@ object Bench {
       .foreach(f => rmrf(f.getAbsolutePath))
 
     println(
-      f"""{"metric":"index_docs_per_sec_32cores","value":$tp32%.1f,"unit":"docs/sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","bench_docs":$benchDocs,"index_docs_per_sec_8cores":$tp8%.1f,"index_mib_per_sec_8cores":$mib8%.2f,"index_mib_per_sec_32cores":$mib32%.2f,"scaling_efficiency_8_to_32":$efficiency%.3f,"bm25_queries_per_sec_32cores":$qps%.1f,"bm25_adhoc_latency_sec":$adhocSec%.3f,"bm25_local_latency_sec":$localSec%.3f,"gate_queries_total_sec":$queriesTotal%.1f}"""
+      f"""{"metric":"index_docs_per_sec_32cores","value":$tp32%.1f,"unit":"docs/sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","bench_docs":$benchDocs,"index_docs_per_sec_8cores":$tp8%.1f,"index_mib_per_sec_8cores":$mib8%.2f,"index_mib_per_sec_32cores":$mib32%.2f,"scaling_efficiency_8_to_32":$efficiency%.3f,"control_rate_8cores":$ctl8%.1f,"control_rate_32cores":$ctl32%.1f,"control_efficiency_8_to_32":$controlEff%.3f,"efficiency_vs_samebox_control":$effVsControl%.3f,"bm25_queries_per_sec_32cores":$qps%.1f,"bm25_adhoc_latency_sec":$adhocSec%.3f,"bm25_local_latency_sec":$localSec%.3f,"gate_queries_total_sec":$queriesTotal%.1f}"""
     )
   }
 }

@@ -36,7 +36,11 @@ object BuildProbe {
     val textBytes = pages.select(sum(octet_length(col("text")))).head().getLong(0)
     val t0 = System.nanoTime()
     val nGroups = sys.env.getOrElse("GRAFT_PROBE_GROUPS", "1").toInt
-    IndexBuilder.build(spark, pages, dir, BuildConfig(nPartitions = nParts, nGroups = nGroups, nSlices = 16, blockSize = 128))
+    // positions default ON (ES text fields index positions by default —
+    // the honest comparison against the reference's ES ingest numbers)
+    val positions = sys.env.getOrElse("GRAFT_PROBE_POSITIONS", "true").toBoolean
+    IndexBuilder.build(spark, pages, dir,
+      BuildConfig(nPartitions = nParts, nGroups = nGroups, nSlices = 16, blockSize = 128, positions = positions))
     val secs = (System.nanoTime() - t0) / 1e9
     System.err.println(f"[probe] cores=$cores docs=$nDocs total=$secs%.2fs tp=${nDocs / secs}%.0f docs/s")
     // machine-readable line for the Bench parent process

@@ -280,6 +280,21 @@ object SparkEntry {
           conv(hex($"event_id"), 16, 10).cast("long").as("decoded")
         )
     },
+    // P12: connection-string parse — regex-extract Database=, strip it
+    // from the conn string (≙ ClickHouseStorage.cs:113-125)
+    "q_connstr_parse" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select($"source").distinct()
+        .withColumn(
+          "conn",
+          concat(lit("Host=10.0.0.1;Database=db_"), $"source", lit(";User=svc"))
+        )
+        .select(
+          $"source",
+          regexp_extract($"conn", "Database=([^;]+)", 1).as("db"),
+          regexp_replace($"conn", "Database=[^;]+;", "").as("stripped")
+        )
+    },
     // P11: name normalization (≙ ElasticSearchStorage.cs:163-170)
     "q_normalize" -> { (s, dir) =>
       import s.implicits._
@@ -499,6 +514,15 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM merged ORDER BY sco
          WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1""",
     "q_hex_roundtrip" ->
       """SELECT event_id, upper(to_hex(event_id)) AS hexs, event_id AS decoded FROM events""",
+    "q_connstr_parse" ->
+      """WITH c AS (
+           SELECT DISTINCT source,
+                  'Host=10.0.0.1;Database=db_' || source || ';User=svc' AS conn
+           FROM documents)
+         SELECT source,
+                regexp_extract(conn, 'Database=([^;]+)', 1) AS db,
+                regexp_replace(conn, 'Database=[^;]+;', '') AS stripped
+         FROM c""",
     "q_normalize" ->
       """SELECT DISTINCT regexp_replace(lower(source), '[^a-z0-9]', '_', 'g') AS norm
          FROM documents""",

@@ -89,6 +89,11 @@ object StreamingIngest {
     * arriving after the window is re-emitted (the standard windowed-dedup
     * trade; downstream exact dedup of the at-rest table remains available
     * via [[graft.operators.Dedup.exact]]).
+    *
+    * Note: processing-time timeouts only fire while the query RUNS — use
+    * the TTL with a long-lived `Trigger.ProcessingTime` query (the live
+    * tail, T1). One-shot `AvailableNow` replays should keep the default
+    * NoTimeout (a one-shot is a bounded corpus by construction).
     */
   def dedupStream(
       spark: SparkSession,
