@@ -66,4 +66,44 @@ class WandPropertySpec extends AnyFunSuite {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("filtered WAND and phrase ≡ naive oracles on random corpora (8 corpora)") {
+    import org.apache.spark.sql.functions.col
+    (0 until 8).foreach { trial =>
+      val texts = corpusGen(Gen.Parameters.default, Seed(9000L + trial)).get
+      val dir = Files.createTempDirectory(s"wand-fp-$trial").toString
+      val pages = spark.createDataset(texts.zipWithIndex.map { case (t, i) =>
+        val url = f"p/$i%06d"
+        // lang cycles 3 values — the filter dimension
+        Page(url, new java.sql.Timestamp(1609459200000L + i), HtmlText.wrap(url, t), t, s"l${i % 3}")
+      })
+      IndexBuilder.build(spark, pages, dir,
+        BuildConfig(nPartitions = 4, nGroups = 2, nSlices = 4, blockSize = 4))
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // filtered: random query, filter lang == l{trial%3}
+      (0 until 3).foreach { q =>
+        val (terms, mode) = queryGen(Gen.Parameters.default, Seed(7000L + trial * 17 + q)).get
+        val lang = s"l${(trial + q) % 3}"
+        val expected = NaiveBm25.topKFiltered(corpus, terms, mode, 5, id => id % 3 == lang.drop(1).toInt)
+        val got = Search.topK(spark, dir, terms, mode, 5, docFilter = col("lang") === lang)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(got.map(_._1).toSeq == expected.map(_.docId),
+          s"trial $trial filtered $terms/$mode/$lang: got ${got.toSeq} want $expected")
+        expected.zip(got).foreach { case (e, (_, gs)) => assert(math.abs(gs - e.score) < 1e-9) }
+      }
+      // phrase: random 2-3 gram from the vocabulary (may or may not occur)
+      (0 until 3).foreach { q =>
+        val phrase = Gen.listOfN(2 + (trial + q) % 2, Gen.oneOf(vocab))
+          .apply(Gen.Parameters.default, Seed(8000L + trial * 13 + q)).get
+        val expected = NaiveBm25.phraseTopK(corpus, phrase, 5)
+        val got = Search.phraseTopK(spark, dir, phrase, 5)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(got.map(_._1).toSeq == expected.map(_.docId),
+          s"trial $trial phrase $phrase: got ${got.toSeq} want $expected")
+        expected.zip(got).foreach { case (e, (_, gs)) => assert(math.abs(gs - e.score) < 1e-9) }
+      }
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
