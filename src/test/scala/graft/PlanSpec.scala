@@ -74,6 +74,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pathological join in search plan:\n$plan")
   }
 
+  test("filtered search: docs scan is column-pruned and pushes the predicate") {
+    // the allow-list side of Search.topK(docFilter): must read only
+    // (slice, doc_id, lang) — never text/url — and push lang to parquet
+    val df = spark.read.parquet(s"$dir/docs")
+      .where(col("lang") === "ru")
+      .select(col("slice"), col("doc_id"))
+    val plan = executedPlan(df)
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("text") && !readSchema.contains("url"),
+      s"filter scan reads too much: $readSchema")
+    val pushed = "PushedFilters: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("lang"), s"lang filter not pushed down: $pushed")
+  }
+
   test("IVF probe scan prunes list partitions (PartitionFilters on list)") {
     import spark.implicits._
     val data = (0 until 64).map { i =>
