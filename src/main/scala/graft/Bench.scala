@@ -104,7 +104,7 @@ object Bench {
       proc.waitFor()
       out.toString
     }
-    val probeRe = """PROBE\{"cores":\d+,"docs":\d+,"secs":([\d.]+),"tp":([\d.]+),"mib_s":([\d.]+),"index_dir":"([^"]+)"\}""".r
+    val probeRe = """PROBE\{"cores":\d+,"docs":\d+,"secs":([\d.]+),"tp":([\d.]+),"mib_s":([\d.]+),"shuffle_mb":[\d.]+,"index_dir":"([^"]+)"\}""".r
     val cpuRe = """CPUPROBE\{"cores":\d+,"docs":\d+,"rate":([\d.]+)\}""".r
     def probeRun(cores: Int): (Double, Double, String) = {
       val out = childRun("graft.BuildProbe", cores, Seq(benchDocs.toString))

@@ -34,17 +34,26 @@ object BuildProbe {
       org.apache.spark.sql.Encoders.product[Page])
     val dir = s"$base/idx"
     val textBytes = pages.select(sum(octet_length(col("text")))).head().getLong(0)
+    // total shuffle write bytes — the combine-vs-row-shuffle evidence
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          shuffleBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
     val t0 = System.nanoTime()
     val nGroups = sys.env.getOrElse("GRAFT_PROBE_GROUPS", "1").toInt
     // positions default ON (ES text fields index positions by default —
     // the honest comparison against the reference's ES ingest numbers)
     val positions = sys.env.getOrElse("GRAFT_PROBE_POSITIONS", "true").toBoolean
+    val combine = sys.env.getOrElse("GRAFT_PROBE_COMBINE", "false").toBoolean
     IndexBuilder.build(spark, pages, dir,
-      BuildConfig(nPartitions = nParts, nGroups = nGroups, nSlices = 16, blockSize = 128, positions = positions))
+      BuildConfig(nPartitions = nParts, nGroups = nGroups, nSlices = 16, blockSize = 128,
+        positions = positions, mapSideCombine = combine))
     val secs = (System.nanoTime() - t0) / 1e9
     System.err.println(f"[probe] cores=$cores docs=$nDocs total=$secs%.2fs tp=${nDocs / secs}%.0f docs/s")
     // machine-readable line for the Bench parent process
-    println(f"""PROBE{"cores":$cores,"docs":$nDocs,"secs":$secs%.3f,"tp":${nDocs / secs}%.1f,"mib_s":${textBytes / 1048576.0 / secs}%.2f,"index_dir":"$dir"}""")
+    println(f"""PROBE{"cores":$cores,"docs":$nDocs,"secs":$secs%.3f,"tp":${nDocs / secs}%.1f,"mib_s":${textBytes / 1048576.0 / secs}%.2f,"shuffle_mb":${shuffleBytes.get / 1048576.0}%.1f,"index_dir":"$dir"}""")
     spark.stop()
   }
 }

@@ -50,7 +50,8 @@ object IndexJob {
     nGroups = flag(args, "groups", 4),
     nSlices = flag(args, "slices", 16),
     blockSize = flag(args, "block", 128),
-    positions = flag(args, "positions", 1) != 0
+    positions = flag(args, "positions", 1) != 0,
+    mapSideCombine = flag(args, "combine", 0) != 0
   )
 
   def run(spark: SparkSession, args: Seq[String]): Unit = {

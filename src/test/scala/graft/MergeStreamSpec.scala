@@ -108,6 +108,17 @@ class MergeStreamSpec extends AnyFunSuite {
     assert(phF.map(_._1).toSeq == phM.map(_._1).toSeq, "fastMerge phrase")
   }
 
+  test("mapSideCombine exchange produces byte-identical postings to the row shuffle") {
+    val dRow = Files.createTempDirectory("cmb-row").toString
+    val dCmb = Files.createTempDirectory("cmb-chk").toString
+    val cfgRow = BuildConfig(nPartitions = 8, nGroups = 2, nSlices = 4, blockSize = 32)
+    IndexBuilder.build(spark, pagesWithPrefix("c", 0, 400), dRow, cfgRow)
+    IndexBuilder.build(spark, pagesWithPrefix("c", 0, 400), dCmb,
+      cfgRow.copy(mapSideCombine = true))
+    assert(dumpPostings(dCmb) == dumpPostings(dRow),
+      "combine path must normalize to the exact same blocks")
+  }
+
   test("streaming ingest: per-batch segments + checkpoint resume + merged query correctness") {
     val inDir = Files.createTempDirectory("stream-in").toString
     val idxDir = Files.createTempDirectory("stream-idx").toString
