@@ -49,6 +49,28 @@ object SparkEntry {
       dir
     })
 
+  /** Two half-corpus segments (doc_id < / ≥ half) — the multi-segment
+    * search gate: global ids over the segment family reconstruct doc_id,
+    * so the ordinary corpus-wide BM25 SQL oracle applies unchanged.
+    */
+  def splitIndexesFor(spark: SparkSession, sfDir: String): (String, String) = {
+    import spark.implicits._
+    val half = spark.read.parquet(s"$sfDir/documents.parquet").count() / 2
+    def buildHalf(tag: String, pred: Long => Boolean): String =
+      indexDirs.getOrElseUpdate(s"$sfDir#$tag", {
+        val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+        val dir = s"/tmp/graft-index/$name-$tag"
+        if (!IndexBuilder.completedUnits(dir).contains("done")) {
+          IndexBuilder.build(
+            spark, documentsAsPages(spark, sfDir).filter(p => pred(p.url.drop(6).toLong)),
+            dir, GateConfig
+          )
+        }
+        dir
+      })
+    (buildHalf("segA", _ < half), buildHalf("segB", _ >= half))
+  }
+
   /** Second analyzed field over the same docs ("title" = first 5 tokens —
     * ≙ the reference's comment/data/dataPresentation field family): its
     * own index sharing the docID space (urls identical ⇒ identical ids).
@@ -139,6 +161,17 @@ object SparkEntry {
     "q_bm25_filtered_kw" -> { (s, dir) =>
       import s.implicits._
       Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, docFilter = $"lang" === "es")
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // multi-segment search: the corpus split into two independent index
+    // segments, queried as ONE logical index (global N/avgdl/df, base-
+    // offset ids) with NO physical merge — ≙ ES serving one query across
+    // its {prefix}-* indices. Global ids reconstruct doc_id exactly, so
+    // the ordinary corpus-wide BM25 oracle checks it.
+    "q_bm25_multiseg" -> { (s, dir) =>
+      import s.implicits._
+      val (a, b) = splitIndexesFor(s, dir)
+      new graft.query.MultiSearcher(s, Seq(a, b)).topK(QueryOr, "or", 10)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
     // fielded search: two analyzed fields (title boost 2.0, body 1.0),
@@ -466,6 +499,8 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM merged ORDER BY sco
     "q_bm25_filtered_kw" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang = 'es'"),
     "q_bm25_phrase" -> phraseOracleSql(QueryPhrase),
     "q_bm25_fielded" -> fieldedOracleSql(QueryOr),
+    // multi-segment search must equal the single-index answer — same oracle
+    "q_bm25_multiseg" -> bm25OracleSql(QueryOr, and = false),
     // the gate index synthesizes warc_ts = epoch(2021-01-01) + doc_id
     // minutes (SparkEntry.documentsAsPages), so the oracle derives the
     // same timestamp from doc_id and applies the SAME date predicate
