@@ -213,6 +213,24 @@ object OpsQueries {
           col("out_w").cast("long").as("out_w"),
           col("out_h").cast("long").as("out_h")
         )
+    },
+    // multimodal frame sampling: every-4th frame index per video blob —
+    // frame count derives from the fake payload length, so DuckDB
+    // recomputes the expected (id, frame_idx) set independently
+    "q_media_frames" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .map(id => (id, Multimodal.synthesize(id)))
+        .toDF("id", "media")
+      val meta = Multimodal.extractMeta(media, "id", "media")
+      Multimodal.sampleFrames(meta, everyNth = 4)
+        .select(
+          col("id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("fps").cast("long").as("fps")
+        )
     }
   )
 
@@ -359,6 +377,12 @@ object OpsQueries {
       """SELECT source, 'idx-' || source || '-prod' AS index_name
          FROM (SELECT DISTINCT source FROM documents)
          WHERE regexp_matches(source, '^src[0-9]+$')""",
+    "q_media_frames" ->
+      """WITH v AS (
+           SELECT doc_id AS id, ((64 + (doc_id * 997) % 4096) // 16)::INT AS frames
+           FROM documents WHERE doc_id % 3 = 2)
+         SELECT id, unnest(range(0, frames, 4))::BIGINT AS frame_idx, 24::BIGINT AS fps
+         FROM v""",
     "q_fingerprint" ->
       """WITH u AS (SELECT doc_id, text FROM documents
                     UNION ALL SELECT doc_id + 100000, text FROM documents)
