@@ -1,9 +1,9 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.index.IndexBuilder
-import graft.query.BlockMaxWand.{BlockRef, PostingIter}
+import graft.query.BlockMaxWand.{BlockRef, FilterIter, PostingIter}
 
 /** Multi-field text search — the reference provisions THREE analyzed text
   * fields side by side (comment/data/dataPresentation,
@@ -32,11 +32,16 @@ object FieldedSearch {
 
   final case class Field(name: String, indexDir: String, boost: Double)
 
+  /** `docFilter` (nullable): ES bool-query filter clause next to the
+    * multi_match — evaluated once against the FIRST field's docs table
+    * (all field indexes share the docID space and doc attributes).
+    */
   def topK(
       spark: SparkSession,
       fields: Seq[Field],
       queryTerms: Seq[String],
-      k: Int
+      k: Int,
+      docFilter: Column = null
   ): DataFrame = {
     import spark.implicits._
     require(fields.nonEmpty)
@@ -80,24 +85,45 @@ object FieldedSearch {
       .reduce(_ unionByName _)
       .as[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
 
-    val localTopK = blocks
-      .groupByKey(_._2) // slice — ONE task sees every field of its doc range
-      .flatMapGroups { (_, rows) =>
-        val (ts, ws, avgs) = bCtx.value
-        val byFieldTerm = rows.toArray.groupBy(r => (r._1, r._3))
-        // iterator order: fields outer × terms inner (the scoring contract)
-        val iters = (for {
-          fi <- avgs.indices.iterator
-          ti <- ts.indices.iterator
-          rs <- byFieldTerm.get((fi, ts(ti))).iterator
-        } yield {
-          val refs = rs
-            .sortBy(r => (r._5, r._4))
-            .map(r => BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11, r._12))
-          new PostingIter(fi * ts.length + ti, ws(fi)(ti), refs, avgs(fi))
-        }).toArray
-        BlockMaxWand.or(iters, k)
-          .iterator.map(h => Search.QueryHit(h.docId, h.score))
+    def wand(rows: Iterator[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)],
+             filter: FilterIter): Iterator[Search.QueryHit] = {
+      val (ts, ws, avgs) = bCtx.value
+      val byFieldTerm = rows.toArray.groupBy(r => (r._1, r._3))
+      // iterator order: fields outer × terms inner (the scoring contract)
+      val iters = (for {
+        fi <- avgs.indices.iterator
+        ti <- ts.indices.iterator
+        rs <- byFieldTerm.get((fi, ts(ti))).iterator
+      } yield {
+        val refs = rs
+          .sortBy(r => (r._5, r._4))
+          .map(r => BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11, r._12))
+        new PostingIter(fi * ts.length + ti, ws(fi)(ti), refs, avgs(fi))
+      }).toArray
+      BlockMaxWand.or(iters, k, filter)
+        .iterator.map(h => Search.QueryHit(h.docId, h.score))
+    }
+
+    val localTopK =
+      if (docFilter == null)
+        blocks
+          .groupByKey(_._2) // slice — ONE task sees every field of its doc range
+          .flatMapGroups { (_, rows) => wand(rows, null) }
+      else {
+        val filterIds = spark.read.parquet(s"${fields.head.indexDir}/docs")
+          .where(docFilter)
+          .select($"slice".cast("int"), $"doc_id")
+          .as[(Int, Long)]
+        blocks
+          .groupByKey(_._2)
+          .cogroup(filterIds.groupByKey(_._1)) { (_, rows, fids) =>
+            val allow = fids.map(_._2).toArray
+            if (allow.isEmpty) Iterator.empty
+            else {
+              java.util.Arrays.sort(allow)
+              wand(rows, new FilterIter(allow))
+            }
+          }
       }
 
     localTopK.toDF().orderBy(desc("score"), asc("doc_id")).limit(k)

@@ -92,7 +92,8 @@ object NaiveBm25 {
   def fieldedTopK(
       fieldCorpora: Seq[(Seq[(Long, String)], Double)], // (docId→fieldText, boost)
       terms: Seq[String],
-      k: Int
+      k: Int,
+      allowed: Long => Boolean = null
   ): Seq[Scored] = {
     val ts = terms.distinct
     val perField = fieldCorpora.map { case (corpus, boost) =>
@@ -111,6 +112,7 @@ object NaiveBm25 {
       (analyzed.map(a => a._1 -> ((a._2, a._3))).toMap, avgDl, idfs, boost)
     }
     val ids = fieldCorpora.head._1.map(_._1)
+      .filter(id => allowed == null || allowed(id))
     val scored = ids.flatMap { id =>
       var s = 0.0
       var any = false

@@ -190,6 +190,22 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(math.abs(gs - e.score) < 1e-9, s"fielded $terms rank $rank score")
       }
     }
+    // fielded + filter context (ES bool{must: multi_match, filter: term})
+    val byUrl2 = (0L until NDocs).map(i => PagesGen.pageFor(i)).sortBy(_.url)
+    val langOf2 = byUrl2.map(_.lang).toArray
+    val expF = NaiveBm25.fieldedTopK(
+      Seq((titleCorpus, 2.0), (corpus, 1.0)), Seq("w0", "w1"), 10,
+      allowed = id => langOf2(id.toInt) == "ru")
+    val gotF = FieldedSearch.topK(
+      spark,
+      Seq(FieldedSearch.Field("title", titleDir.toString, 2.0),
+        FieldedSearch.Field("body", dir.toString, 1.0)),
+      Seq("w0", "w1"), 10,
+      docFilter = org.apache.spark.sql.functions.col("lang") === "ru"
+    ).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(gotF.map(_._1).toSeq == expF.map(_.docId), "fielded+filtered ids")
+    expF.zip(gotF).foreach { case (e, (_, gs)) => assert(math.abs(gs - e.score) < 1e-9) }
+
     import scala.reflect.io.Directory
     new Directory(titleDir.toFile).deleteRecursively()
   }
