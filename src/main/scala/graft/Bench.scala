@@ -146,7 +146,9 @@ object Bench {
 
     // ---- part 3: BM25 query throughput over the big index --------------
     spark = session(cpus)
-    // bench index (1.92M docs) fits memory — the documented cache opt-in
+    // the bench index (3.84M docs ≈ 2 GB postings) fits this box's storage
+    // memory and serves the whole batch — the documented cache opt-in for
+    // serve-many tiers; caching is still OFF by default for cold indexes
     val searcher = new graft.query.Searcher(spark, dir32, cachePostings = true)
     val baseQueries: Seq[(Seq[String], String)] = Seq(
       (Seq("w0"), "or"), (Seq("w1", "w2"), "or"), (Seq("w1", "w2"), "and"),

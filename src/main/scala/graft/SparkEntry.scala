@@ -39,14 +39,24 @@ object SparkEntry {
 
   private val GateConfig = BuildConfig(nPartitions = 16, nGroups = 2, nSlices = 4, blockSize = 128)
 
+  /** A persisted index cache is reusable only when BOTH the checkpoint
+    * says "done" AND the stamped format version matches the code's — a
+    * stale cache from an older format would crash readers on missing
+    * columns (or silently mis-serve); wipe and rebuild instead.
+    */
+  private def ensureIndex(dir: String)(build: => Unit): String = {
+    val stale = IndexBuilder.readFormatVersion(dir) != IndexBuilder.FormatVersion
+    if (stale) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    if (stale || !IndexBuilder.completedUnits(dir).contains("done")) build
+    dir
+  }
+
   def indexFor(spark: SparkSession, sfDir: String): String =
     indexDirs.getOrElseUpdate(sfDir, {
       val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val dir = s"/tmp/graft-index/$name"
-      if (!IndexBuilder.completedUnits(dir).contains("done")) {
-        IndexBuilder.build(spark, documentsAsPages(spark, sfDir), dir, GateConfig)
+      ensureIndex(s"/tmp/graft-index/$name") {
+        IndexBuilder.build(spark, documentsAsPages(spark, sfDir), s"/tmp/graft-index/$name", GateConfig)
       }
-      dir
     })
 
   /** Two half-corpus segments (doc_id < / ≥ half) — the multi-segment
@@ -59,14 +69,12 @@ object SparkEntry {
     def buildHalf(tag: String, pred: Long => Boolean): String =
       indexDirs.getOrElseUpdate(s"$sfDir#$tag", {
         val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-        val dir = s"/tmp/graft-index/$name-$tag"
-        if (!IndexBuilder.completedUnits(dir).contains("done")) {
+        ensureIndex(s"/tmp/graft-index/$name-$tag") {
           IndexBuilder.build(
             spark, documentsAsPages(spark, sfDir).filter(p => pred(p.url.drop(6).toLong)),
-            dir, GateConfig
+            s"/tmp/graft-index/$name-$tag", GateConfig
           )
         }
-        dir
       })
     (buildHalf("segA", _ < half), buildHalf("segB", _ >= half))
   }
@@ -78,15 +86,13 @@ object SparkEntry {
   def titleIndexFor(spark: SparkSession, sfDir: String): String =
     indexDirs.getOrElseUpdate(s"$sfDir#title", {
       val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val dir = s"/tmp/graft-index/$name-title"
-      if (!IndexBuilder.completedUnits(dir).contains("done")) {
+      ensureIndex(s"/tmp/graft-index/$name-title") {
         IndexBuilder.build(
           spark,
           documentsAsPages(spark, sfDir, t => t.split(" ").take(5).mkString(" ")),
-          dir, GateConfig
+          s"/tmp/graft-index/$name-title", GateConfig
         )
       }
-      dir
     })
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -158,9 +164,20 @@ object SparkEntry {
     // event-log query shape the reference provisions (keyword fields next
     // to text fields, ElasticSearchStorage.cs:208-233). Scores are
     // corpus-global; the filter only gates candidates (ES filter context).
+    // Typed predicate → the slice-sidecar path: the WAND task evaluates it
+    // node-locally from doc values; NO doc-id exchange at any selectivity.
     "q_bm25_filtered_kw" -> { (s, dir) =>
       import s.implicits._
-      Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, docFilter = $"lang" === "es")
+      Search.topK(s, indexFor(s, dir), QueryOr, "or", 10,
+        attrFilter = graft.index.AttrPred.lang("es"))
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // same filter shape through the AD-HOC Column path (per-slice
+    // allow-lists co-shuffled with blocks) — the escape hatch for
+    // predicates the sidecar doesn't carry; both paths stay driver-gated
+    "q_bm25_filtered_adhoc" -> { (s, dir) =>
+      import s.implicits._
+      Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, docFilter = $"lang" === "fr")
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
     // multi-segment search: the corpus split into two independent index
@@ -195,13 +212,15 @@ object SparkEntry {
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
     // filtered top-k: date-range predicate (≙ ES date fields + dateTime
-    // range query), AND-mode conjunctive retrieval under the filter
+    // range query), AND-mode conjunctive retrieval under the filter —
+    // typed range → sidecar path (node-local doc values, no id exchange)
     "q_bm25_filtered_date" -> { (s, dir) =>
       import s.implicits._
       Search.topK(
         s, indexFor(s, dir), QueryAnd, "and", 10,
-        docFilter = $"warc_ts" >= lit("2021-01-01 02:00:00").cast("timestamp") &&
-          $"warc_ts" < lit("2021-01-01 05:00:00").cast("timestamp")
+        // [2021-01-01 02:00, 05:00) UTC as epoch millis — explicit instants
+        // (Timestamp.valueOf would parse in the JVM default zone)
+        attrFilter = graft.index.AttrPred.TsRange(1609466400000L, 1609477200000L)
       ).select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
     // ---- relational operators (SURVEY.md §2.2-2.8) ---------------------
@@ -497,6 +516,7 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM merged ORDER BY sco
     "q_bm25_topk_or" -> bm25OracleSql(QueryOr, and = false),
     "q_bm25_topk_and" -> bm25OracleSql(QueryAnd, and = true),
     "q_bm25_filtered_kw" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang = 'es'"),
+    "q_bm25_filtered_adhoc" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang = 'fr'"),
     "q_bm25_phrase" -> phraseOracleSql(QueryPhrase),
     "q_bm25_fielded" -> fieldedOracleSql(QueryOr),
     // multi-segment search must equal the single-index answer — same oracle

@@ -44,6 +44,13 @@ object IndexBuilder {
   val K1 = 1.2
   val B = 0.75
 
+  /** On-disk layout version. Bump whenever the index format changes
+    * (columns, codec, sidecars); readers reject stale caches instead of
+    * crashing on missing columns. v3 = v2 + slice-aligned attribute
+    * sidecar (`attrs/`).
+    */
+  val FormatVersion = 3
+
   /** `positions`: index token positions (phrase queries) — on by default,
     * matching ES text-field defaults the reference provisions.
     */
@@ -69,8 +76,16 @@ object IndexBuilder {
     Files.createDirectories(Paths.get(indexDir))
     Files.write(
       Paths.get(indexDir, "meta.json"),
-      s"""{"n_groups":${cfg.nGroups},"n_slices":${cfg.nSlices},"block_size":${cfg.blockSize},"positions":${cfg.positions}}""".getBytes(StandardCharsets.UTF_8)
+      s"""{"format":$FormatVersion,"n_groups":${cfg.nGroups},"n_slices":${cfg.nSlices},"block_size":${cfg.blockSize},"positions":${cfg.positions}}""".getBytes(StandardCharsets.UTF_8)
     )
+  }
+
+  /** Stamped format version of an on-disk index (0 when absent/pre-v3). */
+  def readFormatVersion(indexDir: String): Int = {
+    val p = Paths.get(indexDir, "meta.json")
+    if (!Files.exists(p)) return 0
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    """"format"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(0)
   }
 
   def readMeta(indexDir: String): BuildConfig = {
@@ -196,9 +211,13 @@ object IndexBuilder {
         .toDF("doc_id", "url", "warc_ts", "lang", "doc_len", "text")
         // slice is materialized on the docs row so filtered search can ship
         // doc-filter sets to the right WAND task by equi-key, decoupled
-        // from the id→slice formula (fast-merged indexes renumber slices)
-        .withColumn("slice", least(lit(cfg.nSlices - 1), ($"doc_id" * cfg.nSlices / nDocs).cast("int")))
-        .withColumn("grp", least(lit(cfg.nGroups - 1), ($"doc_id" * cfg.nGroups / nDocs).cast("int")))
+        // from the id→slice formula (fast-merged indexes renumber slices).
+        // MUST use the same integer arithmetic as groupInput's Scala-side
+        // (id * nSlices / nDocs).toInt — one routing invariant, one formula
+        // (DIV is integral division; the old double `/` could diverge near
+        // 2^53 and silently route a doc's attrs to the wrong slice).
+        .withColumn("slice", least(lit(cfg.nSlices - 1), expr(s"CAST(doc_id * ${cfg.nSlices} DIV $nDocs AS INT)")))
+        .withColumn("grp", least(lit(cfg.nGroups - 1), expr(s"CAST(doc_id * ${cfg.nGroups} DIV $nDocs AS INT)")))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("grp")
         .parquet(s"$indexDir/docs"))
@@ -355,6 +374,15 @@ object IndexBuilder {
         commitUnit(indexDir, unit)
         groupsBuilt += 1
       }
+    }
+
+    // ---- stage 2.5: slice-aligned attribute sidecar --------------------
+    // doc values for filter context (ES analog): one compact file per
+    // slice, read node-locally by the filtered-WAND task — filtered
+    // search then never exchanges doc ids (see AttrSidecar).
+    if (!completedUnits(indexDir).contains("attrs")) {
+      timed("attrs")(AttrSidecar.writeAttrs(spark, indexDir, cfg.nSlices))
+      commitUnit(indexDir, "attrs")
     }
 
     // ---- stage 3: term dictionary (df per term) ------------------------

@@ -34,7 +34,14 @@ object SegmentMerge {
     import spark.implicits._
     val done = IndexBuilder.completedUnits(outDir)
     if (done.contains("done")) return
-    IndexBuilder.writeMeta(outDir, cfg)
+    // positions carry over only if BOTH inputs indexed them — the caller's
+    // cfg cannot conjure positions the source blocks never stored (a meta
+    // that falsely advertises phrase capability crashes phrase queries)
+    val mergedCfg = cfg.copy(
+      positions = cfg.positions &&
+        Seq(idxA, idxB).map(IndexBuilder.readMeta).forall(_.positions)
+    )
+    IndexBuilder.writeMeta(outDir, mergedCfg)
 
     if (!done.contains("staged")) {
       val statsA = IndexBuilder.readStats(spark, idxA)
@@ -48,14 +55,17 @@ object SegmentMerge {
       val docsB = spark.read.parquet(s"$idxB/docs").select(docCols: _*)
         .withColumn("doc_id", $"doc_id" + offset)
       val nDocsAll = Seq(idxA, idxB).map(IndexBuilder.readStats(spark, _).n_docs).sum.max(1L)
+      // same integral slice/grp formulas as IndexBuilder.build — one
+      // routing invariant; grp partitioning so fastMerge over a merge()
+      // output (and group-pruned reads) work exactly as over a build()
       docsA.unionByName(docsB)
-        .withColumn(
-          "slice",
-          least(lit(cfg.nSlices - 1), ($"doc_id" * cfg.nSlices / nDocsAll).cast("int"))
-        )
+        .withColumn("slice", least(lit(cfg.nSlices - 1), expr(s"CAST(doc_id * ${cfg.nSlices} DIV $nDocsAll AS INT)")))
+        .withColumn("grp", least(lit(cfg.nGroups - 1), expr(s"CAST(doc_id * ${cfg.nGroups} DIV $nDocsAll AS INT)")))
         .repartitionByRange(cfg.nPartitions, $"doc_id")
         .sortWithinPartitions("doc_id")
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("grp")
+        .parquet(s"$outDir/docs")
 
       val stats = spark.read.parquet(s"$outDir/docs")
         .agg(
@@ -86,10 +96,7 @@ object SegmentMerge {
           .toDF("doc_id", "term", "tf", "doc_len", "pos")
 
       decoded(idxA, 0L).unionByName(decoded(idxB, offset))
-        .withColumn(
-          "slice",
-          least(lit(cfg.nSlices - 1), ($"doc_id" * cfg.nSlices / nDocs).cast("int"))
-        )
+        .withColumn("slice", least(lit(cfg.nSlices - 1), expr(s"CAST(doc_id * ${cfg.nSlices} DIV $nDocs AS INT)")))
         // grp nests slices (nSlices % nGroups == 0): same doc-range-group
         // layout the from-scratch build uses
         .withColumn("grp", ($"slice" * cfg.nGroups / cfg.nSlices).cast("int"))
@@ -199,6 +206,11 @@ object SegmentMerge {
       .repartitionByRange(4, $"term")
       .sortWithinPartitions("term")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
+
+    // attribute sidecar regenerated from the merged docs table (slice
+    // labels renumbered above, so source sidecars can't be copied verbatim;
+    // this is one column-pruned pass — still far cheaper than any decode)
+    AttrSidecar.writeAttrs(spark, outDir, metas.map(_.nSlices).sum)
 
     IndexBuilder.commitUnitPublic(outDir, "done")
   }

@@ -28,6 +28,17 @@ object TimeBuckets {
 
   final case class Bucket(bucket: String, dir: String, n_docs: Long)
 
+  /** Bucket label of an instant — ALWAYS UTC, on both the build side and
+    * the pruning side. Deriving labels from the Spark session timezone
+    * (the old `date_format(warc_ts, 'yyyyMM')`) while pruning with a UTC
+    * formatter silently dropped month-boundary docs on non-UTC sessions.
+    */
+  def bucketOf(ts: java.sql.Timestamp): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMM")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(ts.toInstant)
+
   private def manifestPath(root: String) = Paths.get(root, "buckets.json")
 
   def readManifest(root: String): Seq[Bucket] = {
@@ -50,11 +61,14 @@ object TimeBuckets {
     import spark.implicits._
     if (readManifest(root).nonEmpty) return readManifest(root)
 
-    // one staging pass: pages partitioned by bucket (ES routing analog)
+    // one staging pass: pages partitioned by bucket (ES routing analog).
+    // Label derived JVM-side via bucketOf — fixed UTC, immune to the
+    // session timezone (selectBuckets formats query endpoints identically)
     val staged = s"$root/staged_pages"
     if (!IndexBuilder.completedUnits(root).contains("staged_pages")) {
-      pages.toDF()
-        .withColumn("bucket", date_format($"warc_ts", "yyyyMM"))
+      pages
+        .map(p => (p.url, p.warc_ts, p.html, p.text, p.lang, bucketOf(p.warc_ts)))
+        .toDF("url", "warc_ts", "html", "text", "lang", "bucket")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("bucket")
         .parquet(staged)
@@ -86,10 +100,8 @@ object TimeBuckets {
       from: java.sql.Timestamp,
       to: java.sql.Timestamp
   ): Seq[Bucket] = {
-    val fmt = new java.text.SimpleDateFormat("yyyyMM")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-    val lo = fmt.format(from)
-    val hi = fmt.format(new java.sql.Timestamp(to.getTime - 1))
+    val lo = bucketOf(from)
+    val hi = bucketOf(new java.sql.Timestamp(to.getTime - 1))
     readManifest(root).filter(b => b.bucket >= lo && b.bucket <= hi)
   }
 

@@ -4,6 +4,24 @@ import scala.collection.mutable
 import graft.functions.Codec
 import graft.index.IndexBuilder.impact
 
+/** Non-scoring doc filter — Lucene "filter context": contributes no
+  * score; candidates outside it are skipped before scoring, and WAND
+  * terminates early once it exhausts. Contract: targets are ASCENDING
+  * (WAND's candidate stream is), so implementations may be monotone
+  * single-pass cursors — [[BlockMaxWand.FilterIter]] wraps a materialized
+  * sorted allow-list (the ad-hoc Column path), while
+  * [[graft.index.AttrSidecar.AttrCursor]] streams the slice's attribute
+  * sidecar with O(1) memory (the ES doc-values path).
+  */
+trait DocFilter {
+  /** No more allowed docs (WAND can stop). */
+  def exhausted: Boolean
+  /** Is `target` allowed? Cursor advances; targets ascending. */
+  def contains(target: Long): Boolean
+  /** Smallest allowed doc ≥ target (Long.MaxValue when exhausted). */
+  def ceil(target: Long): Long
+}
+
 /** Block-max WAND top-k over compressed posting lists (north rule O4:
   * the query capability the reference provisions in Elasticsearch —
   * `ElasticSearchStorage.cs:217,227,231` text mappings — implemented
@@ -138,13 +156,12 @@ object BlockMaxWand {
 
   final case class Hit(docId: Long, score: Double)
 
-  /** Non-scoring doc filter — the Lucene "filter context" analog that the
-    * reference provisions via ES keyword/date fields next to text fields
-    * (`ElasticSearchStorage.cs:208-233`): a sorted docID allow-list this
-    * slice may emit. Contributes no score; candidates outside it are
-    * skipped before scoring, and WAND terminates early once it exhausts.
+  /** [[DocFilter]] over a sorted docID allow-list — the reference
+    * provisions ES keyword/date fields next to text fields
+    * (`ElasticSearchStorage.cs:208-233`); this is the materialized-list
+    * rendition used by the ad-hoc Column path and the batch path.
     */
-  final class FilterIter(ids: Array[Long]) {
+  final class FilterIter(ids: Array[Long]) extends DocFilter {
     private var i = 0
     def exhausted: Boolean = i >= ids.length
     /** Is `target` allowed? Advances the cursor (targets are ascending). */
@@ -202,7 +219,7 @@ object BlockMaxWand {
     * `filter` (nullable): non-scoring allow-list; scores are unchanged,
     * only candidate eligibility is gated (ES filter-context semantics).
     */
-  def or(iters: Array[PostingIter], k: Int, filter: FilterIter = null): Array[Hit] = {
+  def or(iters: Array[PostingIter], k: Int, filter: DocFilter = null): Array[Hit] = {
     val top = new TopK(k)
     val live = iters.filter(!_.exhausted)
     if (live.isEmpty) return Array.empty
@@ -309,7 +326,7 @@ object BlockMaxWand {
       offsets: Array[Array[Int]],
       idfSum: Double,
       k: Int,
-      filter: FilterIter = null
+      filter: DocFilter = null
   ): Array[Hit] = {
     val top = new TopK(k)
     if (iters.isEmpty || iters.exists(_.exhausted)) return Array.empty
@@ -373,7 +390,7 @@ object BlockMaxWand {
     * skipping; exact scores summed in query-term order.
     * `filter` (nullable) joins the leapfrog as a non-scoring conjunct.
     */
-  def and(iters: Array[PostingIter], k: Int, filter: FilterIter = null): Array[Hit] = {
+  def and(iters: Array[PostingIter], k: Int, filter: DocFilter = null): Array[Hit] = {
     val top = new TopK(k)
     if (iters.isEmpty || iters.exists(_.exhausted)) return Array.empty
     var target = iters.map(_.doc).max

@@ -2,7 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.index.IndexBuilder
+import graft.index.{AttrPred, AttrSidecar, IndexBuilder}
 import graft.query.BlockMaxWand.{BlockRef, FilterIter, PostingIter}
 
 /** Multi-field text search — the reference provisions THREE analyzed text
@@ -32,19 +32,24 @@ object FieldedSearch {
 
   final case class Field(name: String, indexDir: String, boost: Double)
 
-  /** `docFilter` (nullable): ES bool-query filter clause next to the
-    * multi_match — evaluated once against the FIRST field's docs table
-    * (all field indexes share the docID space and doc attributes).
+  /** Filter context = ES bool-query filter clause next to the multi_match,
+    * evaluated against the FIRST field's doc attributes (all field indexes
+    * share the docID space and attributes): `attrFilter` streams the first
+    * field's slice sidecar node-locally (no doc-id exchange); `docFilter`
+    * (nullable Column) is the ad-hoc allow-list path.
     */
   def topK(
       spark: SparkSession,
       fields: Seq[Field],
       queryTerms: Seq[String],
       k: Int,
-      docFilter: Column = null
+      docFilter: Column = null,
+      attrFilter: AttrPred = null
   ): DataFrame = {
     import spark.implicits._
     require(fields.nonEmpty)
+    require(docFilter == null || attrFilter == null,
+      "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
     val terms = queryTerms.distinct
 
     val stats = fields.map(f => IndexBuilder.readStats(spark, f.indexDir))
@@ -86,7 +91,7 @@ object FieldedSearch {
       .as[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
 
     def wand(rows: Iterator[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)],
-             filter: FilterIter): Iterator[Search.QueryHit] = {
+             filter: DocFilter): Iterator[Search.QueryHit] = {
       val (ts, ws, avgs) = bCtx.value
       val byFieldTerm = rows.toArray.groupBy(r => (r._1, r._3))
       // iterator order: fields outer × terms inner (the scoring contract)
@@ -104,12 +109,22 @@ object FieldedSearch {
         .iterator.map(h => Search.QueryHit(h.docId, h.score))
     }
 
+    val attrDir = fields.head.indexDir
     val localTopK =
-      if (docFilter == null)
+      if (docFilter == null && attrFilter == null)
         blocks
           .groupByKey(_._2) // slice — ONE task sees every field of its doc range
           .flatMapGroups { (_, rows) => wand(rows, null) }
-      else {
+      else if (attrFilter != null) {
+        val pred = attrFilter
+        blocks
+          .groupByKey(_._2)
+          .flatMapGroups { (slice, rows) =>
+            val cur = AttrSidecar.openCursor(attrDir, slice, pred)
+            try wand(rows, cur)
+            finally cur.close()
+          }
+      } else {
         val filterIds = spark.read.parquet(s"${fields.head.indexDir}/docs")
           .where(docFilter)
           .select($"slice".cast("int"), $"doc_id")

@@ -2,7 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.index.IndexBuilder
+import graft.index.{AttrPred, AttrSidecar, IndexBuilder}
 import graft.query.BlockMaxWand.{BlockRef, FilterIter, PostingIter}
 
 /** Query N immutable index segments as ONE logical index — no physical
@@ -97,15 +97,20 @@ final class MultiSearcher(
       .reduce(_ unionByName _)
       .as[BlockRow]
 
-  /** BM25 top-k over all segments; `docFilter` applies to every segment's
-    * docs table (ES filter context; scores unchanged).
+  /** BM25 top-k over all segments; filter context applies per segment
+    * (scores unchanged): `attrFilter` streams each segment's slice
+    * sidecar node-locally (no doc-id exchange — see
+    * [[graft.index.AttrSidecar]]); `docFilter` is the ad-hoc Column path.
     */
   def topK(
       queryTerms: Seq[String],
       mode: String,
       k: Int,
-      docFilter: Column = null
+      docFilter: Column = null,
+      attrFilter: AttrPred = null
   ): DataFrame = {
+    require(docFilter == null || attrFilter == null,
+      "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
     val terms = queryTerms.distinct
     val dfs = dfOf(terms)
     if (mode == "and" && terms.exists(t => !dfs.contains(t)))
@@ -120,7 +125,7 @@ final class MultiSearcher(
     val avg = avgDl
     val isAnd = mode == "and"
 
-    def wand(seg: Int, rows: Iterator[BlockRow], filter: FilterIter): Iterator[Search.QueryHit] = {
+    def wand(seg: Int, rows: Iterator[BlockRow], filter: DocFilter): Iterator[Search.QueryHit] = {
       val (qTerms, qIdfs) = bTerms.value
       val byTerm = rows.toArray.groupBy(_._3)
       val iters = qTerms.iterator.zipWithIndex.flatMap { case (t, ti) =>
@@ -143,12 +148,22 @@ final class MultiSearcher(
     }
 
     val blocks = segBlocks(present)
+    val bDirs = spark.sparkContext.broadcast(segmentDirs.toArray)
     val localTopK =
-      if (docFilter == null)
+      if (docFilter == null && attrFilter == null)
         blocks
           .groupByKey(r => (r._1, r._2))
           .flatMapGroups { (key, rows) => wand(key._1, rows, null) }
-      else {
+      else if (attrFilter != null) {
+        val pred = attrFilter
+        blocks
+          .groupByKey(r => (r._1, r._2))
+          .flatMapGroups { (key, rows) =>
+            val cur = AttrSidecar.openCursor(bDirs.value(key._1), key._2, pred)
+            try wand(key._1, rows, cur)
+            finally cur.close()
+          }
+      } else {
         val filterIds = segmentDirs.zipWithIndex
           .map { case (d, i) =>
             spark.read.parquet(s"$d/docs")
@@ -176,8 +191,11 @@ final class MultiSearcher(
   def phraseTopK(
       phraseTerms: Seq[String],
       k: Int,
-      docFilter: Column = null
+      docFilter: Column = null,
+      attrFilter: AttrPred = null
   ): DataFrame = {
+    require(docFilter == null || attrFilter == null,
+      "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
     val distinctTerms = phraseTerms.distinct
     val offsets: Array[Array[Int]] = distinctTerms.map { t =>
       phraseTerms.zipWithIndex.collect { case (pt, i) if pt == t => i }.toArray
@@ -190,7 +208,7 @@ final class MultiSearcher(
     val bBases = spark.sparkContext.broadcast(bases.toArray)
     val avg = avgDl
 
-    def run(seg: Int, rows: Iterator[BlockRow], filter: FilterIter): Iterator[Search.QueryHit] = {
+    def run(seg: Int, rows: Iterator[BlockRow], filter: DocFilter): Iterator[Search.QueryHit] = {
       val (qTerms, offs, idfS) = bCtx.value
       val byTerm = rows.toArray.groupBy(_._3)
       if (!qTerms.forall(byTerm.contains)) return Iterator.empty
@@ -208,10 +226,20 @@ final class MultiSearcher(
     }
 
     val blocks = segBlocks(distinctTerms)
+    val bDirs = spark.sparkContext.broadcast(segmentDirs.toArray)
     val localTopK =
-      if (docFilter == null)
+      if (docFilter == null && attrFilter == null)
         blocks.groupByKey(r => (r._1, r._2)).flatMapGroups { (key, rows) => run(key._1, rows, null) }
-      else {
+      else if (attrFilter != null) {
+        val pred = attrFilter
+        blocks
+          .groupByKey(r => (r._1, r._2))
+          .flatMapGroups { (key, rows) =>
+            val cur = AttrSidecar.openCursor(bDirs.value(key._1), key._2, pred)
+            try run(key._1, rows, cur)
+            finally cur.close()
+          }
+      } else {
         val filterIds = segmentDirs.zipWithIndex
           .map { case (d, i) =>
             spark.read.parquet(s"$d/docs")

@@ -2,7 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.index.IndexBuilder
+import graft.index.{AttrPred, AttrSidecar, IndexBuilder}
 import graft.query.BlockMaxWand.{BlockRef, FilterIter, PostingIter}
 
 /** Distributed BM25 top-k over the on-disk index.
@@ -28,20 +28,28 @@ object Search {
 
   final case class QueryHit(doc_id: Long, score: Double)
 
-  /** `docFilter` (nullable Column over the docs table, e.g.
-    * `col("lang") === "en" && col("warc_ts") >= ...`): ES filter-context
-    * semantics — the reference's index template provisions 14 keyword + 2
-    * date fields NEXT TO the text fields (`ElasticSearchStorage.cs:208-233`)
-    * precisely so ranked queries can be predicated; scores are unchanged,
-    * candidates outside the filter are skipped inside WAND.
+  /** Filter context, two renditions (ES semantics for both: scores are
+    * corpus-global and unchanged; the filter only gates candidates inside
+    * WAND — `ElasticSearchStorage.cs:208-233` provisions keyword + date
+    * fields next to the text fields for exactly this):
     *
-    * Scale shape: the filter's matching (slice, doc_id) pairs — 12 bytes
-    * each, column-pruned off the docs table — co-shuffle with the matched
-    * posting blocks by slice (one exchange); each WAND task gets its own
-    * slice's sorted allow-list. Selective filters (the interactive case)
-    * ship tiny lists and let WAND leapfrog over the gaps; for
-    * low-selectivity date ranges prefer time-bucketed segments (partition
-    * pruning) with this as the residual intra-segment filter.
+    *   - `attrFilter` ([[graft.index.AttrPred]], PREFERRED): evaluated by
+    *     each WAND task against its own slice's attribute sidecar
+    *     ([[graft.index.AttrSidecar]] — the ES doc-values analog). The
+    *     plan is IDENTICAL to an unfiltered search: one exchange of
+    *     matched posting blocks; no doc-id ever crosses the network, at
+    *     ANY selectivity (PlanSpec asserts the docs table is absent from
+    *     the plan).
+    *   - `docFilter` (nullable Column over the docs table): the ad-hoc
+    *     escape hatch for predicates the sidecar doesn't carry (e.g.
+    *     url rlike ...). Matching (slice, doc_id) pairs — 12 bytes each,
+    *     column-pruned — co-shuffle with the blocks. Fine for selective
+    *     predicates; a 10%-selectivity filter at 10^12 docs would ship
+    *     ~10^11 ids, which is why typed predicates get the sidecar.
+    *
+    * For low-selectivity DATE ranges also consider time-bucketed segments
+    * ([[graft.index.TimeBuckets]]): whole-segment pruning first, sidecar
+    * as the residual intra-bucket cut.
     */
   def topK(
       spark: SparkSession,
@@ -49,8 +57,11 @@ object Search {
       queryTerms: Seq[String],
       mode: String,
       k: Int,
-      docFilter: Column = null
+      docFilter: Column = null,
+      attrFilter: AttrPred = null
   ): DataFrame = {
+    require(docFilter == null || attrFilter == null,
+      "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
     import spark.implicits._
     val terms = queryTerms.distinct
     val stats = IndexBuilder.readStats(spark, indexDir)
@@ -86,7 +97,7 @@ object Search {
     val isAnd = mode == "and"
     type BlockRow = (Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)
 
-    def wand(rows: Iterator[BlockRow], filter: FilterIter): Iterator[QueryHit] = {
+    def wand(rows: Iterator[BlockRow], filter: DocFilter): Iterator[QueryHit] = {
       val (qTerms, qIdfs) = bTerms.value
       val byTerm = rows.toArray.groupBy(_._2)
       val iters = qTerms.iterator.zipWithIndex.flatMap { case (t, ti) =>
@@ -106,11 +117,24 @@ object Search {
     }
 
     val localTopK =
-      if (docFilter == null)
+      if (docFilter == null && attrFilter == null)
         blocks.groupByKey(_._1).flatMapGroups { (_, rows) => wand(rows, null) }
-      else {
-        // matching doc ids per slice (12-byte rows; docs scan is column-
-        // pruned to the predicate columns + slice + doc_id)
+      else if (attrFilter != null) {
+        // sidecar path: plan-identical to the unfiltered search — the WAND
+        // task streams its slice's attribute file locally (no doc-id
+        // exchange at any selectivity). Cursor closed eagerly: wand() is
+        // eager (BlockMaxWand returns a materialized Array of hits).
+        val idxDir = indexDir
+        val pred = attrFilter
+        blocks.groupByKey(_._1).flatMapGroups { (slice, rows) =>
+          val cur = AttrSidecar.openCursor(idxDir, slice, pred)
+          try wand(rows, cur)
+          finally cur.close()
+        }
+      } else {
+        // ad-hoc Column path: matching doc ids per slice (12-byte rows;
+        // docs scan is column-pruned to the predicate columns + slice +
+        // doc_id)
         val filterIds = spark.read.parquet(s"$indexDir/docs")
           .where(docFilter)
           .select($"slice".cast("int"), $"doc_id")
@@ -143,10 +167,13 @@ object Search {
       indexDir: String,
       phraseTerms: Seq[String],
       k: Int,
-      docFilter: Column = null
+      docFilter: Column = null,
+      attrFilter: AttrPred = null
   ): DataFrame = {
     import spark.implicits._
     require(phraseTerms.nonEmpty, "empty phrase")
+    require(docFilter == null || attrFilter == null,
+      "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
     val distinctTerms = phraseTerms.distinct // first-occurrence order
     val offsets: Array[Array[Int]] = distinctTerms.map { t =>
       phraseTerms.zipWithIndex.collect { case (pt, i) if pt == t => i }.toArray
@@ -179,7 +206,7 @@ object Search {
 
     def run(
         rows: Iterator[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)],
-        filter: FilterIter
+        filter: DocFilter
     ): Iterator[QueryHit] = {
       val (qTerms, offs, idfS) = bCtx.value
       val byTerm = rows.toArray.groupBy(_._2)
@@ -195,9 +222,17 @@ object Search {
     }
 
     val localTopK =
-      if (docFilter == null)
+      if (docFilter == null && attrFilter == null)
         blocks.groupByKey(_._1).flatMapGroups { (_, rows) => run(rows, null) }
-      else {
+      else if (attrFilter != null) {
+        val idxDir = indexDir
+        val pred = attrFilter
+        blocks.groupByKey(_._1).flatMapGroups { (slice, rows) =>
+          val cur = AttrSidecar.openCursor(idxDir, slice, pred)
+          try run(rows, cur)
+          finally cur.close()
+        }
+      } else {
         val filterIds = spark.read.parquet(s"$indexDir/docs")
           .where(docFilter)
           .select($"slice".cast("int"), $"doc_id")

@@ -52,17 +52,25 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
     terms.where($"term".isin(queryTerms.distinct: _*))
       .collect().map(t => t.term -> t.doc_freq).toMap
 
-  /** All queries in one job → (qid, doc_id, score, rank). */
+  /** All queries in one job → (qid, doc_id, score, rank). Per-query
+    * filter context composes here too (`BatchQuery.attr`): each slice
+    * task materializes the allow-list of every DISTINCT predicate once
+    * from its slice sidecar (one streaming pass per predicate — shared
+    * across the queries that carry it), then each query gets its own
+    * cursor over the shared array. No doc-id exchange, same as the ad-hoc
+    * sidecar path.
+    */
   def topKBatch(queries: Seq[Searcher.BatchQuery], k: Int): DataFrame = {
     val allTerms = queries.flatMap(_.terms).distinct
     val dfs = dfOf(allTerms)
-    // per-query resolved plan: (terms in fixed order, idfs, isAnd)
+    // per-query resolved plan: (terms in fixed order, idfs, isAnd, attr)
     val resolved = queries.map { q =>
       val ts = q.terms.distinct
       val idfs = ts.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
-      (q.qid, ts.toArray, idfs, q.mode == "and")
+      (q.qid, ts.toArray, idfs, q.mode == "and", q.attr)
     }
     val bQueries = spark.sparkContext.broadcast(resolved)
+    val idxDir = indexDir
     val presentTerms = allTerms.filter(dfs.contains)
     if (presentTerms.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "doc_id", "score")
@@ -75,20 +83,25 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
       .where($"term".isin(presentTerms: _*))
       .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
       .groupByKey(_._1)
-      .flatMapGroups { (_, rows) =>
+      .flatMapGroups { (slice, rows) =>
         val byTerm = rows.toArray.groupBy(_._2).map { case (t, rs) =>
           t -> rs.sortBy(r => (r._4, r._3))
             .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
         }
-        bQueries.value.iterator.flatMap { case (qid, qTerms, idfs, isAnd) =>
+        // distinct predicates resolved once per slice task
+        val allowLists = scala.collection.mutable.HashMap.empty[graft.index.AttrPred, Array[Long]]
+        def allowOf(p: graft.index.AttrPred): Array[Long] =
+          allowLists.getOrElseUpdate(p, graft.index.AttrSidecar.matchingDocIds(idxDir, slice, p))
+        bQueries.value.iterator.flatMap { case (qid, qTerms, idfs, isAnd, attr) =>
           val iters = qTerms.iterator.zipWithIndex.flatMap { case (t, ti) =>
             byTerm.get(t).map(refs => new PostingIter(ti, idfs(ti), refs, avg))
           }.toArray
+          val filter = if (attr == null) null else new BlockMaxWand.FilterIter(allowOf(attr))
           val hits =
             if (isAnd) {
               if (iters.length < qTerms.length) Array.empty[BlockMaxWand.Hit]
-              else BlockMaxWand.and(iters, k)
-            } else BlockMaxWand.or(iters, k)
+              else BlockMaxWand.and(iters, k, filter)
+            } else BlockMaxWand.or(iters, k, filter)
           hits.iterator.map(h => (qid, h.docId, h.score))
         }
       }
@@ -123,6 +136,11 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
         $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
         $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
       )
+      // cardinality GATE, not a selection: if more than maxBlocks rows
+      // exist, which maxBlocks+1 arrive is nondeterministic — and
+      // irrelevant, because rows.length > maxBlocks then discards them
+      // all and falls back to the distributed path. The local path only
+      // ever scores a COMPLETE block set.
       .limit(maxBlocks + 1)
       .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
       .collect()
@@ -160,5 +178,14 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
 }
 
 object Searcher {
-  final case class BatchQuery(qid: Long, terms: Seq[String], mode: String)
+  /** `attr` (nullable): per-query filter context, evaluated from the
+    * slice attribute sidecar inside the batch job (ES bool filter next to
+    * the match query — composable per query, not per batch).
+    */
+  final case class BatchQuery(
+      qid: Long,
+      terms: Seq[String],
+      mode: String,
+      attr: graft.index.AttrPred = null
+  )
 }

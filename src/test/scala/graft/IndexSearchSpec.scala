@@ -127,6 +127,79 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sidecar filter context: no-exchange path rank-identical to allow-list path and oracle") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.index.AttrPred
+    val byUrl = (0L until NDocs).map(i => PagesGen.pageFor(i)).sortBy(_.url)
+    val langOf = byUrl.map(_.lang).toArray
+    val tsOf = byUrl.map(_.warc_ts).toArray
+    val cut = tsOf.sortBy(_.getTime).apply(NDocs.toInt / 3)
+    val cases: Seq[(Seq[String], String, AttrPred, Long => Boolean)] = Seq(
+      (Seq("w1", "w2"), "or", AttrPred.lang("ru"), id => langOf(id.toInt) == "ru"),
+      (Seq("w1", "w2"), "and", AttrPred.TsRange(Long.MinValue, cut.getTime),
+        id => tsOf(id.toInt).before(cut)),
+      (Seq("w0", "w3"), "or",
+        AttrPred.And(Seq(AttrPred.lang("ru"), AttrPred.TsRange(cut.getTime, Long.MaxValue))),
+        id => langOf(id.toInt) == "ru" && !tsOf(id.toInt).before(cut)),
+      (Seq("w0"), "or", AttrPred.LangIn(Set("de", "fr")),
+        id => langOf(id.toInt) == "de" || langOf(id.toInt) == "fr"),
+      (Seq("w0"), "or", AttrPred.Not(AttrPred.lang("en")), id => langOf(id.toInt) != "en"),
+      // BROAD filter (the regime the old allow-list shipped TBs for):
+      // ~all docs pass — sidecar must stay correct, not just fast
+      (Seq("w1", "w2"), "or", AttrPred.TsRange(0L, Long.MaxValue), _ => true),
+      (Seq("w0"), "or", AttrPred.lang("zz"), _ => false) // empty
+    )
+    cases.foreach { case (terms, mode, pred, allow) =>
+      val expected = NaiveBm25.topKFiltered(corpus, terms, mode, 10, allow)
+      val got = Search.topK(spark, dir.toString, terms, mode, 10, attrFilter = pred)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.length == expected.length, s"$terms/$mode/$pred size: ${got.length} vs ${expected.length}")
+      expected.zip(got).zipWithIndex.foreach { case ((e, (gid, gs)), rank) =>
+        assert(gid == e.docId, s"$terms/$mode/$pred rank $rank docId: got $gid want ${e.docId}")
+        assert(math.abs(gs - e.score) < 1e-9, s"$terms/$mode/$pred rank $rank score")
+      }
+    }
+    // phrase + sidecar
+    val expP = NaiveBm25.phraseTopK(corpus, Seq("w0", "w1"), 10, id => langOf(id.toInt) == "en")
+    val gotP = Search.phraseTopK(spark, dir.toString, Seq("w0", "w1"), 10,
+      attrFilter = AttrPred.lang("en"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(gotP.map(_._1).toSeq == expP.map(_.docId), "phrase+sidecar ids")
+    // MultiSearcher single-segment + sidecar ≡ Search + sidecar
+    val gotM = new graft.query.MultiSearcher(spark, Seq(dir.toString))
+      .topK(Seq("w1", "w2"), "or", 10, attrFilter = AttrPred.lang("ru"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expM = NaiveBm25.topKFiltered(corpus, Seq("w1", "w2"), "or", 10, id => langOf(id.toInt) == "ru")
+    assert(gotM.map(_._1).toSeq == expM.map(_.docId), "multisearcher+sidecar ids")
+  }
+
+  test("batched Searcher: per-query filter context from the sidecar") {
+    import graft.index.AttrPred
+    val byUrl = (0L until NDocs).map(i => PagesGen.pageFor(i)).sortBy(_.url)
+    val langOf = byUrl.map(_.lang).toArray
+    val searcher = new graft.query.Searcher(spark, dir.toString)
+    val batch = Seq(
+      graft.query.Searcher.BatchQuery(0L, Seq("w1", "w2"), "or"), // unfiltered
+      graft.query.Searcher.BatchQuery(1L, Seq("w1", "w2"), "or", AttrPred.lang("ru")),
+      graft.query.Searcher.BatchQuery(2L, Seq("w0"), "and", AttrPred.lang("de"))
+    )
+    val got = searcher.topKBatch(batch, 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .groupBy(_._1)
+    val exps = Seq(
+      NaiveBm25.topK(corpus, Seq("w1", "w2"), "or", 10),
+      NaiveBm25.topKFiltered(corpus, Seq("w1", "w2"), "or", 10, id => langOf(id.toInt) == "ru"),
+      NaiveBm25.topKFiltered(corpus, Seq("w0"), "and", 10, id => langOf(id.toInt) == "de")
+    )
+    exps.zipWithIndex.foreach { case (expected, qi) =>
+      val rows = got.getOrElse(qi.toLong, Array.empty).sortBy(_._2)
+      assert(rows.length == expected.length, s"batch q$qi size")
+      expected.zip(rows).foreach { case (e, (_, _, gid, gs)) =>
+        assert(gid == e.docId && math.abs(gs - e.score) < 1e-9, s"batch q$qi")
+      }
+    }
+  }
+
   test("phrase top-k: rank-identical to naive phrase oracle (incl. dup terms, filters)") {
     import org.apache.spark.sql.functions.col
     val byUrl = (0L until NDocs).map(i => PagesGen.pageFor(i)).sortBy(_.url)

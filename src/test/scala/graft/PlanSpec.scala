@@ -88,6 +88,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pushed.contains("lang"), s"lang filter not pushed down: $pushed")
   }
 
+  test("sidecar-filtered search: NO docs-table exchange — plan identical to unfiltered") {
+    // the scale contract of the attribute sidecar: a typed filter adds
+    // ZERO plan surface — no docs scan, no extra exchange; the predicate
+    // is evaluated inside the WAND task from the slice's sidecar file
+    val unfiltered = graft.query.Search.topK(spark, dir, Seq("w0", "w1"), "or", 10)
+    val filtered = graft.query.Search.topK(
+      spark, dir, Seq("w0", "w1"), "or", 10,
+      attrFilter = graft.index.AttrPred.lang("ru"))
+    val pu = executedPlan(unfiltered)
+    val pf = executedPlan(filtered)
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).size
+    def scans(p: String) = "Scan parquet".r.findAllIn(p).size
+    assert(!pf.contains("/docs"), s"filtered plan scans the docs table:\n$pf")
+    assert(exchanges(pf) == exchanges(pu),
+      s"filtered plan has extra exchanges: ${exchanges(pf)} vs ${exchanges(pu)}")
+    assert(scans(pf) == scans(pu),
+      s"filtered plan has extra scans: ${scans(pf)} vs ${scans(pu)}")
+  }
+
   test("IVF probe scan prunes list partitions (PartitionFilters on list)") {
     import spark.implicits._
     val data = (0 until 64).map { i =>
