@@ -95,6 +95,27 @@ object SparkEntry {
       }
     })
 
+  /** Title-field halves sharing the body halves' doc split — the
+    * fielded × multi-segment gate fixture.
+    */
+  def titleSplitIndexesFor(spark: SparkSession, sfDir: String): (String, String) = {
+    import spark.implicits._
+    val half = spark.read.parquet(s"$sfDir/documents.parquet").count() / 2
+    def buildHalf(tag: String, pred: Long => Boolean): String =
+      indexDirs.getOrElseUpdate(s"$sfDir#$tag", {
+        val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+        ensureIndex(s"/tmp/graft-index/$name-$tag") {
+          IndexBuilder.build(
+            spark,
+            documentsAsPages(spark, sfDir, t => t.split(" ").take(5).mkString(" "))
+              .filter(p => pred(p.url.drop(6).toLong)),
+            s"/tmp/graft-index/$name-$tag", GateConfig
+          )
+        }
+      })
+    (buildHalf("titleSegA", _ < half), buildHalf("titleSegB", _ >= half))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def events(s: SparkSession, dir: String): DataFrame =
@@ -210,6 +231,33 @@ object SparkEntry {
       import s.implicits._
       Search.phraseTopK(s, indexFor(s, dir), QueryPhrase, 10)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // fielded × multi-segment: each field is a 2-segment family queried as
+    // one logical index (≙ ES multi_match across its {prefix}-* indices).
+    // Global ids reconstruct doc_id, so the single-index fielded oracle
+    // applies unchanged.
+    "q_bm25_fielded_multiseg" -> { (s, dir) =>
+      import s.implicits._
+      import graft.query.FieldedSearch
+      val (bodyA, bodyB) = splitIndexesFor(s, dir)
+      val (titleA, titleB) = titleSplitIndexesFor(s, dir)
+      FieldedSearch.topKMulti(
+        s,
+        Seq(FieldedSearch.FieldFamily("title", Seq(titleA, titleB), 2.0),
+          FieldedSearch.FieldFamily("body", Seq(bodyA, bodyB), 1.0)),
+        QueryOr, 10
+      ).select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // fielded exact phrase (≙ ES most_fields over match_phrase clauses)
+    "q_bm25_fielded_phrase" -> { (s, dir) =>
+      import s.implicits._
+      import graft.query.FieldedSearch
+      FieldedSearch.phraseTopK(
+        s,
+        Seq(FieldedSearch.Field("title", titleIndexFor(s, dir), 2.0),
+          FieldedSearch.Field("body", indexFor(s, dir), 1.0)),
+        QueryPhrase, 10
+      ).select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
     // filtered top-k: date-range predicate (≙ ES date fields + dateTime
     // range query), AND-mode conjunctive retrieval under the filter —
@@ -491,6 +539,70 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY sco
 SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM merged ORDER BY score DESC, doc_id LIMIT 10"""
   }
 
+  /** Fielded most_fields phrase oracle: per field (title = first 5 tokens,
+    * boost 2.0; body boost 1.0) — phrase freq via positional self-joins,
+    * per-field idfSum over phrase POSITIONS (a field missing any term
+    * contributes nothing: the idfs CTE's HAVING guard empties it), score =
+    * Σ_f boost·idfSum_f·impact(freq_f, dl_f, avgdl_f).
+    */
+  private def fieldedPhraseOracleSql(phrase: Seq[String]): String = {
+    val inList = phrase.distinct.map(t => s"'$t'").mkString(", ")
+    def joins(tok: String) = (1 until phrase.size).map { i =>
+      s"JOIN $tok t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.term = '${phrase(i)}'"
+    }.mkString("\n           ")
+    s"""WITH tdoc AS (
+  SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS text FROM documents
+), btoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents WHERE text <> ''
+), ttoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM tdoc WHERE text <> ''
+), bdl AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY 1
+), tdl AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY 1
+), ball AS (SELECT d.doc_id, coalesce(bdl.dl, 0) AS dl FROM documents d LEFT JOIN bdl USING (doc_id)
+), tall AS (SELECT d.doc_id, coalesce(tdl.dl, 0) AS dl FROM documents d LEFT JOIN tdl USING (doc_id)
+), bstats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM ball
+), tstats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM tall
+), bdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM btoks WHERE term IN ($inList) GROUP BY 1
+), tdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM ttoks WHERE term IN ($inList) GROUP BY 1
+), occ(term) AS (VALUES ${phrase.map(t => s"('$t')").mkString(", ")}
+), bidf AS (
+  SELECT sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idfsum
+  FROM occ JOIN bdf df USING (term) CROSS JOIN bstats s HAVING count(*) = ${phrase.size}
+), tidf AS (
+  SELECT sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idfsum
+  FROM occ JOIN tdf df USING (term) CROSS JOIN tstats s HAVING count(*) = ${phrase.size}
+), bpf AS (
+  SELECT t0.doc_id, count(*) AS freq
+  FROM btoks t0
+           ${joins("btoks")}
+  WHERE t0.term = '${phrase.head}'
+  GROUP BY 1
+), tpf AS (
+  SELECT t0.doc_id, count(*) AS freq
+  FROM ttoks t0
+           ${joins("ttoks")}
+  WHERE t0.term = '${phrase.head}'
+  GROUP BY 1
+), bscore AS (
+  SELECT pf.doc_id,
+         1.0 * i.idfsum * (pf.freq / (pf.freq + 1.2 * (1 - 0.75 + 0.75 * ad.dl / s.avgdl))) AS sc
+  FROM bpf pf JOIN ball ad ON ad.doc_id = pf.doc_id CROSS JOIN bstats s CROSS JOIN bidf i
+), tscore AS (
+  SELECT pf.doc_id,
+         2.0 * i.idfsum * (pf.freq / (pf.freq + 1.2 * (1 - 0.75 + 0.75 * ad.dl / s.avgdl))) AS sc
+  FROM tpf pf JOIN tall ad ON ad.doc_id = pf.doc_id CROSS JOIN tstats s CROSS JOIN tidf i
+), merged AS (
+  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+         coalesce(t.sc, 0) + coalesce(b.sc, 0) AS score
+  FROM tscore t FULL OUTER JOIN bscore b ON t.doc_id = b.doc_id
+)
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM merged ORDER BY score DESC, doc_id LIMIT 10"""
+  }
+
   def oracleSql: Map[String, String] = OpsQueries.oracleSql ++ Map(
     "q_doc_stats" ->
       """SELECT doc_id, coalesce(len(string_split(text, ' ')), 0) AS doc_len
@@ -519,6 +631,10 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM merged ORDER BY sco
     "q_bm25_filtered_adhoc" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang = 'fr'"),
     "q_bm25_phrase" -> phraseOracleSql(QueryPhrase),
     "q_bm25_fielded" -> fieldedOracleSql(QueryOr),
+    // fielded over 2-segment families must equal the single-index fielded
+    // answer — same oracle
+    "q_bm25_fielded_multiseg" -> fieldedOracleSql(QueryOr),
+    "q_bm25_fielded_phrase" -> fieldedPhraseOracleSql(QueryPhrase),
     // multi-segment search must equal the single-index answer — same oracle
     "q_bm25_multiseg" -> bm25OracleSql(QueryOr, and = false),
     // the gate index synthesizes warc_ts = epoch(2021-01-01) + doc_id

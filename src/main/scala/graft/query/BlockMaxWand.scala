@@ -82,9 +82,14 @@ object BlockMaxWand {
           "index built without positions — phrase queries need positions=true")
         val r = new Codec.PosReader(b.poss)
         poscache = Array.tabulate(b.count)(j => r.readPositions(tfs(j)))
+        BlockMaxWand.posBlockDecodes.add(1L)
       }
       poscache(i)
     }
+
+    /** Raw per-block impact bound (idf-free — phrase iters carry idf=0). */
+    def blockMaxImpact: Double =
+      if (exhausted) 0.0 else blocks(bi).maxImpact
 
     def exhausted: Boolean = bi >= blocks.length
     def doc: Long = if (exhausted) Long.MaxValue else { decodeIfNeeded(); ids(i) }
@@ -138,6 +143,12 @@ object BlockMaxWand {
   }
 
   private val Bound = 1.0 + 1e-9
+
+  /** Count of position-stream block decodes (the expensive step of phrase
+    * evaluation) — observability for the phrase skip gate; a LongAdder so
+    * local-mode task threads can bump it contention-free. Test-facing.
+    */
+  private[graft] val posBlockDecodes = new java.util.concurrent.atomic.LongAdder
 
   /** `maxImpact` is whatever bound the READER chose for its avgdl: the
     * stored exact `max_impact` when querying with the index's own avgdl,
@@ -348,16 +359,83 @@ object BlockMaxWand {
         t += 1
       }
       if (!done && aligned) {
-        val poss = iters.map(_.positions)
-        val freq = phraseFreq(poss, offsets)
-        if (freq > 0) {
-          val s = idfSum * impact(freq, iters(0).docLen, avgDl)
-          top.offer(Hit(target, s))
+        // block-max skip gate (once top-k is full): for any doc d,
+        // freq(d) ≤ tf_t(d) for every phrase term t, and impact is
+        // monotone ↑tf, so score(d) ≤ idfSum · min_t maxImpact(t's current
+        // block). While that bound can't beat θ, every doc covered by ALL
+        // current blocks is hopeless — jump past the tightest block end
+        // without decoding a single position stream.
+        val theta = top.threshold
+        var gated = false
+        if (theta != Double.NegativeInfinity) {
+          var minImp = Double.MaxValue
+          var minLast = Long.MaxValue
+          var j = 0
+          while (j < iters.length) {
+            val imp = iters(j).blockMaxImpact
+            if (imp < minImp) minImp = imp
+            val bl = iters(j).blockLastDoc
+            if (bl < minLast) minLast = bl
+            j += 1
+          }
+          if (idfSum * minImp * Bound <= theta) {
+            target = minLast + 1
+            gated = true
+          }
         }
-        target += 1
+        if (!gated) {
+          val poss = iters.map(_.positions)
+          val freq = phraseFreq(poss, offsets)
+          if (freq > 0) {
+            val s = idfSum * impact(freq, iters(0).docLen, avgDl)
+            top.offer(Hit(target, s))
+          }
+          target += 1
+        }
       }
     }
     top.result
+  }
+
+  /** Enumerate ALL phrase-matching docs of a slice as (docId, freq,
+    * docLen), ascending docId — no scoring, no top-k cut, no block-max
+    * gate (there is no threshold to gate on). The building block for
+    * FIELDED (most_fields) phrase scoring, where per-field contributions
+    * must merge before any cut. Memory note for callers: matches
+    * materialize per (field, slice); phrase selectivity keeps this far
+    * below slice size in practice.
+    */
+  def phraseMatches(
+      iters: Array[PostingIter],
+      offsets: Array[Array[Int]],
+      filter: DocFilter = null
+  ): Iterator[(Long, Int, Int)] = {
+    if (iters.isEmpty || iters.exists(_.exhausted)) return Iterator.empty
+    val out = new mutable.ArrayBuffer[(Long, Int, Int)]
+    var target = iters.map(_.doc).max
+    var done = false
+    while (!done) {
+      var aligned = true
+      if (filter != null) {
+        val c = filter.ceil(target)
+        if (c == Long.MaxValue) done = true
+        else if (c > target) { target = c; aligned = false }
+      }
+      var t = 0
+      while (t < iters.length && !done) {
+        iters(t).advance(target)
+        if (iters(t).exhausted) done = true
+        else if (iters(t).doc > target) { target = iters(t).doc; aligned = false }
+        t += 1
+      }
+      if (!done && aligned) {
+        val poss = iters.map(_.positions)
+        val freq = phraseFreq(poss, offsets)
+        if (freq > 0) out += ((target, freq, iters(0).docLen))
+        target += 1
+      }
+    }
+    out.iterator
   }
 
   /** Count exact phrase occurrences given per-distinct-term sorted

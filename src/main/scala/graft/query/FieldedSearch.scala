@@ -143,4 +143,241 @@ object FieldedSearch {
 
     localTopK.toDF().orderBy(desc("score"), asc("doc_id")).limit(k)
   }
+
+  /** Fielded EXACT-PHRASE top-k (ES `most_fields` over `match_phrase`
+    * clauses — the composition ES offers freely in one bool query):
+    * score(d) = Σ_f boost_f · idfSum_f · impact(freq_f(d), dl_f(d),
+    * avgdl_f), summed in field order; candidates = phrase occurs in ≥1
+    * field; a field missing any phrase term corpus-wide contributes
+    * nothing (Lucene PhraseQuery semantics). Mirrored exactly by
+    * NaiveBm25.fieldedPhraseTopK and the DuckDB oracle.
+    *
+    * Scale shape: same as topK — one shuffle keys all fields' matched
+    * blocks by slice; each slice task enumerates phrase matches per field
+    * (leapfrog + positional verify) and merges per-doc contributions
+    * before its local top-k cut (per-field matches materialize per slice;
+    * phrase selectivity keeps that small).
+    */
+  def phraseTopK(
+      spark: SparkSession,
+      fields: Seq[Field],
+      phraseTerms: Seq[String],
+      k: Int,
+      docFilter: Column = null,
+      attrFilter: graft.index.AttrPred = null
+  ): DataFrame = {
+    import spark.implicits._
+    require(fields.nonEmpty && phraseTerms.nonEmpty)
+    require(docFilter == null || attrFilter == null,
+      "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
+    val distinctTerms = phraseTerms.distinct
+    val offsets: Array[Array[Int]] = distinctTerms.map { t =>
+      phraseTerms.zipWithIndex.collect { case (pt, i) if pt == t => i }.toArray
+    }.toArray
+
+    val stats = fields.map(f => IndexBuilder.readStats(spark, f.indexDir))
+    val n = stats.head.n_docs
+    require(stats.forall(_.n_docs == n), "field indexes must share the docID space")
+    require(fields.map(f => IndexBuilder.readMeta(f.indexDir).nSlices).distinct.size == 1,
+      "field indexes must share the slice layout")
+    val avgDls = stats.map(s => if (s.avg_dl > 0) s.avg_dl else 1.0).toArray
+    // per-field idfSum over phrase POSITIONS; 0 when any term is missing
+    // from the field (that field then matches nothing)
+    val idfSums: Array[Double] = fields.zipWithIndex.map { case (f, fi) =>
+      val dfs = IndexBuilder.readTerms(spark, f.indexDir)
+        .where($"term".isin(distinctTerms: _*))
+        .collect().map(t => t.term -> t.doc_freq).toMap
+      if (distinctTerms.exists(t => !dfs.contains(t))) 0.0
+      else phraseTerms.map(t => NaiveBm25.idf(n, dfs(t))).sum
+    }.toArray
+    if (idfSums.forall(_ == 0.0)) return spark.emptyDataset[Search.QueryHit].toDF()
+    val boosts = fields.map(_.boost).toArray
+    val bCtx = spark.sparkContext.broadcast((distinctTerms.toArray, offsets, idfSums, boosts, avgDls))
+
+    val blocks = fields.zipWithIndex
+      .filter { case (_, fi) => idfSums(fi) > 0.0 }
+      .map { case (f, fi) =>
+        IndexBuilder.readPostings(spark, f.indexDir)
+          .where($"term".isin(distinctTerms: _*))
+          .select(
+            lit(fi).as("fld"), $"slice", $"term", $"block_id", $"doc_id_min",
+            $"doc_id_max", $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
+          )
+      }
+      .reduce(_ unionByName _)
+      .as[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
+
+    def run(rows: Iterator[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)],
+            filterOf: () => DocFilter): Iterator[Search.QueryHit] = {
+      val (qTerms, offs, sums, bst, avgs) = bCtx.value
+      val byField = rows.toArray.groupBy(_._1)
+      // per-doc sums accumulate in FIELD ORDER (the scoring contract)
+      val acc = new scala.collection.mutable.LongMap[Double]
+      avgs.indices.foreach { fi =>
+        if (sums(fi) > 0.0) byField.get(fi).foreach { rs =>
+          val byTerm = rs.groupBy(_._3)
+          if (qTerms.forall(byTerm.contains)) {
+            val iters = qTerms.map { t =>
+              val refs = byTerm(t)
+                .sortBy(r => (r._5, r._4))
+                .map(r => BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11, r._12))
+              new PostingIter(0, 0.0, refs, avgs(fi))
+            }
+            val f = filterOf() // fresh monotone cursor per field pass
+            try {
+              BlockMaxWand.phraseMatches(iters, offs, f).foreach { case (doc, freq, dl) =>
+                val sc = bst(fi) * sums(fi) *
+                  IndexBuilder.impact(freq, dl, avgs(fi))
+                acc.update(doc, acc.getOrElse(doc, 0.0) + sc)
+              }
+            } finally f match {
+              case c: AutoCloseable => c.close()
+              case _ =>
+            }
+          }
+        }
+      }
+      acc.toArray.sortBy { case (doc, s) => (-s, doc) }.take(k)
+        .iterator.map { case (doc, s) => Search.QueryHit(doc, s) }
+    }
+
+    val attrDir = fields.head.indexDir
+    val localTopK =
+      if (docFilter == null && attrFilter == null)
+        blocks.groupByKey(_._2).flatMapGroups { (_, rows) => run(rows, () => null) }
+      else if (attrFilter != null) {
+        val pred = attrFilter
+        blocks.groupByKey(_._2).flatMapGroups { (slice, rows) =>
+          run(rows, () => AttrSidecar.openCursor(attrDir, slice, pred))
+        }
+      } else {
+        val filterIds = spark.read.parquet(s"$attrDir/docs")
+          .where(docFilter)
+          .select($"slice".cast("int"), $"doc_id")
+          .as[(Int, Long)]
+        blocks
+          .groupByKey(_._2)
+          .cogroup(filterIds.groupByKey(_._1)) { (_, rows, fids) =>
+            val allow = fids.map(_._2).toArray
+            if (allow.isEmpty) Iterator.empty
+            else {
+              java.util.Arrays.sort(allow)
+              run(rows, () => new FilterIter(allow))
+            }
+          }
+      }
+
+    localTopK.toDF().orderBy(desc("score"), asc("doc_id")).limit(k)
+  }
+
+  /** One field = a SEGMENT FAMILY (multi-segment fielded search — ES
+    * `multi_match` across its `{prefix}-*` indices in one query). All
+    * families must share the segmentation of the doc space (segment i
+    * holds the same docs in every field — per-segment n_docs asserted),
+    * so one (seg, slice) task merges every field's iterators for its doc
+    * range and global ids use one base sequence.
+    */
+  final case class FieldFamily(name: String, segmentDirs: Seq[String], boost: Double)
+
+  /** Fielded most_fields top-k over segment families; per-field global
+    * stats (N, avgdl_f, df_f summed over segments), WAND bounds re-derived
+    * from the avgdl-independent max_tf/min_dl at each field's global
+    * avgdl (exact-at-own-avgdl stored bounds don't transfer — same rule
+    * as MultiSearcher). `attrFilter` streams the FIRST field's per-segment
+    * sidecar (shared doc space).
+    */
+  def topKMulti(
+      spark: SparkSession,
+      fields: Seq[FieldFamily],
+      queryTerms: Seq[String],
+      k: Int,
+      attrFilter: graft.index.AttrPred = null
+  ): DataFrame = {
+    import spark.implicits._
+    require(fields.nonEmpty)
+    val nSegs = fields.head.segmentDirs.size
+    require(fields.forall(_.segmentDirs.size == nSegs),
+      "every field family must have the same number of segments")
+    val terms = queryTerms.distinct
+
+    // per (field, seg) stats; segmentation shared → one base sequence
+    val segStats = fields.map(_.segmentDirs.map(IndexBuilder.readStats(spark, _)))
+    (0 until nSegs).foreach { si =>
+      require(segStats.map(_(si).n_docs).distinct.size == 1,
+        s"segment $si docs differ across fields — families must share the segmentation")
+    }
+    val bases = segStats.head.map(_.n_docs).scanLeft(0L)(_ + _).init
+    val n = segStats.head.map(_.n_docs).sum
+    val avgDls = segStats.map { ss =>
+      val tok = ss.map(_.total_tokens).sum
+      if (n > 0 && tok > 0) tok.toDouble / n else 1.0
+    }.toArray
+
+    // per-field global df per term (tiny pushdown reads over every segment)
+    val dfs: Array[Map[String, Long]] = fields.map { f =>
+      f.segmentDirs
+        .map(d => IndexBuilder.readTerms(spark, d).where($"term".isin(terms: _*)).toDF())
+        .reduce(_ unionByName _)
+        .groupBy($"term").agg(sum($"doc_freq").as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }.toArray
+    if (!dfs.exists(_.nonEmpty)) return spark.emptyDataset[Search.QueryHit].toDF()
+
+    val qTerms = terms.toArray
+    val boosts = fields.map(_.boost).toArray
+    val weights: Array[Array[Double]] = Array.tabulate(fields.size) { fi =>
+      qTerms.map(t => boosts(fi) * NaiveBm25.idf(n, dfs(fi).getOrElse(t, 0L)))
+    }
+    val bCtx = spark.sparkContext.broadcast((qTerms, weights, avgDls))
+    val bBases = spark.sparkContext.broadcast(bases.toArray)
+
+    val blocks = (for {
+      (f, fi) <- fields.zipWithIndex
+      (d, si) <- f.segmentDirs.zipWithIndex
+    } yield IndexBuilder.readPostings(spark, d)
+      .where($"term".isin(terms: _*))
+      .select(
+        lit(fi).as("fld"), lit(si).as("seg"), $"slice", $"term", $"block_id",
+        $"doc_id_min", $"doc_id_max", $"count", $"deltas", $"tfs", $"dls",
+        $"poss", $"max_tf", $"min_dl"
+      ))
+      .reduce(_ unionByName _)
+      .as[(Int, Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Int, Int)]
+
+    type Row = (Int, Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Int, Int)
+    def wand(seg: Int, rows: Iterator[Row], filter: DocFilter): Iterator[Search.QueryHit] = {
+      val (ts, ws, avgs) = bCtx.value
+      val byFieldTerm = rows.toArray.groupBy(r => (r._1, r._4))
+      val iters = (for {
+        fi <- avgs.indices.iterator
+        ti <- ts.indices.iterator
+        rs <- byFieldTerm.get((fi, ts(ti))).iterator
+      } yield {
+        val refs = rs
+          .sortBy(r => (r._6, r._5))
+          .map(r => BlockRef(r._6, r._7, r._8, r._9, r._10, r._11, r._12,
+            IndexBuilder.impact(r._13, r._14, avgs(fi))))
+        new PostingIter(fi * ts.length + ti, ws(fi)(ti), refs, avgs(fi))
+      }).toArray
+      val base = bBases.value(seg)
+      BlockMaxWand.or(iters, k, filter)
+        .iterator.map(h => Search.QueryHit(base + h.docId, h.score))
+    }
+
+    val attrDirs = fields.head.segmentDirs.toArray
+    val bAttrDirs = spark.sparkContext.broadcast(attrDirs)
+    val localTopK =
+      if (attrFilter == null)
+        blocks.groupByKey(r => (r._2, r._3)).flatMapGroups { (key, rows) => wand(key._1, rows, null) }
+      else {
+        val pred = attrFilter
+        blocks.groupByKey(r => (r._2, r._3)).flatMapGroups { (key, rows) =>
+          val cur = AttrSidecar.openCursor(bAttrDirs.value(key._1), key._2, pred)
+          try wand(key._1, rows, cur)
+          finally cur.close()
+        }
+      }
+
+    localTopK.toDF().orderBy(desc("score"), asc("doc_id")).limit(k)
+  }
 }

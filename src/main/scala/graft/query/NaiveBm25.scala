@@ -130,6 +130,62 @@ object NaiveBm25 {
     scored.sortBy(h => (-h.score, h.docId)).take(k)
   }
 
+  /** Exhaustive FIELDED exact-phrase oracle (ES most_fields over
+    * match_phrase clauses): score(d) = Σ_f boost_f · idfSum_f ·
+    * impact(freq_f(d), dl_f(d), avgdl_f), summed in field order;
+    * candidates = phrase occurs in ≥1 field; a field missing any phrase
+    * term matches nothing in that field (Lucene PhraseQuery semantics).
+    */
+  def fieldedPhraseTopK(
+      fieldCorpora: Seq[(Seq[(Long, String)], Double)],
+      phrase: Seq[String],
+      k: Int,
+      allowed: Long => Boolean = null
+  ): Seq[Scored] = {
+    val perField = fieldCorpora.map { case (corpus, boost) =>
+      val analyzed = corpus.map { case (id, text) => (id, Analyzer.tokenize(text)) }
+      val n = corpus.size.toLong
+      val avgDl = {
+        val total = analyzed.map(_._2.length.toLong).sum
+        if (n > 0 && total > 0) total.toDouble / n else 1.0
+      }
+      val dfs = phrase.distinct.map { t =>
+        t -> analyzed.count { case (_, toks) => toks.contains(t) }.toLong
+      }.toMap
+      val idfSum = if (dfs.values.exists(_ == 0L)) 0.0 else phrase.map(t => idf(n, dfs(t))).sum
+      (analyzed.toMap, avgDl, idfSum, boost)
+    }
+    def freqOf(toks: Array[String]): Int = {
+      var freq = 0
+      var p = 0
+      while (p + phrase.length <= toks.length) {
+        var ok = true
+        var i = 0
+        while (ok && i < phrase.length) { if (toks(p + i) != phrase(i)) ok = false; i += 1 }
+        if (ok) freq += 1
+        p += 1
+      }
+      freq
+    }
+    val ids = fieldCorpora.head._1.map(_._1).filter(id => allowed == null || allowed(id))
+    val scored = ids.flatMap { id =>
+      var s = 0.0
+      var any = false
+      perField.foreach { case (docs, avgDl, idfSum, boost) =>
+        if (idfSum > 0.0) {
+          val toks = docs(id)
+          val freq = freqOf(toks)
+          if (freq > 0) {
+            any = true
+            s += boost * idfSum * (freq.toDouble / (freq + K1 * (1 - B + B * toks.length.toDouble / avgDl)))
+          }
+        }
+      }
+      if (any) Some(Scored(id, s)) else None
+    }
+    scored.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
   /** Exhaustive exact-phrase oracle (BlockMaxWand.phrase contract:
     * freq = phrase occurrences, idf summed per phrase position).
     */

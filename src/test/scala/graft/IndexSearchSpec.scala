@@ -20,12 +20,21 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val spark = TestSpark.spark
   private val NDocs = 3000L
   private var dir: Path = _
+  private var titleDir: Path = _
   private var corpus: Seq[(Long, String)] = _ // doc_id -> text per index docID
+
+  private def titleOf(t: String): String = IndexSearchSpec.titleOf(t)
+  private def titleCorpus = corpus.map { case (id, t) => (id, titleOf(t)) }
+  private def titlePages(pred: Page => Boolean) = IndexSearchSpec.titlePages(NDocs, pred)
 
   override def beforeAll(): Unit = {
     dir = Files.createTempDirectory("graft-index")
     val pages = PagesGen.pages(spark, NDocs, 8)
     IndexBuilder.build(spark, pages, dir.toString, BuildConfig(nPartitions = 16, nGroups = 3, nSlices = 6, blockSize = 64))
+    // second analyzed field over the SAME urls — shared docID space
+    titleDir = Files.createTempDirectory("graft-title")
+    IndexBuilder.build(spark, titlePages(_ => true), titleDir.toString,
+      BuildConfig(nPartitions = 16, nGroups = 3, nSlices = 6, blockSize = 64))
     // reconstruct the oracle corpus with the engine's own docID mapping
     // (docID = url sort rank — recomputed independently here)
     val byUrl = (0L until NDocs).map { i =>
@@ -38,6 +47,7 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = {
     import scala.reflect.io.Directory
     new Directory(dir.toFile).deleteRecursively()
+    new Directory(titleDir.toFile).deleteRecursively()
   }
 
   /** The reference query set (FIXTURES.md §2): hot/rare/absent, and/or. */
@@ -232,22 +242,6 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("fielded search (most_fields, per-field stats + boosts) matches naive oracle") {
     import graft.query.FieldedSearch
-    // second field over the SAME urls: first 4 tokens of each text —
-    // independent index, shared docID space
-    val titleOf = (t: String) => Analyzer.tokenize(t).take(4).mkString(" ")
-    val titleDir = Files.createTempDirectory("graft-title")
-    val titlePages = {
-      import TestSpark.spark.implicits._
-      TestSpark.spark.range(0, NDocs, 1, 8).map { i =>
-        val p = PagesGen.pageFor(i)
-        val tt = titleOf(p.text)
-        Page(p.url, p.warc_ts, graft.sources.HtmlText.wrap(p.url, tt), tt, p.lang)
-      }
-    }
-    IndexBuilder.build(spark, titlePages, titleDir.toString,
-      BuildConfig(nPartitions = 16, nGroups = 3, nSlices = 6, blockSize = 64))
-
-    val titleCorpus = corpus.map { case (id, t) => (id, titleOf(t)) }
     Seq(Seq("w0", "w1"), Seq("w3", "w7", "w11"), Seq("nosuchterm", "w2")).foreach { terms =>
       val expected = NaiveBm25.fieldedTopK(
         Seq((titleCorpus, 2.0), (corpus, 1.0)), terms, 10)
@@ -278,9 +272,112 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(gotF.map(_._1).toSeq == expF.map(_.docId), "fielded+filtered ids")
     expF.zip(gotF).foreach { case (e, (_, gs)) => assert(math.abs(gs - e.score) < 1e-9) }
+  }
 
+  test("fielded × multi-segment: 2-segment families rank-identical to single-index fielded oracle") {
+    import graft.query.FieldedSearch
+    import graft.index.AttrPred
+    // split by URL ORDER so segment-family global ids == corpus docIDs
+    val cutUrl = (0L until NDocs).map(i => PagesGen.pageFor(i).url).sorted.apply(NDocs.toInt / 2)
+    val dirs = (1 to 4).map(_ => Files.createTempDirectory("graft-fseg").toString)
+    val cfg = BuildConfig(nPartitions = 8, nGroups = 2, nSlices = 4, blockSize = 64)
+    IndexBuilder.build(spark, PagesGen.pages(spark, NDocs, 8).filter(_.url < cutUrl), dirs(0), cfg)
+    IndexBuilder.build(spark, PagesGen.pages(spark, NDocs, 8).filter(_.url >= cutUrl), dirs(1), cfg)
+    IndexBuilder.build(spark, titlePages(_.url < cutUrl), dirs(2), cfg)
+    IndexBuilder.build(spark, titlePages(_.url >= cutUrl), dirs(3), cfg)
+    val families = Seq(
+      FieldedSearch.FieldFamily("title", Seq(dirs(2), dirs(3)), 2.0),
+      FieldedSearch.FieldFamily("body", Seq(dirs(0), dirs(1)), 1.0)
+    )
+    Seq(Seq("w0", "w1"), Seq("w3", "w7", "w11")).foreach { terms =>
+      val expected = NaiveBm25.fieldedTopK(Seq((titleCorpus, 2.0), (corpus, 1.0)), terms, 10)
+      val got = FieldedSearch.topKMulti(spark, families, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.length == expected.length, s"fielded-multiseg $terms size")
+      expected.zip(got).zipWithIndex.foreach { case ((e, (gid, gs)), rank) =>
+        assert(gid == e.docId, s"fielded-multiseg $terms rank $rank: got $gid want ${e.docId}")
+        assert(math.abs(gs - e.score) < 1e-9, s"fielded-multiseg $terms rank $rank score")
+      }
+    }
+    // + sidecar filter context across the family
+    val byUrl = (0L until NDocs).map(i => PagesGen.pageFor(i)).sortBy(_.url)
+    val langOf = byUrl.map(_.lang).toArray
+    val expF = NaiveBm25.fieldedTopK(Seq((titleCorpus, 2.0), (corpus, 1.0)), Seq("w0", "w1"), 10,
+      allowed = id => langOf(id.toInt) == "ru")
+    val gotF = FieldedSearch.topKMulti(spark, families, Seq("w0", "w1"), 10,
+      attrFilter = AttrPred.lang("ru"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(gotF.map(_._1).toSeq == expF.map(_.docId), "fielded-multiseg+sidecar ids")
     import scala.reflect.io.Directory
-    new Directory(titleDir.toFile).deleteRecursively()
+    dirs.foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
+  }
+
+  test("fielded phrase (most_fields over match_phrase) matches naive oracle") {
+    import graft.query.FieldedSearch
+    import graft.index.AttrPred
+    val fields = Seq(
+      FieldedSearch.Field("title", titleDir.toString, 2.0),
+      FieldedSearch.Field("body", dir.toString, 1.0)
+    )
+    var nonEmpty = 0
+    Seq(Seq("w0", "w1"), Seq("w1", "w0"), Seq("w2", "w0", "w1"), Seq("nosuchterm", "w1"))
+      .foreach { phrase =>
+        val expected = NaiveBm25.fieldedPhraseTopK(Seq((titleCorpus, 2.0), (corpus, 1.0)), phrase, 10)
+        val got = FieldedSearch.phraseTopK(spark, fields, phrase, 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(got.length == expected.length, s"fielded-phrase $phrase size: ${got.length} vs ${expected.length}")
+        if (got.nonEmpty) nonEmpty += 1
+        expected.zip(got).zipWithIndex.foreach { case ((e, (gid, gs)), rank) =>
+          assert(gid == e.docId, s"fielded-phrase $phrase rank $rank: got $gid want ${e.docId}")
+          assert(math.abs(gs - e.score) < 1e-9, s"fielded-phrase $phrase rank $rank score")
+        }
+      }
+    assert(nonEmpty >= 2, "fielded-phrase coverage too trivial")
+    // + sidecar filter
+    val byUrl = (0L until NDocs).map(i => PagesGen.pageFor(i)).sortBy(_.url)
+    val langOf = byUrl.map(_.lang).toArray
+    val expF = NaiveBm25.fieldedPhraseTopK(Seq((titleCorpus, 2.0), (corpus, 1.0)), Seq("w0", "w1"), 10,
+      allowed = id => langOf(id.toInt) == "en")
+    val gotF = FieldedSearch.phraseTopK(spark, fields, Seq("w0", "w1"), 10,
+      attrFilter = AttrPred.lang("en"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(gotF.map(_._1).toSeq == expF.map(_.docId), "fielded-phrase+sidecar ids")
+  }
+
+  test("phrase block-max gate: skips position decodes on low-impact blocks, rank-safe") {
+    import graft.query.BlockMaxWand
+    // 40 short docs (high impact) then 960 long docs (low impact), all
+    // containing the phrase; once top-5 fills from the short docs, the
+    // gate must skip the long docs' position decodes entirely
+    val d = Files.createTempDirectory("graft-pskip")
+    val texts = (0 until 1000).map { i =>
+      if (i < 40) s"aa bb cc dd"
+      else ("aa bb " + Seq.fill(99)("xx yy").mkString(" "))
+    }
+    import TestSpark.spark.implicits._
+    val pages = spark.createDataset(texts.zipWithIndex.map { case (t, i) =>
+      val url = f"p/$i%06d"
+      Page(url, new java.sql.Timestamp(1609459200000L + i), graft.sources.HtmlText.wrap(url, t), t, "en")
+    })
+    IndexBuilder.build(spark, pages, d.toString,
+      BuildConfig(nPartitions = 4, nGroups = 1, nSlices = 2, blockSize = 16))
+    val corpus2 = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    BlockMaxWand.posBlockDecodes.reset()
+    val gotSmallK = Search.phraseTopK(spark, d.toString, Seq("aa", "bb"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val decodesGated = BlockMaxWand.posBlockDecodes.sumThenReset()
+    val expected = NaiveBm25.phraseTopK(corpus2, Seq("aa", "bb"), 5)
+    assert(gotSmallK.map(_._1).toSeq == expected.map(_.docId), "gated phrase ids")
+    expected.zip(gotSmallK).foreach { case (e, (_, gs)) => assert(math.abs(gs - e.score) < 1e-9) }
+    // k larger than the match count → threshold never set → no gating:
+    // the unpruned decode count to beat
+    val gotBigK = Search.phraseTopK(spark, d.toString, Seq("aa", "bb"), 2000).count()
+    val decodesUngated = BlockMaxWand.posBlockDecodes.sumThenReset()
+    assert(gotBigK == 1000L)
+    assert(decodesGated < decodesUngated,
+      s"gate saved nothing: $decodesGated vs $decodesUngated decodes")
+    import scala.reflect.io.Directory
+    new Directory(d.toFile).deleteRecursively()
   }
 
   test("batched Searcher: whole query set in one job, rank-identical to oracle") {
@@ -390,5 +487,20 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // total postings = Σ per-doc distinct terms
     val expected = corpus.map { case (_, t) => Analyzer.termFreqs(t)._2.length.toLong }.sum
     assert(totalPostings == expected)
+  }
+}
+
+/** Serializable helpers — task closures must not capture the suite. */
+object IndexSearchSpec {
+  def titleOf(t: String): String = Analyzer.tokenize(t).take(4).mkString(" ")
+
+  /** Title-field pages (first 4 tokens) over an arbitrary page subset. */
+  def titlePages(nDocs: Long, pred: Page => Boolean) = {
+    import TestSpark.spark.implicits._
+    TestSpark.spark.range(0, nDocs, 1, 8).map { i =>
+      val p = PagesGen.pageFor(i)
+      val tt = titleOf(p.text)
+      Page(p.url, p.warc_ts, graft.sources.HtmlText.wrap(p.url, tt), tt, p.lang)
+    }.filter(pred)
   }
 }
