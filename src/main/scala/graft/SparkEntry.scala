@@ -116,6 +116,38 @@ object SparkEntry {
     (buildHalf("titleSegA", _ < half), buildHalf("titleSegB", _ >= half))
   }
 
+  /** 3-segment family over doc-id thirds, then tiered-compacted — the
+    * compaction gate fixture. Global ids reconstruct doc_id (ordered
+    * adjacent segments), so the corpus-wide BM25 oracle applies.
+    */
+  def compactedFamilyFor(spark: SparkSession, sfDir: String): String =
+    indexDirs.getOrElseUpdate(s"$sfDir#family", {
+      import graft.index.SegmentFamily
+      val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = s"/tmp/graft-index/$name-family"
+      val liveOk = SegmentFamily.read(root).nonEmpty &&
+        SegmentFamily.read(root).forall(s =>
+          IndexBuilder.readFormatVersion(s.dir) == IndexBuilder.FormatVersion)
+      if (!liveOk) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+        val cuts = Seq(0L, n / 3, 2 * n / 3, n)
+        val segs = (0 until 3).map { i =>
+          val dir = s"$root/segment-$i"
+          IndexBuilder.build(
+            spark,
+            documentsAsPages(spark, sfDir)
+              .filter(p => { val id = p.url.drop(6).toLong; id >= cuts(i) && id < cuts(i + 1) }),
+            dir, GateConfig
+          )
+          SegmentFamily.Seg(dir, IndexBuilder.readStats(spark, dir).n_docs)
+        }
+        SegmentFamily.write(root, segs)
+        SegmentFamily.maybeCompact(spark, root, mergeFactor = 3)
+      }
+      root
+    })
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def events(s: SparkSession, dir: String): DataFrame =
@@ -247,6 +279,15 @@ object SparkEntry {
           FieldedSearch.FieldFamily("body", Seq(bodyA, bodyB), 1.0)),
         QueryOr, 10
       ).select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // tiered-compacted segment family: 3 micro-batch-style segments folded
+    // by the merge policy (decode-free fastMerge), queried through the
+    // family manifest — must equal the corpus-wide single-index answer
+    "q_bm25_compacted" -> { (s, dir) =>
+      import s.implicits._
+      val root = compactedFamilyFor(s, dir)
+      graft.index.SegmentFamily.searcher(s, root).topK(QueryOr, "or", 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
     // fielded exact phrase (≙ ES most_fields over match_phrase clauses)
     "q_bm25_fielded_phrase" -> { (s, dir) =>
@@ -637,6 +678,8 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM merged ORDER BY sco
     "q_bm25_fielded_phrase" -> fieldedPhraseOracleSql(QueryPhrase),
     // multi-segment search must equal the single-index answer — same oracle
     "q_bm25_multiseg" -> bm25OracleSql(QueryOr, and = false),
+    // compacted family must equal the single-index answer — same oracle
+    "q_bm25_compacted" -> bm25OracleSql(QueryOr, and = false),
     // the gate index synthesizes warc_ts = epoch(2021-01-01) + doc_id
     // minutes (SparkEntry.documentsAsPages), so the oracle derives the
     // same timestamp from doc_id and applies the SAME date predicate

@@ -1,0 +1,130 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import graft.query.MultiSearcher
+
+/** Ordered segment family + tiered compaction — the missing lifecycle
+  * piece between streaming ingest (one immutable segment per micro-batch)
+  * and bounded-fan-out serving: Elasticsearch keeps ONE live index per
+  * time bucket and lets Lucene's tiered merge policy fold flush segments
+  * together (`ElasticSearchStorage.cs:293-320` implies per-bucket indices,
+  * not per-bulk-batch); without a policy, segment count — and with it
+  * query fan-out and term-dict duplication — grows unboundedly with
+  * uptime.
+  *
+  * The manifest (`segments.json`, atomically replaced) is the source of
+  * truth for which segments are live and their ORDER — order defines the
+  * family's global docID bases, so only ADJACENT runs ever merge
+  * (fastMerge concatenates doc ranges; an adjacent merge preserves every
+  * global id).
+  *
+  * Policy (Lucene TieredMergePolicy, simplified): merge the
+  * smallest-total adjacent run of `mergeFactor` segments whose sizes lie
+  * within `tierFactor` of each other. Equal-size micro-batches therefore
+  * fold into ~mergeFactor× bigger segments tier by tier; a big old
+  * segment is never rewritten just because small flushes arrived next to
+  * it (the tier guard), giving the standard LSM amortized O(log n)
+  * rewrite cost and a segment count bounded by ~mergeFactor · #tiers.
+  */
+object SegmentFamily {
+
+  final case class Seg(dir: String, n_docs: Long)
+
+  private def manifestPath(root: String) = Paths.get(root, "segments.json")
+
+  def read(root: String): Seq[Seg] = {
+    val p = manifestPath(root)
+    if (!Files.exists(p)) return Nil
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    """\{"dir":"([^"]+)","n_docs":(\d+)\}""".r
+      .findAllMatchIn(s)
+      .map(m => Seg(s"$root/${m.group(1)}", m.group(2).toLong))
+      .toSeq
+  }
+
+  /** Atomic manifest replace (tmp + move): readers see old or new, never
+    * a torn list. Segment dirs are stored relative to the root.
+    */
+  def write(root: String, segs: Seq[Seg]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val json = segs
+      .map(s => s"""{"dir":"${Paths.get(s.dir).getFileName}","n_docs":${s.n_docs}}""")
+      .mkString("[", ",", "]")
+    val tmp = Paths.get(root, "segments.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Register a freshly built segment (idempotent by dir name — a
+    * replayed micro-batch re-registers the same segment).
+    */
+  def append(spark: SparkSession, root: String, segDir: String): Unit = {
+    val cur = read(root)
+    if (!cur.exists(_.dir == segDir))
+      write(root, cur :+ Seg(segDir, IndexBuilder.readStats(spark, segDir).n_docs))
+  }
+
+  /** Query the whole family as one logical index. */
+  def searcher(spark: SparkSession, root: String): MultiSearcher =
+    new MultiSearcher(spark, read(root).map(_.dir))
+
+  /** Smallest-total adjacent run of `mergeFactor` same-tier segments, or
+    * None when the family is already tiered.
+    */
+  private[index] def planRun(
+      sizes: Seq[Long], mergeFactor: Int, tierFactor: Double
+  ): Option[(Int, Int)] = {
+    var best: Option[(Int, Int, Long)] = None
+    var i = 0
+    while (i + mergeFactor <= sizes.length) {
+      val run = sizes.slice(i, i + mergeFactor)
+      if (run.max <= tierFactor * math.max(1L, run.min)) {
+        val tot = run.sum
+        if (best.forall(_._3 > tot)) best = Some((i, i + mergeFactor, tot))
+      }
+      i += 1
+    }
+    best.map(b => (b._1, b._2))
+  }
+
+  /** Run the merge policy to quiescence: while a qualifying adjacent run
+    * exists, fastMerge it into a new generation segment, atomically
+    * replace the run in the manifest, and delete the inputs. Each merge
+    * is decode-free (column remap); queries before/after are
+    * rank-identical (MultiSearcher over the new manifest ≡ old — tested).
+    */
+  def maybeCompact(
+      spark: SparkSession,
+      root: String,
+      mergeFactor: Int = 4,
+      // strictly below mergeFactor so a just-merged (mergeFactor·n)-sized
+      // segment does NOT re-qualify next to fresh n-sized flushes — tiers
+      // stay separate and big segments aren't rewritten per flush
+      tierFactor: Double = 3.0
+  ): Unit = {
+    require(mergeFactor >= 2)
+    var segs = read(root)
+    var gen = {
+      // next generation id = 1 + max over existing gen-segment names
+      val re = """gen-(\d+)""".r
+      segs.flatMap(s => re.findFirstMatchIn(s.dir).map(_.group(1).toLong)).maxOption.getOrElse(0L) + 1
+    }
+    var p = planRun(segs.map(_.n_docs), mergeFactor, tierFactor)
+    while (p.isDefined) {
+      val (from, until) = p.get
+      val run = segs.slice(from, until)
+      val outDir = s"$root/gen-$gen"
+      SegmentMerge.fastMerge(spark, run.map(_.dir), outDir)
+      val merged = Seg(outDir, IndexBuilder.readStats(spark, outDir).n_docs)
+      segs = segs.take(from) ++ Seq(merged) ++ segs.drop(until)
+      write(root, segs) // atomic cutover, then reclaim the inputs
+      run.foreach(s =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s.dir)))
+      gen += 1
+      p = planRun(segs.map(_.n_docs), mergeFactor, tierFactor)
+    }
+  }
+}

@@ -45,10 +45,27 @@ object TimeBuckets {
     val p = manifestPath(root)
     if (!Files.exists(p)) return Nil
     val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    """\{"bucket":"(\d+)","n_docs":(\d+)\}""".r
+    // dir is explicit since incremental ingest (a merged bucket lives in a
+    // new generation dir); legacy entries without it default to seg-<bucket>
+    """\{"bucket":"(\d+)"(?:,"dir":"([^"]+)")?,"n_docs":(\d+)\}""".r
       .findAllMatchIn(s)
-      .map(m => Bucket(m.group(1), s"$root/seg-${m.group(1)}", m.group(2).toLong))
+      .map { m =>
+        val dir = Option(m.group(2)).getOrElse(s"seg-${m.group(1)}")
+        Bucket(m.group(1), s"$root/$dir", m.group(3).toLong)
+      }
       .toSeq
+  }
+
+  private def writeManifest(root: String, buckets: Seq[Bucket]): Unit = {
+    val json = buckets.sortBy(_.bucket)
+      .map(b => s"""{"bucket":"${b.bucket}","dir":"${java.nio.file.Paths.get(b.dir).getFileName}","n_docs":${b.n_docs}}""")
+      .mkString("[", ",", "]")
+    val tmp = Paths.get(root, "buckets.json.tmp")
+    Files.createDirectories(Paths.get(root))
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Build (or resume) one index segment per month(warc_ts). */
@@ -87,11 +104,84 @@ object TimeBuckets {
       IndexBuilder.build(spark, segPages, dir, cfg)
       Bucket(b, dir, IndexBuilder.readStats(spark, dir).n_docs)
     }
-    val json = built
-      .map(b => s"""{"bucket":"${b.bucket}","n_docs":${b.n_docs}}""")
-      .mkString("[", ",", "]")
-    Files.write(manifestPath(root), json.getBytes(StandardCharsets.UTF_8))
+    writeManifest(root, built.toSeq)
     built.toSeq
+  }
+
+  /** Incrementally absorb a NEW batch of pages into an existing family:
+    * per touched bucket, build a delta segment from the new pages and
+    * decode-free fastMerge it with the bucket's current segment (fresh
+    * buckets just build); untouched buckets are never opened. The
+    * manifest is atomically replaced at the end — readers see the old or
+    * the new family, never a mix. This is the reference's steady-state
+    * ES shape: new events keep landing in their `{prefix}-yyyyMM` index
+    * (`ElasticSearchStorage.cs:293-320`) without rebuilding history.
+    *
+    * `ingestId` names the generation (delta/merged dirs are suffixed with
+    * it) — pass a unique id per call; re-running a completed ingestId is
+    * a no-op per bucket (fastMerge checkpoints).
+    *
+    * docID note: merged-bucket ids = old segment's ids ++ delta's (offset)
+    * — a different id ORDER than a one-shot build of the union (which
+    * sorts all urls together), but search results are URL-identical with
+    * identical scores (tested): ids are internal to the family.
+    */
+  def ingest(
+      spark: SparkSession,
+      pages: Dataset[Page],
+      root: String,
+      ingestId: String,
+      cfg: BuildConfig = BuildConfig()
+  ): Seq[Bucket] = {
+    import spark.implicits._
+    require(ingestId.matches("[A-Za-z0-9_-]+"), "ingestId must be filesystem-safe")
+    if (IndexBuilder.completedUnits(root).contains(s"ingest-$ingestId-done"))
+      return readManifest(root) // this generation already fully applied
+    val existing = readManifest(root).map(b => b.bucket -> b).toMap
+
+    val staged = s"$root/ingest-$ingestId"
+    if (!IndexBuilder.completedUnits(root).contains(s"ingest-$ingestId-staged")) {
+      pages
+        .map(p => (p.url, p.warc_ts, p.html, p.text, p.lang, bucketOf(p.warc_ts)))
+        .toDF("url", "warc_ts", "html", "text", "lang", "bucket")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(staged)
+      IndexBuilder.commitUnitPublic(root, s"ingest-$ingestId-staged")
+    }
+    val touched = spark.read.parquet(staged)
+      .select($"bucket").distinct().as[String].collect().sorted
+
+    val updated = touched.map { b =>
+      val segPages = spark.read.option("basePath", staged).parquet(staged)
+        .where($"bucket" === b)
+        .select($"url", $"warc_ts", $"html", $"text", $"lang")
+        .as[Page]
+      existing.get(b) match {
+        case None =>
+          val dir = s"$root/seg-$b-$ingestId"
+          IndexBuilder.build(spark, segPages, dir, cfg)
+          Bucket(b, dir, IndexBuilder.readStats(spark, dir).n_docs)
+        case Some(old) =>
+          val deltaDir = s"$root/seg-$b-$ingestId-delta"
+          IndexBuilder.build(spark, segPages, deltaDir, cfg)
+          val mergedDir = s"$root/seg-$b-$ingestId"
+          SegmentMerge.fastMerge(spark, Seq(old.dir, deltaDir), mergedDir)
+          Bucket(b, mergedDir, IndexBuilder.readStats(spark, mergedDir).n_docs)
+      }
+    }
+    val untouched = readManifest(root).filterNot(b => touched.contains(b.bucket))
+    val all = (untouched ++ updated).sortBy(_.bucket)
+    writeManifest(root, all)
+    // reclaim replaced segments + staging after the atomic cutover
+    touched.foreach { b =>
+      existing.get(b).foreach(old =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old.dir)))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/seg-$b-$ingestId-delta"))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staged))
+    IndexBuilder.commitUnitPublic(root, s"ingest-$ingestId-done")
+    all
   }
 
   /** Buckets overlapping [from, to) — month-granularity segment pruning. */

@@ -121,49 +121,69 @@ object Ann {
     def result: Array[(Long, Double)] = heap.toArray.sortBy { case (id, s) => (-s, id) }
   }
 
-  /** Train IVF centroids: deterministic seed (first nLists vectors by id)
-    * + one distributed Lloyd refinement pass.
+  /** Train IVF centroids: deterministic SPREAD seeding (vectors at id
+    * quantiles — the first-nLists-ids seed clusters badly when nearby ids
+    * embed nearby) + `lloydPasses` distributed refinement passes. Each
+    * pass is one map-side partial-sum job (per-partition centroid sums →
+    * tiny merge) — no per-row shuffle.
     */
   private def trainCentroids(
       vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
       idCol: String,
-      nLists: Int
+      nLists: Int,
+      lloydPasses: Int
   ): Array[Array[Float]] = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val seedCentroids = vecs.orderBy(col(idCol)).limit(nLists).collect().map(_._2)
-    val bSeed = spark.sparkContext.broadcast(seedCentroids)
-    vecs
-      .mapPartitions { it =>
-        val cs = bSeed.value
-        val sums = Array.fill(cs.length)(new Array[Double](cs.headOption.map(_.length).getOrElse(0)))
-        val counts = new Array[Long](cs.length)
-        it.foreach { case (_, v) =>
-          val c = nearest(cs, v)
-          counts(c) += 1
-          var i = 0
-          while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+    // deterministic pseudo-random seeds: the nLists vectors with the
+    // smallest xxhash64(id) — a decorrelated sample (nearby ids often
+    // embed nearby; hashing breaks that), computed as a distributed
+    // top-k (TakeOrdered), never a global sort
+    val seedCentroids = vecs.toDF(idCol, "vec")
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nLists)
+      .select(col("vec")).as[Array[Float]].collect()
+    require(seedCentroids.nonEmpty, "empty corpus")
+
+    var centroids = seedCentroids
+    var pass = 0
+    while (pass < lloydPasses) {
+      val bSeed = spark.sparkContext.broadcast(centroids)
+      val refined = vecs
+        .mapPartitions { it =>
+          val cs = bSeed.value
+          val sums = Array.fill(cs.length)(new Array[Double](cs.headOption.map(_.length).getOrElse(0)))
+          val counts = new Array[Long](cs.length)
+          it.foreach { case (_, v) =>
+            val c = nearest(cs, v)
+            counts(c) += 1
+            var i = 0
+            while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+          }
+          Iterator.tabulate(cs.length)(c => (c, sums(c), counts(c)))
         }
-        Iterator.tabulate(cs.length)(c => (c, sums(c), counts(c)))
-      }
-      .groupByKey(_._1)
-      .mapGroups { (c, it) =>
-        val all = it.toArray
-        val dim = all.head._2.length
-        val sum = new Array[Double](dim)
-        var cnt = 0L
-        all.foreach { case (_, s, n) =>
-          cnt += n
-          var i = 0
-          while (i < dim) { sum(i) += s(i); i += 1 }
+        .groupByKey(_._1)
+        .mapGroups { (c, it) =>
+          val all = it.toArray
+          val dim = all.head._2.length
+          val sum = new Array[Double](dim)
+          var cnt = 0L
+          all.foreach { case (_, s, cn) =>
+            cnt += cn
+            var i = 0
+            while (i < dim) { sum(i) += s(i); i += 1 }
+          }
+          val out = new Array[Float](dim)
+          if (cnt > 0) { var i = 0; while (i < dim) { out(i) = (sum(i) / cnt).toFloat; i += 1 } }
+          (c, out)
         }
-        val out = new Array[Float](dim)
-        if (cnt > 0) { var i = 0; while (i < dim) { out(i) = (sum(i) / cnt).toFloat; i += 1 } }
-        (c, out)
-      }
-      .collect()
-      .sortBy(_._1)
-      .map { case (c, v) => if (v.forall(_ == 0f)) seedCentroids(c) else v }
+        .collect()
+        .sortBy(_._1)
+        .map { case (c, v) => if (v.forall(_ == 0f)) centroids(c) else v }
+      centroids = refined
+      pass += 1
+    }
+    centroids
   }
 
   /** Build-ONCE persisted IVF index: centroids parquet + the corpus
@@ -174,17 +194,22 @@ object Ann {
     * per-call re-train + full-scan-with-row-filter was a scale
     * anti-pattern (every query touched every row).
     */
+  /** Sizing guidance: nLists ≈ √N (classic IVF heuristic — balances
+    * centroid-scan cost against list-scan cost); probe recall grows with
+    * nProbe/nLists. See README §ANN.
+    */
   def ivfBuild(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       indexDir: String,
-      nLists: Int = 16
+      nLists: Int = 16,
+      lloydPasses: Int = 2
   ): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-    val centroids = trainCentroids(vecs, idCol, nLists)
+    val centroids = trainCentroids(vecs, idCol, nLists, lloydPasses)
     val bCent = spark.sparkContext.broadcast(centroids)
     vecs
       .map { case (id, v) => (nearest(bCent.value, v), id, v) }
@@ -193,6 +218,22 @@ object Ann {
     centroids.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(indexDir, "meta.json"),
+      s"""{"format":$IvfFormatVersion,"n_lists":$nLists,"lloyd_passes":$lloydPasses}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Bump when centroid training / layout changes — cached indexes from an
+    * older build must be rebuilt, not silently probed.
+    */
+  val IvfFormatVersion = 2
+
+  def ivfFormatVersion(indexDir: String): Int = {
+    val p = java.nio.file.Paths.get(indexDir, "meta.json")
+    if (!java.nio.file.Files.exists(p)) return 0
+    val s = new String(java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+    """"format"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(0)
   }
 
   /** Probe a persisted IVF index: nProbe nearest lists per query, scan

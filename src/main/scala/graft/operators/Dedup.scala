@@ -34,6 +34,16 @@ object Dedup {
     * Jaccard. Shuffles: one explode+groupBy on band keys (rows = docs ×
     * bands, key cardinality huge → even distribution), pairs generated
     * only within buckets.
+    *
+    * EXACT-DUP PRE-COLLAPSE: web corpora are dup-heavy, and m byte-equal
+    * copies in one band bucket would alone yield m²/2 candidate pairs.
+    * So docs group by text hash FIRST; only one representative per group
+    * enters banding (bucket blowup is now bounded by distinct-text
+    * collisions), and pairs expand afterwards from group membership:
+    * within-group pairs get Jaccard 1.0 with no verification at all, and
+    * each rep-level near-dup pair expands to the groups' cross product —
+    * output semantics unchanged (the expansion IS the answer), internal
+    * candidate volume collapsed.
     */
   def minHashLsh(
       docs: DataFrame,
@@ -46,36 +56,65 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = numHashes / bands
-    val sigs = docs
-      .select(col(idCol).cast("long"), col(textCol))
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+    // exact-dup groups: gid = lowest member id. All-rows shapes (no
+    // collect_set — a hot group must never become one giant array row):
+    // members is an equi-join of (ghash, id) with the per-group min.
+    val hashed = base.select(xxhash64($"txt").as("ghash"), $"id", $"txt")
+    val gmin = hashed.groupBy($"ghash").agg(min($"id").as("gid"))
+    val members = hashed.join(gmin, "ghash").select($"gid", $"id")
+    val reps = hashed.join(gmin, "ghash")
+      .where($"id" === $"gid")
+      .select($"gid", $"txt")
+
+    val sigs = reps
       .as[(Long, String)]
-      .map { case (id, text) =>
+      .map { case (gid, text) =>
         val sh = TextFeatures.shingles(Analyzer.tokenize(text), 3)
         val sig = TextFeatures.minHash(sh, numHashes)
-        (id, sh, TextFeatures.bandKeys(sig, bands, rows))
+        (gid, sh, TextFeatures.bandKeys(sig, bands, rows))
       }
-      .toDF("id", "shingles", "bandkeys")
+      .toDF("gid", "shingles", "bandkeys")
 
-    // candidate pairs on BARE IDs (16 bytes/row through the join+distinct);
-    // the shingle payloads join back only for the surviving distinct pairs
-    // — a pair colliding in several bands would otherwise drag its two
-    // shingle arrays through the shuffle once per collision.
-    val banded = sigs.select($"id", explode($"bandkeys").as("band"))
-    val a = banded.select($"band", $"id".as("id_a"))
-    val b = banded.select($"band", $"id".as("id_b"))
-    val pairs = a.join(b, Seq("band"))
-      .where($"id_a" < $"id_b")
-      .select($"id_a", $"id_b")
+    // candidate pairs on BARE rep IDs (16 bytes/row through the
+    // join+distinct); shingle payloads join back only for the surviving
+    // distinct pairs — a pair colliding in several bands would otherwise
+    // drag its two shingle arrays through the shuffle once per collision.
+    val banded = sigs.select($"gid", explode($"bandkeys").as("band"))
+    val a = banded.select($"band", $"gid".as("g_a"))
+    val b = banded.select($"band", $"gid".as("g_b"))
+    val candidates = a.join(b, Seq("band"))
+      .where($"g_a" < $"g_b")
+      .select($"g_a", $"g_b")
       .distinct()
-    val sh = sigs.select($"id", $"shingles")
-    pairs
-      .join(sh.select($"id".as("id_a"), $"shingles".as("sh_a")), "id_a")
-      .join(sh.select($"id".as("id_b"), $"shingles".as("sh_b")), "id_b")
-      .select($"id_a", $"id_b", $"sh_a", $"sh_b")
+    val sh = sigs.select($"gid", $"shingles")
+    val repPairs = candidates
+      .join(sh.select($"gid".as("g_a"), $"shingles".as("sh_a")), "g_a")
+      .join(sh.select($"gid".as("g_b"), $"shingles".as("sh_b")), "g_b")
+      .select($"g_a", $"g_b", $"sh_a", $"sh_b")
       .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (ia, ib, sa, sb) => (ia, ib, TextFeatures.jaccard(sa, sb)) }
-      .toDF("id_a", "id_b", "jaccard")
+      .map { case (ga, gb, sa, sb) => (ga, gb, TextFeatures.jaccard(sa, sb)) }
+      .toDF("g_a", "g_b", "jaccard")
       .where($"jaccard" >= threshold)
+
+    // expansion (equi-joins on group ids):
+    //  - within-group: identical texts, Jaccard exactly 1.0 (threshold is
+    //    ≤ 1.0 by contract so they always qualify)
+    //  - cross-group: every (member of g_a) × (member of g_b), reoriented
+    //    so id_a < id_b
+    val within = members.as("x")
+      .join(members.as("y"), "gid")
+      .where($"x.id" < $"y.id")
+      .select($"x.id".as("id_a"), $"y.id".as("id_b"), lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(members.select($"gid".as("g_a"), $"id".as("m_a")), "g_a")
+      .join(members.select($"gid".as("g_b"), $"id".as("m_b")), "g_b")
+      .select(
+        least($"m_a", $"m_b").as("id_a"),
+        greatest($"m_a", $"m_b").as("id_b"),
+        $"jaccard"
+      )
+    within.unionByName(cross)
   }
 
   /** SimHash near-dedup: 64-bit signature, 16-bit-chunk LSH (hamming ≤ 3

@@ -33,7 +33,16 @@ import graft.index.IndexBuilder.BuildConfig
 object StreamingIngest {
 
   /** Start a streaming index build over a directory of Page parquet files.
-    * One segment per micro-batch under `indexDir/segment-<batchId>`.
+    * One segment per micro-batch under `indexDir/segment-<batchId>`,
+    * registered in the family manifest (`segments.json`).
+    *
+    * `mergeFactor` > 0 turns on tiered compaction after each micro-batch
+    * ([[graft.index.SegmentFamily.maybeCompact]]): segment count stays
+    * bounded (~mergeFactor per size tier) under continuous ingest instead
+    * of growing one segment per batch forever — the ES/Lucene per-bucket
+    * merge-policy analog. Compaction is decode-free (fastMerge) and
+    * rank-preserving; queries go through
+    * [[graft.index.SegmentFamily.searcher]].
     */
   def start(
       spark: SparkSession,
@@ -42,7 +51,8 @@ object StreamingIngest {
       checkpointDir: String,
       cfg: BuildConfig = BuildConfig(nPartitions = 8, nGroups = 1, nSlices = 2),
       skipBefore: Option[java.sql.Timestamp] = None,
-      availableNow: Boolean = true
+      availableNow: Boolean = true,
+      mergeFactor: Int = 0
   ): StreamingQuery = {
     import spark.implicits._
     val schema = spark.emptyDataset[Page].schema
@@ -62,8 +72,12 @@ object StreamingIngest {
       .foreachBatch { (batch: Dataset[Page], batchId: Long) =>
         val segDir = s"$indexDir/segment-$batchId"
         // idempotent: a replayed batch rebuilds the same segment bytes
+        // (and manifest append dedupes by dir name)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(segDir))
         IndexBuilder.build(batch.sparkSession, batch, segDir, cfg)
+        graft.index.SegmentFamily.append(batch.sparkSession, indexDir, segDir)
+        if (mergeFactor > 0)
+          graft.index.SegmentFamily.maybeCompact(batch.sparkSession, indexDir, mergeFactor)
         ()
       }
 

@@ -201,6 +201,112 @@ class MergeStreamSpec extends AnyFunSuite {
     viaAll.zip(viaPruned).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
   }
 
+  test("tiered compaction bounds streaming segment count; queries rank-identical") {
+    import graft.index.SegmentFamily
+    val inDir = Files.createTempDirectory("cmp-in").toString
+    val idxDir = Files.createTempDirectory("cmp-idx").toString
+    val ckpt = Files.createTempDirectory("cmp-ckpt").toString
+    val cfg = BuildConfig(nPartitions = 4, nGroups = 1, nSlices = 2, blockSize = 32)
+    // 24 files → 6 micro-batches (maxFilesPerTrigger = 4); without a merge
+    // policy that's 6 segments and counting
+    (0 until 24).foreach { c =>
+      pagesWithPrefix("z", c * 20L, (c + 1) * 20L).coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
+    val q = StreamingIngest.start(spark, inDir, idxDir, ckpt, cfg, mergeFactor = 3)
+    q.awaitTermination()
+    val fam = SegmentFamily.read(idxDir)
+    assert(fam.map(_.n_docs).sum == 480, s"family lost docs: $fam")
+    assert(fam.length <= 3, s"compaction did not bound segment count: ${fam.length} segments")
+    assert(fam.exists(_.dir.contains("gen-")), "no merged generation segment present")
+
+    // rank identity vs a one-shot index over the same docs, compared by
+    // URL (docID spaces differ by construction) with identical scores
+    val oneShot = Files.createTempDirectory("cmp-one").toString
+    IndexBuilder.build(spark, pagesWithPrefix("z", 0, 480), oneShot, cfg)
+    def urlsOf(segs: Seq[SegmentFamily.Seg]): Map[Long, String] = {
+      val bases = segs.map(_.n_docs).scanLeft(0L)(_ + _).init
+      segs.zip(bases).flatMap { case (s, base) =>
+        IndexBuilder.readDocs(spark, s.dir).collect().map(d => (base + d.doc_id) -> d.url)
+      }.toMap
+    }
+    val famUrls = urlsOf(fam)
+    val oneUrls = IndexBuilder.readDocs(spark, oneShot).collect().map(d => d.doc_id -> d.url).toMap
+    Seq((Seq("w0", "w3"), "or"), (Seq("w1", "w2"), "and")).foreach { case (terms, mode) =>
+      val got = SegmentFamily.searcher(spark, idxDir).topK(terms, mode, 10)
+        .collect().map(r => (famUrls(r.getLong(0)), math.round(r.getDouble(1) * 1e9)))
+      val want = Search.topK(spark, oneShot, terms, mode, 10)
+        .collect().map(r => (oneUrls(r.getLong(0)), math.round(r.getDouble(1) * 1e9)))
+      // ties (duplicate texts) may order differently across docID spaces —
+      // compare as sorted (score, url) lists
+      assert(got.sortBy(x => (-x._2, x._1)).toSeq == want.sortBy(x => (-x._2, x._1)).toSeq,
+        s"compacted family answers differ for $terms/$mode")
+    }
+  }
+
+  test("time-bucket incremental ingest ≡ one-shot build (url+score identity)") {
+    import graft.index.TimeBuckets
+    def mixedPages(from: Long, until: Long) = spark.range(from, until, 1, 4).map { i =>
+      val month = (i % 3).toInt
+      val ts = new java.sql.Timestamp(1609459200000L + month * 31L * 86400000L + i * 60000L)
+      val text = PagesGen.textFor(i)
+      val url = f"doc://$i%08d"
+      Page(url, ts, HtmlText.wrap(url, text), text, "en")
+    }
+    val cfg = BuildConfig(nPartitions = 4, nGroups = 1, nSlices = 2, blockSize = 32)
+    val oneRoot = Files.createTempDirectory("tb-one").toString
+    val incRoot = Files.createTempDirectory("tb-inc").toString
+    TimeBuckets.build(spark, mixedPages(0, 300), oneRoot, cfg)
+    // phase 1: first 200 docs; phase 2: absorb the remaining 100
+    TimeBuckets.build(spark, mixedPages(0, 200), incRoot, cfg)
+    val before = TimeBuckets.readManifest(incRoot)
+    val after = TimeBuckets.ingest(spark, mixedPages(200, 300), incRoot, "g1", cfg)
+    assert(after.map(_.n_docs).sum == 300)
+    assert(after.map(_.bucket) == before.map(_.bucket), "ingest must not invent buckets here")
+    // idempotent replay of the same generation
+    assert(TimeBuckets.ingest(spark, mixedPages(200, 300), incRoot, "g1", cfg) == after)
+
+    val feb1 = java.sql.Timestamp.valueOf("2021-02-01 00:00:00")
+    val apr1 = java.sql.Timestamp.valueOf("2021-04-01 00:00:00")
+    def results(root: String): Seq[(String, Long)] = {
+      val (s, picked) = TimeBuckets.searcher(spark, root, feb1, apr1)
+      val all = TimeBuckets.readManifest(root)
+      val bases = all.map(_.n_docs).scanLeft(0L)(_ + _).init
+      val urls = all.zip(bases).flatMap { case (b, base) =>
+        IndexBuilder.readDocs(spark, b.dir).collect().map(d => (base + d.doc_id) -> d.url)
+      }.toMap
+      assert(picked.map(_.bucket) == Seq("202102", "202103"))
+      s.topK(Seq("w0", "w1"), "or", 10,
+        docFilter = col("warc_ts") >= lit(feb1) && col("warc_ts") < lit(apr1))
+        .collect().map(r => (urls(r.getLong(0)), math.round(r.getDouble(1) * 1e9)))
+        .sortBy(x => (-x._2, x._1)).toSeq
+    }
+    assert(results(incRoot) == results(oneRoot), "incremental family diverged from one-shot")
+  }
+
+  test("time-bucket labels are session-timezone-independent (UTC pinned)") {
+    import graft.index.TimeBuckets
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val root = Files.createTempDirectory("tb-tz").toString
+      // 2021-02-01 00:30 UTC = 2021-01-31 19:30 in New York — a session-tz
+      // bucketing would file it under 202101 and pruning would drop it
+      val ts = new java.sql.Timestamp(1612139400000L)
+      val pages = spark.range(0, 20, 1, 2).map { i =>
+        val text = PagesGen.textFor(i)
+        val url = f"doc://$i%08d"
+        Page(url, ts, HtmlText.wrap(url, text), text, "en")
+      }
+      val built = TimeBuckets.build(spark, pages, root,
+        BuildConfig(nPartitions = 2, nGroups = 1, nSlices = 2, blockSize = 32))
+      assert(built.map(_.bucket) == Seq("202102"), s"bucket drifted with session tz: $built")
+      val feb1 = new java.sql.Timestamp(1612137600000L) // 2021-02-01 00:00 UTC
+      val mar1 = new java.sql.Timestamp(1614556800000L)
+      assert(TimeBuckets.selectBuckets(root, feb1, mar1).map(_.bucket) == Seq("202102"))
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+  }
+
   test("streaming stateful dedup: duplicates dropped across micro-batches and restarts") {
     val root = Files.createTempDirectory("stream-dedup").toString
     val inDir = s"$root/in"

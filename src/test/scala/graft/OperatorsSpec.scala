@@ -98,6 +98,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash LSH: exact-dup pre-collapse keeps hot groups out of band buckets") {
+    // 200 byte-identical copies — pre-collapse, a single band bucket saw
+    // all 200 and generated 19,900 candidate pairs; now exactly ONE
+    // representative per text enters banding, and the 19,900 pairs come
+    // from the members equi-join with Jaccard pinned at 1.0. A second
+    // 2-copy group holds a NEAR-dup of the hot text: its rep-level LSH
+    // collision must expand to all 200×2 cross pairs.
+    val t1 = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val t2 = ((0 until 19).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val hot = (0L until 200L).map(i => (i, t1))
+    val near = Seq((300L, t2), (301L, t2))
+    val df = spark.createDataFrame(hot ++ near).toDF("doc_id", "text")
+    val res = Dedup.minHashLsh(df, "doc_id", "text", threshold = 0.8)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+    val within1 = res.filter(r => r._1 < 200 && r._2 < 200)
+    assert(within1.length == 199 * 200 / 2, s"hot-group pairs: ${within1.length}")
+    assert(within1.forall(_._3 == 1.0))
+    assert(res.exists(r => r._1 == 300L && r._2 == 301L && r._3 == 1.0), "2-copy group pair missing")
+    val cross = res.filter(r => r._1 < 200 && r._2 >= 300)
+    assert(cross.length == 400, s"cross-group expansion: ${cross.length} (rep pair must collide and expand)")
+    assert(cross.forall(r => r._3 >= 0.8 && r._3 < 1.0))
+  }
+
   test("simhash dedup finds exact duplicates at hamming 0") {
     val pairs = Dedup.simHash(dupDocs, "doc_id", "text", maxHamming = 0)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
