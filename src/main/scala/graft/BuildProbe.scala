@@ -52,8 +52,12 @@ object BuildProbe {
         positions = positions, mapSideCombine = combine))
     val secs = (System.nanoTime() - t0) / 1e9
     System.err.println(f"[probe] cores=$cores docs=$nDocs total=$secs%.2fs tp=${nDocs / secs}%.0f docs/s")
-    // machine-readable line for the Bench parent process
+    // machine-readable lines for the Bench parent process: totals + the
+    // per-stage breakdown (scaling residuals must be attributable)
     println(f"""PROBE{"cores":$cores,"docs":$nDocs,"secs":$secs%.3f,"tp":${nDocs / secs}%.1f,"mib_s":${textBytes / 1048576.0 / secs}%.2f,"shuffle_mb":${shuffleBytes.get / 1048576.0}%.1f,"index_dir":"$dir"}""")
+    val stages = IndexBuilder.stageTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")
+    println(s"""STAGES{$stages}""")
     spark.stop()
   }
 }

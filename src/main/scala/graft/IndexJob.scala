@@ -15,12 +15,20 @@ import graft.query.Search
   * spark-submit --class graft.IndexJob graft.jar \
   *   build      <pages.parquet> <indexDir> [--partitions=N] [--groups=N] [--slices=N] [--block=N] [--positions=0]
   *   build-time <pages.parquet> <rootDir>  [same flags]     # one segment per month(warc_ts)
+  *   ingest-time <pages.parquet> <rootDir> <ingestId> [same flags]  # fold new pages into touched buckets
   *   merge      <indexA> <indexB> <outDir> [same flags]     # byte-identical rebuild merge
   *   fastmerge  <outDir> <indexA> <indexB> [<indexC> ...]   # decode-free stacked merge
+  *   compact    <familyRoot> [--merge-factor=N]             # tiered policy to quiescence
   *   search     <indexDir> <and|or> <k> term [term ...] [--lang=xx] [--from=ISO_TS] [--to=ISO_TS]
   *   phrase     <indexDir> <k> term [term ...]
   *   search-segments <k> <and|or> <terms,comma-sep> <segDir> [<segDir> ...]
+  *   search-family   <familyRoot> <and|or> <k> term [term ...]
   * }}}
+  *
+  * search's --lang/--from/--to are TYPED predicates → evaluated from the
+  * slice attribute sidecar inside the WAND tasks (no doc-id exchange at
+  * any selectivity); ad-hoc Column predicates remain available via the
+  * library API (`Search.topK(docFilter)`).
   *
   * No `master` is set here — spark-submit / the cluster manager owns it;
   * tests call [[run]] with their own local session. Build resume is
@@ -70,6 +78,16 @@ object IndexJob {
         val pages = spark.read.parquet(pagesPath).as[Page]
         graft.index.TimeBuckets.build(spark, pages, rootDir, cfg(args))
           .foreach(b => println(s"${b.bucket}\t${b.dir}\t${b.n_docs}"))
+      case Some("ingest-time") =>
+        val Seq(pagesPath, rootDir, ingestId) = positional.take(3)
+        val pages = spark.read.parquet(pagesPath).as[Page]
+        graft.index.TimeBuckets.ingest(spark, pages, rootDir, ingestId, cfg(args))
+          .foreach(b => println(s"${b.bucket}\t${b.dir}\t${b.n_docs}"))
+      case Some("compact") =>
+        val root = positional.head
+        graft.index.SegmentFamily.maybeCompact(spark, root, flag(args, "merge-factor", 4))
+        graft.index.SegmentFamily.read(root)
+          .foreach(s => println(s"${s.dir}\t${s.n_docs}"))
       case Some("merge") =>
         val Seq(idxA, idxB, outDir) = positional.take(3)
         SegmentMerge.merge(spark, idxA, idxB, outDir, cfg(args))
@@ -79,14 +97,20 @@ object IndexJob {
       case Some("search") =>
         val Seq(indexDir, mode, k) = positional.take(3)
         val terms = positional.drop(3)
-        // keyword/date predicates compose into one ES-filter-context filter
+        // keyword/date predicates compose into one ES-filter-context filter,
+        // evaluated node-locally from the slice attribute sidecar
+        import graft.index.AttrPred
+        def parseUtcMs(s: String): Long =
+          java.time.Instant.parse(
+            if (s.contains("T")) s else s.trim.replace(' ', 'T') + (if (s.contains(":")) "Z" else "T00:00:00Z")
+          ).toEpochMilli
         val preds = Seq(
-          strFlag(args, "lang").map(l => col("lang") === l),
-          strFlag(args, "from").map(f => col("warc_ts") >= lit(f).cast("timestamp")),
-          strFlag(args, "to").map(t => col("warc_ts") < lit(t).cast("timestamp"))
+          strFlag(args, "lang").map(l => AttrPred.LangIn(l.split(",").toSet)),
+          strFlag(args, "from").map(f => AttrPred.TsRange(parseUtcMs(f), Long.MaxValue)),
+          strFlag(args, "to").map(t => AttrPred.TsRange(Long.MinValue, parseUtcMs(t)))
         ).flatten
-        val docFilter = preds.reduceOption(_ && _).orNull
-        printHits(Search.topK(spark, indexDir, terms, mode, k.toInt, docFilter))
+        val attrFilter = if (preds.isEmpty) null else AttrPred.And(preds)
+        printHits(Search.topK(spark, indexDir, terms, mode, k.toInt, attrFilter = attrFilter))
       case Some("phrase") =>
         val Seq(indexDir, k) = positional.take(2)
         printHits(Search.phraseTopK(spark, indexDir, positional.drop(2), k.toInt))
@@ -95,9 +119,13 @@ object IndexJob {
         val segs = positional.drop(3)
         printHits(new graft.query.MultiSearcher(spark, segs)
           .topK(termsCsv.split(",").toSeq, mode, k.toInt))
+      case Some("search-family") =>
+        val Seq(root, mode, k) = positional.take(3)
+        printHits(graft.index.SegmentFamily.searcher(spark, root)
+          .topK(positional.drop(3), mode, k.toInt))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown command $other; expected build|build-time|merge|fastmerge|search|phrase|search-segments"
+          s"unknown command $other; expected build|build-time|ingest-time|merge|fastmerge|compact|search|phrase|search-segments|search-family"
         )
     }
   }

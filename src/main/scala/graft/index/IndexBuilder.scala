@@ -142,11 +142,19 @@ object IndexBuilder {
   private[graft] val chaosOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private val verbose = sys.env.contains("GRAFT_BUILD_VERBOSE")
+
+  /** Driver-side per-stage wall seconds of builds in this JVM (bench
+    * evidence: makes scaling residuals attributable per stage). Cleared by
+    * the caller between measured builds; label repeats accumulate.
+    */
+  private[graft] val stageTimes = scala.collection.concurrent.TrieMap.empty[String, Double]
+
   private def timed[T](label: String)(body: => T): T = {
     val t0 = System.nanoTime()
     val r = body
-    if (verbose)
-      System.err.println(f"[build] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val secs = (System.nanoTime() - t0) / 1e9
+    stageTimes.updateWith(label) { v => Some(v.getOrElse(0.0) + secs) }
+    if (verbose) System.err.println(f"[build] $label: $secs%.2fs")
     r
   }
 

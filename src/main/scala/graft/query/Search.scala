@@ -157,6 +157,29 @@ object Search {
       .limit(k)
   }
 
+  /** ES "fetch phase": join top-k hits back to their stored doc fields
+    * (url, warc_ts, lang, doc_len — never `text` unless asked: the docs
+    * scan is column-pruned). Hits are ≤ k rows → broadcast side of the
+    * join; the docs scan is pushdown-filtered by the id set, so at
+    * 10^12 docs this opens only the row groups containing the k ids.
+    */
+  def hydrate(
+      spark: SparkSession,
+      indexDir: String,
+      hits: DataFrame,
+      withText: Boolean = false
+  ): DataFrame = {
+    import spark.implicits._
+    val ids = hits.select($"doc_id").as[Long].collect() // ≤ k by contract
+    val cols =
+      if (withText) Seq($"doc_id", $"url", $"warc_ts", $"lang", $"doc_len", $"text")
+      else Seq($"doc_id", $"url", $"warc_ts", $"lang", $"doc_len")
+    val docs = spark.read.parquet(s"$indexDir/docs")
+      .where($"doc_id".isin(ids: _*)) // pushdown: row-group skip on doc_id
+      .select(cols: _*)
+    hits.join(broadcast(docs), Seq("doc_id"), "left")
+  }
+
   /** Exact-phrase top-k (ES `match_phrase`); see BlockMaxWand.phrase for
     * the scoring contract. Same scale shape as topK: pushdown on the ≤
     * few distinct terms, one shuffle of matched blocks (+ filter ids) by

@@ -344,6 +344,20 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotF.map(_._1).toSeq == expF.map(_.docId), "fielded-phrase+sidecar ids")
   }
 
+  test("hydrate (fetch phase): stored fields join to hits; text only on request") {
+    val hits = Search.topK(spark, dir.toString, Seq("w0"), "or", 5)
+    val h = Search.hydrate(spark, dir.toString, hits).collect()
+    assert(h.length == 5)
+    assert(!h.head.schema.fieldNames.contains("text"))
+    val urls = (0L until NDocs).map(i => PagesGen.pageFor(i).url).sorted
+    h.foreach { r =>
+      assert(r.getAs[String]("url") == urls(r.getAs[Long]("doc_id").toInt), "hydrated url mismatch")
+      assert(r.getAs[Int]("doc_len") > 0)
+    }
+    val withT = Search.hydrate(spark, dir.toString, hits, withText = true).collect()
+    assert(withT.forall(_.getAs[String]("text").nonEmpty))
+  }
+
   test("phrase block-max gate: skips position decodes on low-impact blocks, rank-safe") {
     import graft.query.BlockMaxWand
     // 40 short docs (high impact) then 960 long docs (low impact), all

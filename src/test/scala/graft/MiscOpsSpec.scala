@@ -104,5 +104,37 @@ class MiscOpsSpec extends AnyFunSuite {
     expected.zip(got).foreach { case (e, (gid, gs)) =>
       assert(gid == e.docId && math.abs(gs - e.score) < 1e-9)
     }
+
+    // typed filter flags go through the sidecar path (PagesGen langs vary)
+    val langs = (0L until 300L).map { i => val p = PagesGen.pageFor(i); (p.url, p.lang) }
+      .sortBy(_._1).map(_._2).toArray
+    val expF = graft.query.NaiveBm25.topKFiltered(corpus, Seq("w1", "w2"), "or", 5,
+      id => langs(id.toInt) == "ru")
+    val outF = new java.io.ByteArrayOutputStream()
+    Console.withOut(outF) {
+      IndexJob.run(spark, Seq("search", idxDir, "or", "5", "w1", "w2", "--lang=ru"))
+    }
+    val gotF = outF.toString.trim.split("\n").filter(_.nonEmpty).map(_.split("\t")(0).toLong)
+    assert(gotF.toSeq == expF.map(_.docId), "CLI --lang filter (sidecar path)")
+  }
+
+  test("IndexJob CLI: compact + search-family round trip") {
+    import graft.index.SegmentFamily
+    val base = Files.createTempDirectory("indexjob-fam").toString
+    val segs = (0 until 3).map { c =>
+      val dir = s"$base/segment-$c"
+      val pages = spark.range(c * 100L, (c + 1) * 100L, 1, 2).map(i => PagesGen.pageFor(i))
+      IndexBuilder.build(spark, pages, dir,
+        graft.index.IndexBuilder.BuildConfig(nPartitions = 2, nGroups = 1, nSlices = 2, blockSize = 32))
+      SegmentFamily.Seg(dir, IndexBuilder.readStats(spark, dir).n_docs)
+    }
+    SegmentFamily.write(base, segs)
+    IndexJob.run(spark, Seq("compact", base, "--merge-factor=3"))
+    assert(SegmentFamily.read(base).length == 1, "3 equal segments must fold into one")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) {
+      IndexJob.run(spark, Seq("search-family", base, "or", "5", "w1", "w2"))
+    }
+    assert(out.toString.trim.split("\n").count(_.contains("\t")) > 0)
   }
 }

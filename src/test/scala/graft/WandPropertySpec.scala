@@ -90,6 +90,12 @@ class WandPropertySpec extends AnyFunSuite {
         assert(got.map(_._1).toSeq == expected.map(_.docId),
           s"trial $trial filtered $terms/$mode/$lang: got ${got.toSeq} want $expected")
         expected.zip(got).foreach { case (e, (_, gs)) => assert(math.abs(gs - e.score) < 1e-9) }
+        // sidecar path must agree with the allow-list path exactly
+        val gotA = Search.topK(spark, dir, terms, mode, 5,
+          attrFilter = graft.index.AttrPred.lang(lang))
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(gotA.toSeq == got.toSeq,
+          s"trial $trial sidecar≠allow-list for $terms/$mode/$lang: ${gotA.toSeq} vs ${got.toSeq}")
       }
       // phrase: random 2-3 gram from the vocabulary (may or may not occur)
       (0 until 3).foreach { q =>
