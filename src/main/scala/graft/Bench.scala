@@ -52,7 +52,14 @@ object Bench {
 
     // ---- part 1: gate queries at env parallelism -----------------------
     var spark = session(cpus)
-    SparkEntry.indexFor(spark, sfDir) // pre-build so timings measure queries
+    // pre-build EVERY index fixture so gate timings measure queries, not
+    // first-use builds (the fielded-multiseg fixture alone is 4 indexes)
+    SparkEntry.indexFor(spark, sfDir)
+    SparkEntry.splitIndexesFor(spark, sfDir)
+    SparkEntry.titleIndexFor(spark, sfDir)
+    SparkEntry.titleSplitIndexesFor(spark, sfDir)
+    SparkEntry.compactedFamilyFor(spark, sfDir)
+    OpsQueries.warmFixtures(spark, sfDir)
     // a crashing gate query must be VISIBLE in the bench JSON (timing -1 +
     // an errors list), never mistakable for a fast success
     val qErrors = scala.collection.mutable.ArrayBuffer.empty[String]

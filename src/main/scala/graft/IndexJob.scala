@@ -13,7 +13,7 @@ import graft.query.Search
   *
   * {{{
   * spark-submit --class graft.IndexJob graft.jar \
-  *   build      <pages.parquet> <indexDir> [--partitions=N] [--groups=N] [--slices=N] [--block=N] [--positions=0]
+  *   build      <pages.parquet> <indexDir> [--partitions=N] [--groups=N] [--slices=N] [--block=N] [--positions=0] [--retries=N]
   *   build-time <pages.parquet> <rootDir>  [same flags]     # one segment per month(warc_ts)
   *   ingest-time <pages.parquet> <rootDir> <ingestId> [same flags]  # fold new pages into touched buckets
   *   merge      <indexA> <indexB> <outDir> [same flags]     # byte-identical rebuild merge
@@ -68,11 +68,32 @@ object IndexJob {
     val positional = args.drop(1).filterNot(_.startsWith("--"))
     def printHits(df: org.apache.spark.sql.DataFrame): Unit =
       df.collect().foreach(r => println(s"${r.getLong(0)}\t${r.getDouble(1)}"))
+    // T7 (error → rebuild loop, ≙ EventLogExporter's restart-on-failure):
+    // driver-side retry around a RESUMABLE operation — each attempt
+    // continues from the checkpoint manifest, so a retry redoes only the
+    // failed unit, and the final index is byte-identical (tested via the
+    // resume suite). 0 = fail fast (cluster managers often own retries).
+    def withRetries[T](args: Seq[String])(body: => T): T = {
+      val retries = flag(args, "retries", 0)
+      def attempt(n: Int): T =
+        try body
+        catch {
+          case e: Exception if n < retries =>
+            System.err.println(
+              s"attempt ${n + 1} failed (${e.getMessage}); resuming from checkpoints (${retries - n} retries left)")
+            attempt(n + 1)
+        }
+      attempt(0)
+    }
     args.headOption match {
       case Some("build") =>
         val Seq(pagesPath, indexDir) = positional.take(2)
         val pages = spark.read.parquet(pagesPath).as[Page]
-        IndexBuilder.build(spark, pages, indexDir, cfg(args))
+        // --fail-after-groups: chaos hook (tests only) — die after N posting
+        // groups commit, so the retry loop's resume path is exercisable
+        val failAfter = flag(args, "fail-after-groups", Int.MaxValue)
+        withRetries(args)(
+          IndexBuilder.build(spark, pages, indexDir, cfg(args), failAfterGroups = failAfter))
       case Some("build-time") =>
         val Seq(pagesPath, rootDir) = positional.take(2)
         val pages = spark.read.parquet(pagesPath).as[Page]

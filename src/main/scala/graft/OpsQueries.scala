@@ -38,6 +38,11 @@ object OpsQueries {
       out
     })
 
+  /** Pre-build the persisted fixtures (bench calls this so gate timings
+    * measure queries, not first-use index builds).
+    */
+  def warmFixtures(s: SparkSession, dir: String): Unit = ivfIndexFor(s, dir)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy, keep lowest id
     "q_dedup_exact" -> { (s, dir) =>

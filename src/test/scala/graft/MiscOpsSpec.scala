@@ -118,6 +118,23 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(gotF.toSeq == expF.map(_.docId), "CLI --lang filter (sidecar path)")
   }
 
+  test("IndexJob CLI --retries: driver retry resumes from checkpoints to a complete index") {
+    val base = Files.createTempDirectory("indexjob-retry").toString
+    val pagesPath = s"$base/pages"
+    spark.range(0L, 200L, 1, 2).map(i => PagesGen.pageFor(i)).write.parquet(pagesPath)
+    // attempt 1 dies after 2 of 4 groups; the in-process retry resumes the
+    // remaining groups (the chaos trigger counts only groups built PER
+    // attempt, so the resumed attempt completes)
+    IndexJob.run(spark, Seq("build", pagesPath, s"$base/idx",
+      "--partitions=4", "--groups=4", "--slices=4", "--block=32",
+      "--fail-after-groups=2", "--retries=1"))
+    assert(IndexBuilder.completedUnits(s"$base/idx").contains("done"))
+    // persistent failure exhausts retries and propagates
+    intercept[Exception] {
+      IndexJob.run(spark, Seq("build", s"$base/nope", s"$base/idx2", "--retries=2"))
+    }
+  }
+
   test("IndexJob CLI: compact + search-family round trip") {
     import graft.index.SegmentFamily
     val base = Files.createTempDirectory("indexjob-fam").toString
