@@ -59,6 +59,8 @@ object Bench {
     SparkEntry.titleIndexFor(spark, sfDir)
     SparkEntry.titleSplitIndexesFor(spark, sfDir)
     SparkEntry.compactedFamilyFor(spark, sfDir)
+    SparkEntry.deletedIndexFor(spark, sfDir)
+    SparkEntry.purgedIndexFor(spark, sfDir)
     OpsQueries.warmFixtures(spark, sfDir)
     // a crashing gate query must be VISIBLE in the bench JSON (timing -1 +
     // an errors list), never mistakable for a fast success

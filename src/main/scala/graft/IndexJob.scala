@@ -19,10 +19,12 @@ import graft.query.Search
   *   merge      <indexA> <indexB> <outDir> [same flags]     # byte-identical rebuild merge
   *   fastmerge  <outDir> <indexA> <indexB> [<indexC> ...]   # decode-free stacked merge
   *   compact    <familyRoot> [--merge-factor=N]             # tiered policy to quiescence
-  *   search     <indexDir> <and|or> <k> term [term ...] [--lang=xx] [--from=ISO_TS] [--to=ISO_TS]
+  *   search     <indexDir> <and|or> <k> term [term ...] [--lang=xx] [--from=ISO_TS] [--to=ISO_TS] [--must-not=t1,t2]
   *   phrase     <indexDir> <k> term [term ...]
   *   search-segments <k> <and|or> <terms,comma-sep> <segDir> [<segDir> ...]
   *   search-family   <familyRoot> <and|or> <k> term [term ...]
+  *   delete     <indexDir> (--lang=xx | --url-prefix=p)      # tombstone marking (Lucene delete semantics)
+  *   purge      <indexDir> <outDir> [build flags]            # rewrite without deleted docs
   * }}}
   *
   * search's --lang/--from/--to are TYPED predicates → evaluated from the
@@ -131,7 +133,9 @@ object IndexJob {
           strFlag(args, "to").map(t => AttrPred.TsRange(Long.MinValue, parseUtcMs(t)))
         ).flatten
         val attrFilter = if (preds.isEmpty) null else AttrPred.And(preds)
-        printHits(Search.topK(spark, indexDir, terms, mode, k.toInt, attrFilter = attrFilter))
+        val mustNot = strFlag(args, "must-not").map(_.split(",").toSeq).getOrElse(Nil)
+        printHits(Search.topK(spark, indexDir, terms, mode, k.toInt,
+          attrFilter = attrFilter, mustNot = mustNot))
       case Some("phrase") =>
         val Seq(indexDir, k) = positional.take(2)
         printHits(Search.phraseTopK(spark, indexDir, positional.drop(2), k.toInt))
@@ -144,9 +148,25 @@ object IndexJob {
         val Seq(root, mode, k) = positional.take(3)
         printHits(graft.index.SegmentFamily.searcher(spark, root)
           .topK(positional.drop(3), mode, k.toInt))
+      case Some("delete") =>
+        val indexDir = positional.head
+        val pred = Seq(
+          strFlag(args, "lang").map(l => col("lang").isin(l.split(","): _*)),
+          strFlag(args, "url-prefix").map(p => col("url").startsWith(p))
+        ).flatten.reduceOption(_ && _)
+          .getOrElse(throw new IllegalArgumentException("delete needs --lang= or --url-prefix="))
+        val total = graft.index.Tombstones.delete(spark, indexDir, pred)
+        println(s"deleted_total\t$total")
+      case Some("purge") =>
+        val Seq(indexDir, outDir) = positional.take(2)
+        // layout defaults to the SOURCE index's meta unless flags override
+        val hasLayout = Seq("partitions", "groups", "slices", "block")
+          .exists(f => args.exists(_.startsWith(s"--$f=")))
+        withRetries(args)(graft.index.Tombstones.purge(
+          spark, indexDir, outDir, if (hasLayout) cfg(args) else null))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown command $other; expected build|build-time|ingest-time|merge|fastmerge|compact|search|phrase|search-segments|search-family"
+          s"unknown command $other; expected build|build-time|ingest-time|merge|fastmerge|compact|search|phrase|search-segments|search-family|delete|purge"
         )
     }
   }

@@ -148,6 +148,35 @@ object SparkEntry {
       root
     })
 
+  /** Copy of the gate index carrying tombstones (lang='de' deleted) —
+    * the delete/purge gate fixture; a separate physical index because
+    * tombstones mutate index state and every other gate query expects
+    * the pristine one.
+    */
+  def deletedIndexFor(spark: SparkSession, sfDir: String): String =
+    indexDirs.getOrElseUpdate(s"$sfDir#del", {
+      import spark.implicits._
+      val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = ensureIndex(s"/tmp/graft-index/$name-del") {
+        IndexBuilder.build(spark, documentsAsPages(spark, sfDir), s"/tmp/graft-index/$name-del", GateConfig)
+      }
+      if (graft.index.Tombstones.count(dir) == 0L)
+        graft.index.Tombstones.delete(spark, dir, $"lang" === "de")
+      dir
+    })
+
+  /** Purge of [[deletedIndexFor]] — dense renumbered ids, recomputed
+    * stats, no tombstones.
+    */
+  def purgedIndexFor(spark: SparkSession, sfDir: String): String =
+    indexDirs.getOrElseUpdate(s"$sfDir#purged", {
+      val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      ensureIndex(s"/tmp/graft-index/$name-purged") {
+        graft.index.Tombstones.purge(
+          spark, deletedIndexFor(spark, sfDir), s"/tmp/graft-index/$name-purged")
+      }
+    })
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def events(s: SparkSession, dir: String): DataFrame =
@@ -231,6 +260,31 @@ object SparkEntry {
     "q_bm25_filtered_adhoc" -> { (s, dir) =>
       import s.implicits._
       Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, docFilter = $"lang" === "fr")
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // bool.must_not: docs containing the excluded term can't match; scores
+    // stay corpus-global (exclusion is non-scoring — ES bool semantics).
+    // The excluded term's blocks ride the same exchange; each slice task
+    // walks them as a monotone exclusion cursor.
+    "q_bm25_must_not" -> { (s, dir) =>
+      import s.implicits._
+      Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, mustNot = Seq("batch"))
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // Lucene-semantics deletes: tombstoned docs (lang='de') stop matching
+    // immediately, but corpus stats are UNCHANGED until purge — so the
+    // oracle is the standard filter-context shape (candidates gated,
+    // stats global)
+    "q_bm25_deleted" -> { (s, dir) =>
+      import s.implicits._
+      Search.topK(s, deletedIndexFor(s, dir), QueryOr, "or", 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // after purge: survivors renumber dense (order preserved) and stats/df
+    // recompute over them — the oracle rebuilds that world in SQL
+    "q_bm25_purged" -> { (s, dir) =>
+      import s.implicits._
+      Search.topK(s, purgedIndexFor(s, dir), QueryOr, "or", 10)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
     // multi-segment search: the corpus split into two independent index
@@ -466,22 +520,41 @@ object SparkEntry {
     * same formula the engine uses; `documents` text is single-space
     * separated [a-z0-9]+ so string_split ≡ the engine analyzer here.
     */
+  /** `mustNot`: candidates containing ANY excluded term are dropped
+    * (stats stay global — ES bool.must_not is non-scoring, like filter).
+    * `purgeWhere`: simulate a PURGED index instead — the base corpus is
+    * `documents` minus the matching docs, ids renumbered dense in doc_id
+    * order and stats/df recomputed (exactly what Tombstones.purge does).
+    */
   private def bm25OracleSql(
-      terms: Seq[String], and: Boolean, candWhere: String = ""
+      terms: Seq[String], and: Boolean, candWhere: String = "",
+      mustNot: Seq[String] = Nil, purgeWhere: String = ""
   ): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val having = if (and) s"HAVING count(*) = ${terms.distinct.size}" else ""
-    // candidate filter gates ONLY which docs may be returned — n/avgdl/df
+    val rel = if (purgeWhere.isEmpty) "documents" else "basedocs"
+    val baseCte =
+      if (purgeWhere.isEmpty) ""
+      else
+        s"""basedocs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS doc_id, text, lang
+  FROM documents WHERE NOT ($purgeWhere)
+), """
+    // candidate filters gate ONLY which docs may be returned — n/avgdl/df
     // stay corpus-global (ES filter-context semantics)
-    val cand =
-      if (candWhere.isEmpty) ""
-      else s"WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE $candWhere)"
-    s"""WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+    val conds = Seq(
+      if (candWhere.isEmpty) None
+      else Some(s"tf.doc_id IN (SELECT doc_id FROM $rel WHERE $candWhere)"),
+      if (mustNot.isEmpty) None
+      else Some(s"tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN (${mustNot.map(t => s"'$t'").mkString(", ")}))")
+    ).flatten
+    val cand = if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", "")
+    s"""WITH ${baseCte}toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM $rel WHERE text <> ''
 ), dl AS (
   SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
 ), alldocs AS (
-  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM $rel d LEFT JOIN dl USING (doc_id)
 ), stats AS (
   SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
 ), tf AS (
@@ -670,6 +743,11 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM merged ORDER BY sco
     "q_bm25_topk_and" -> bm25OracleSql(QueryAnd, and = true),
     "q_bm25_filtered_kw" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang = 'es'"),
     "q_bm25_filtered_adhoc" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang = 'fr'"),
+    "q_bm25_must_not" -> bm25OracleSql(QueryOr, and = false, mustNot = Seq("batch")),
+    // tombstoned docs can't match but still count in stats (pre-purge)
+    "q_bm25_deleted" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang <> 'de'"),
+    // post-purge: dense renumbered survivors, stats/df recomputed
+    "q_bm25_purged" -> bm25OracleSql(QueryOr, and = false, purgeWhere = "lang = 'de'"),
     "q_bm25_phrase" -> phraseOracleSql(QueryPhrase),
     "q_bm25_fielded" -> fieldedOracleSql(QueryOr),
     // fielded over 2-segment families must equal the single-index fielded

@@ -291,13 +291,16 @@ object BlockMaxWand {
               }
             } else {
               // pivot filtered out: every doc up to the filter's next
-              // allowed id is ineligible — jump iterators on pivot straight
-              // past the gap (selective filters skip most of the postings)
+              // allowed id is ineligible — jump EVERY iterator below that
+              // id straight past the gap (not just the ones on pivot:
+              // docs in (pivot, nxt) are excluded too, and leaving them
+              // behind would probe the filter BACKWARD next round,
+              // breaking its monotone-cursor contract)
               val nxt = filter.ceil(pivot + 1)
               if (nxt == Long.MaxValue) continue = false
               var a = 0
               while (a < order.length) {
-                if (order(a).doc == pivot) order(a).advance(nxt)
+                if (order(a).doc < nxt) order(a).advance(nxt)
                 a += 1
               }
             }

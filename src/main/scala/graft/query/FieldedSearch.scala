@@ -90,8 +90,12 @@ object FieldedSearch {
       .reduce(_ unionByName _)
       .as[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
 
-    def wand(rows: Iterator[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)],
-             filter: DocFilter): Iterator[Search.QueryHit] = {
+    // tombstones live on the FIRST field's index (one logical delete per
+    // doc — the shared-doc-space convention, same as the attr sidecar)
+    val tomb = graft.index.Tombstones.handle(fields.head.indexDir)
+    def wand(slice: Int,
+             rows: Iterator[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)],
+             base: DocFilter): Iterator[Search.QueryHit] = {
       val (ts, ws, avgs) = bCtx.value
       val byFieldTerm = rows.toArray.groupBy(r => (r._1, r._3))
       // iterator order: fields outer × terms inner (the scoring contract)
@@ -105,6 +109,7 @@ object FieldedSearch {
           .map(r => BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11, r._12))
         new PostingIter(fi * ts.length + ti, ws(fi)(ti), refs, avgs(fi))
       }).toArray
+      val filter = if (tomb == null) base else tomb.compose(slice, base)
       BlockMaxWand.or(iters, k, filter)
         .iterator.map(h => Search.QueryHit(h.docId, h.score))
     }
@@ -114,14 +119,14 @@ object FieldedSearch {
       if (docFilter == null && attrFilter == null)
         blocks
           .groupByKey(_._2) // slice — ONE task sees every field of its doc range
-          .flatMapGroups { (_, rows) => wand(rows, null) }
+          .flatMapGroups { (slice, rows) => wand(slice, rows, null) }
       else if (attrFilter != null) {
         val pred = attrFilter
         blocks
           .groupByKey(_._2)
           .flatMapGroups { (slice, rows) =>
             val cur = AttrSidecar.openCursor(attrDir, slice, pred)
-            try wand(rows, cur)
+            try wand(slice, rows, cur)
             finally cur.close()
           }
       } else {
@@ -131,12 +136,12 @@ object FieldedSearch {
           .as[(Int, Long)]
         blocks
           .groupByKey(_._2)
-          .cogroup(filterIds.groupByKey(_._1)) { (_, rows, fids) =>
+          .cogroup(filterIds.groupByKey(_._1)) { (slice, rows, fids) =>
             val allow = fids.map(_._2).toArray
             if (allow.isEmpty) Iterator.empty
             else {
               java.util.Arrays.sort(allow)
-              wand(rows, new FilterIter(allow))
+              wand(slice, rows, new FilterIter(allow))
             }
           }
       }
@@ -207,7 +212,9 @@ object FieldedSearch {
       .reduce(_ unionByName _)
       .as[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
 
-    def run(rows: Iterator[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)],
+    val tomb = graft.index.Tombstones.handle(fields.head.indexDir)
+    def run(slice: Int,
+            rows: Iterator[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)],
             filterOf: () => DocFilter): Iterator[Search.QueryHit] = {
       val (qTerms, offs, sums, bst, avgs) = bCtx.value
       val byField = rows.toArray.groupBy(_._1)
@@ -223,14 +230,15 @@ object FieldedSearch {
                 .map(r => BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11, r._12))
               new PostingIter(0, 0.0, refs, avgs(fi))
             }
-            val f = filterOf() // fresh monotone cursor per field pass
+            val f0 = filterOf() // fresh monotone cursor per field pass
+            val f = if (tomb == null) f0 else tomb.compose(slice, f0)
             try {
               BlockMaxWand.phraseMatches(iters, offs, f).foreach { case (doc, freq, dl) =>
                 val sc = bst(fi) * sums(fi) *
                   IndexBuilder.impact(freq, dl, avgs(fi))
                 acc.update(doc, acc.getOrElse(doc, 0.0) + sc)
               }
-            } finally f match {
+            } finally f0 match {
               case c: AutoCloseable => c.close()
               case _ =>
             }
@@ -244,11 +252,11 @@ object FieldedSearch {
     val attrDir = fields.head.indexDir
     val localTopK =
       if (docFilter == null && attrFilter == null)
-        blocks.groupByKey(_._2).flatMapGroups { (_, rows) => run(rows, () => null) }
+        blocks.groupByKey(_._2).flatMapGroups { (slice, rows) => run(slice, rows, () => null) }
       else if (attrFilter != null) {
         val pred = attrFilter
         blocks.groupByKey(_._2).flatMapGroups { (slice, rows) =>
-          run(rows, () => AttrSidecar.openCursor(attrDir, slice, pred))
+          run(slice, rows, () => AttrSidecar.openCursor(attrDir, slice, pred))
         }
       } else {
         val filterIds = spark.read.parquet(s"$attrDir/docs")
@@ -257,12 +265,12 @@ object FieldedSearch {
           .as[(Int, Long)]
         blocks
           .groupByKey(_._2)
-          .cogroup(filterIds.groupByKey(_._1)) { (_, rows, fids) =>
+          .cogroup(filterIds.groupByKey(_._1)) { (slice, rows, fids) =>
             val allow = fids.map(_._2).toArray
             if (allow.isEmpty) Iterator.empty
             else {
               java.util.Arrays.sort(allow)
-              run(rows, () => new FilterIter(allow))
+              run(slice, rows, () => new FilterIter(allow))
             }
           }
       }
@@ -345,7 +353,9 @@ object FieldedSearch {
       .as[(Int, Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Int, Int)]
 
     type Row = (Int, Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Int, Int)
-    def wand(seg: Int, rows: Iterator[Row], filter: DocFilter): Iterator[Search.QueryHit] = {
+    val bTombs = spark.sparkContext.broadcast(
+      fields.head.segmentDirs.map(graft.index.Tombstones.handle).toArray)
+    def wand(seg: Int, slice: Int, rows: Iterator[Row], base: DocFilter): Iterator[Search.QueryHit] = {
       val (ts, ws, avgs) = bCtx.value
       val byFieldTerm = rows.toArray.groupBy(r => (r._1, r._4))
       val iters = (for {
@@ -359,21 +369,23 @@ object FieldedSearch {
             IndexBuilder.impact(r._13, r._14, avgs(fi))))
         new PostingIter(fi * ts.length + ti, ws(fi)(ti), refs, avgs(fi))
       }).toArray
-      val base = bBases.value(seg)
+      val tomb = bTombs.value(seg)
+      val filter = if (tomb == null) base else tomb.compose(slice, base)
+      val docBase = bBases.value(seg)
       BlockMaxWand.or(iters, k, filter)
-        .iterator.map(h => Search.QueryHit(base + h.docId, h.score))
+        .iterator.map(h => Search.QueryHit(docBase + h.docId, h.score))
     }
 
     val attrDirs = fields.head.segmentDirs.toArray
     val bAttrDirs = spark.sparkContext.broadcast(attrDirs)
     val localTopK =
       if (attrFilter == null)
-        blocks.groupByKey(r => (r._2, r._3)).flatMapGroups { (key, rows) => wand(key._1, rows, null) }
+        blocks.groupByKey(r => (r._2, r._3)).flatMapGroups { (key, rows) => wand(key._1, key._2, rows, null) }
       else {
         val pred = attrFilter
         blocks.groupByKey(r => (r._2, r._3)).flatMapGroups { (key, rows) =>
           val cur = AttrSidecar.openCursor(bAttrDirs.value(key._1), key._2, pred)
-          try wand(key._1, rows, cur)
+          try wand(key._1, key._2, rows, cur)
           finally cur.close()
         }
       }

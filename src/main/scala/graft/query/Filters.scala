@@ -1,0 +1,122 @@
+package graft.query
+
+import graft.query.BlockMaxWand.PostingIter
+
+/** Ascending-target membership cursor: "is this doc in the set?" — the
+  * dual of [[DocFilter]] (which answers "is this doc allowed?"). Same
+  * monotone contract as WAND's candidate stream: targets never decrease,
+  * so implementations may be single-pass cursors.
+  *
+  * Used as the EXCLUDED side of [[NotFilter]]: ES `bool.must_not` (the
+  * set = docs containing an excluded term) and index tombstones (the set
+  * = deleted docs, [[graft.index.Tombstones]]).
+  */
+trait DocSet {
+  /** Is `target` in the set? Cursor may advance; targets ascending. */
+  def matches(target: Long): Boolean
+}
+
+/** [[DocSet]] over a sorted doc-id array (tombstones; materialized
+  * exclusion lists). Gallop-then-binary-search from the cursor, so a
+  * full ascending probe sequence costs O(n + probes) total.
+  */
+final class SortedIdsSet(ids: Array[Long]) extends DocSet {
+  private var i = 0
+  def matches(target: Long): Boolean = {
+    var lo = i
+    if (lo >= ids.length) return false
+    if (ids(lo) >= target) { i = lo; return ids(lo) == target }
+    var step = 1
+    var hi = lo + step
+    while (hi < ids.length && ids(hi) < target) { lo = hi; step <<= 1; hi = lo + step }
+    if (hi >= ids.length) hi = ids.length - 1
+    if (ids(hi) < target) { i = ids.length; return false }
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ids(mid) < target) lo = mid + 1 else hi = mid
+    }
+    i = lo
+    ids(lo) == target
+  }
+}
+
+/** [[DocSet]] = union of posting lists (ES `must_not` over terms: a doc
+  * is in the set iff ANY excluded term's postings contain it). The
+  * iterators advance monotonically with the probe stream — block skip +
+  * in-block binary search per probe, never a full decode of untouched
+  * blocks.
+  */
+final class PostingSet(iters: Array[PostingIter]) extends DocSet {
+  def matches(target: Long): Boolean = {
+    var m = false
+    var i = 0
+    while (i < iters.length) {
+      val it = iters(i)
+      it.advance(target)
+      if (!it.exhausted && it.doc == target) m = true
+      i += 1
+    }
+    m
+  }
+}
+
+/** Complement of a [[DocSet]] as a [[DocFilter]] — the ES `must_not`
+  * clause (and tombstone exclusion): allowed = NOT in the set. Scores
+  * are untouched (non-scoring context, like `filter`); candidates in the
+  * set are skipped before scoring.
+  *
+  * Never `exhausted`: the complement of a finite set is unbounded, so
+  * WAND termination comes from the posting iterators (or a conjoined
+  * finite filter), exactly as in an unfiltered search.
+  */
+final class NotFilter(excluded: DocSet) extends DocFilter {
+  // last ceil-walked window [walkFrom, walkUntil): every id in it was
+  // probed excluded. A caller may legitimately re-probe inside it (WAND
+  // pivots can land between a rejected pivot and the next allowed doc);
+  // answering from the window keeps the underlying cursor forward-only.
+  private var walkFrom = Long.MaxValue
+  private var walkUntil = Long.MinValue
+  def exhausted: Boolean = false
+  def contains(target: Long): Boolean =
+    if (target >= walkFrom && target < walkUntil) false
+    else !excluded.matches(target)
+  def ceil(target: Long): Long = {
+    if (target >= walkFrom && target < walkUntil) return walkUntil
+    // walk past a (typically short) run of consecutive excluded ids; each
+    // probe is O(1) amortized because the underlying cursor is monotone
+    var t = target
+    while (t != Long.MaxValue && excluded.matches(t)) t += 1
+    if (t > target) { walkFrom = target; walkUntil = t }
+    t
+  }
+}
+
+/** Conjunction of two [[DocFilter]]s — composes filter context with
+  * `must_not`/tombstones (ES bool: `filter` AND NOT `must_not`). Both
+  * sides see ascending targets (`b` only sees targets `a` admitted,
+  * which is monotone-compatible).
+  */
+final class AndFilter(a: DocFilter, b: DocFilter) extends DocFilter {
+  def exhausted: Boolean = a.exhausted || b.exhausted
+  def contains(target: Long): Boolean = a.contains(target) && b.contains(target)
+  def ceil(target: Long): Long = {
+    // alternate ceils to a fixpoint (standard leapfrog)
+    var x = a.ceil(target)
+    var done = x == Long.MaxValue
+    while (!done) {
+      val y = b.ceil(x)
+      if (y == x || y == Long.MaxValue) { x = y; done = true }
+      else {
+        val z = a.ceil(y)
+        if (z == y) { x = z; done = true } else x = z
+      }
+    }
+    x
+  }
+}
+
+object Filters {
+  /** null-tolerant AND: either side absent → the other. */
+  def and(a: DocFilter, b: DocFilter): DocFilter =
+    if (a == null) b else if (b == null) a else new AndFilter(a, b)
+}

@@ -107,7 +107,8 @@ final class MultiSearcher(
       mode: String,
       k: Int,
       docFilter: Column = null,
-      attrFilter: AttrPred = null
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil
   ): DataFrame = {
     require(docFilter == null || attrFilter == null,
       "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
@@ -120,47 +121,58 @@ final class MultiSearcher(
 
     val n = nDocs
     val idfs = terms.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
-    val bTerms = spark.sparkContext.broadcast((terms.toArray, idfs))
+    val exTerms = mustNot.distinct
+    val bTerms = spark.sparkContext.broadcast((terms.toArray, idfs, exTerms.toArray))
     val bBases = spark.sparkContext.broadcast(bases.toArray)
+    // per-segment tombstone generation, resolved once driver-side
+    val bTombs = spark.sparkContext.broadcast(
+      segmentDirs.map(graft.index.Tombstones.handle).toArray)
     val avg = avgDl
     val isAnd = mode == "and"
 
-    def wand(seg: Int, rows: Iterator[BlockRow], filter: DocFilter): Iterator[Search.QueryHit] = {
-      val (qTerms, qIdfs) = bTerms.value
+    def wand(seg: Int, slice: Int, rows: Iterator[BlockRow], base: DocFilter): Iterator[Search.QueryHit] = {
+      val (qTerms, qIdfs, exT) = bTerms.value
       val byTerm = rows.toArray.groupBy(_._3)
-      val iters = qTerms.iterator.zipWithIndex.flatMap { case (t, ti) =>
+      def iterOf(t: String, ti: Int, idf: Double): Option[PostingIter] =
         byTerm.get(t).map { rs =>
           val refs = rs
             .sortBy(r => (r._5, r._4))
             .map(r =>
               BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11,
                 IndexBuilder.impact(r._12, r._13, avg)))
-          new PostingIter(ti, qIdfs(ti), refs, avg)
+          new PostingIter(ti, idf, refs, avg)
         }
-      }.toArray
+      val iters = qTerms.iterator.zipWithIndex
+        .flatMap { case (t, ti) => iterOf(t, ti, qIdfs(ti)) }.toArray
+      var filter = base
+      val exIters = exT.iterator.flatMap(t => iterOf(t, 0, 0.0)).toArray
+      if (exIters.nonEmpty)
+        filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+      val tomb = bTombs.value(seg)
+      if (tomb != null) filter = tomb.compose(slice, filter)
       val hits =
         if (isAnd) {
           if (iters.length < qTerms.length) Array.empty[BlockMaxWand.Hit]
           else BlockMaxWand.and(iters, k, filter)
         } else BlockMaxWand.or(iters, k, filter)
-      val base = bBases.value(seg)
-      hits.iterator.map(h => Search.QueryHit(base + h.docId, h.score))
+      val docBase = bBases.value(seg)
+      hits.iterator.map(h => Search.QueryHit(docBase + h.docId, h.score))
     }
 
-    val blocks = segBlocks(present)
+    val blocks = segBlocks(present ++ exTerms)
     val bDirs = spark.sparkContext.broadcast(segmentDirs.toArray)
     val localTopK =
       if (docFilter == null && attrFilter == null)
         blocks
           .groupByKey(r => (r._1, r._2))
-          .flatMapGroups { (key, rows) => wand(key._1, rows, null) }
+          .flatMapGroups { (key, rows) => wand(key._1, key._2, rows, null) }
       else if (attrFilter != null) {
         val pred = attrFilter
         blocks
           .groupByKey(r => (r._1, r._2))
           .flatMapGroups { (key, rows) =>
             val cur = AttrSidecar.openCursor(bDirs.value(key._1), key._2, pred)
-            try wand(key._1, rows, cur)
+            try wand(key._1, key._2, rows, cur)
             finally cur.close()
           }
       } else {
@@ -179,7 +191,7 @@ final class MultiSearcher(
             if (allow.isEmpty) Iterator.empty
             else {
               java.util.Arrays.sort(allow)
-              wand(key._1, rows, new FilterIter(allow))
+              wand(key._1, key._2, rows, new FilterIter(allow))
             }
           }
       }
@@ -192,7 +204,8 @@ final class MultiSearcher(
       phraseTerms: Seq[String],
       k: Int,
       docFilter: Column = null,
-      attrFilter: AttrPred = null
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil
   ): DataFrame = {
     require(docFilter == null || attrFilter == null,
       "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
@@ -204,39 +217,47 @@ final class MultiSearcher(
     if (distinctTerms.exists(t => !dfs.contains(t)))
       return spark.emptyDataset[Search.QueryHit].toDF()
     val idfSum = phraseTerms.map(t => NaiveBm25.idf(nDocs, dfs(t))).sum
-    val bCtx = spark.sparkContext.broadcast((distinctTerms.toArray, offsets, idfSum))
+    val exTerms = mustNot.distinct
+    val bCtx = spark.sparkContext.broadcast((distinctTerms.toArray, offsets, idfSum, exTerms.toArray))
     val bBases = spark.sparkContext.broadcast(bases.toArray)
+    val bTombs = spark.sparkContext.broadcast(
+      segmentDirs.map(graft.index.Tombstones.handle).toArray)
     val avg = avgDl
 
-    def run(seg: Int, rows: Iterator[BlockRow], filter: DocFilter): Iterator[Search.QueryHit] = {
-      val (qTerms, offs, idfS) = bCtx.value
+    def run(seg: Int, slice: Int, rows: Iterator[BlockRow], base: DocFilter): Iterator[Search.QueryHit] = {
+      val (qTerms, offs, idfS, exT) = bCtx.value
       val byTerm = rows.toArray.groupBy(_._3)
+      def refsOf(t: String) = byTerm(t)
+        .sortBy(r => (r._5, r._4))
+        .map(r =>
+          BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11,
+            IndexBuilder.impact(r._12, r._13, avg)))
+      var filter = base
+      val exIters = exT.iterator.filter(byTerm.contains)
+        .map(t => new PostingIter(0, 0.0, refsOf(t), avg)).toArray
+      if (exIters.nonEmpty)
+        filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+      val tomb = bTombs.value(seg)
+      if (tomb != null) filter = tomb.compose(slice, filter)
       if (!qTerms.forall(byTerm.contains)) return Iterator.empty
-      val iters = qTerms.map { t =>
-        val refs = byTerm(t)
-          .sortBy(r => (r._5, r._4))
-          .map(r =>
-            BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11,
-              IndexBuilder.impact(r._12, r._13, avg)))
-        new PostingIter(0, 0.0, refs, avg)
-      }
-      val base = bBases.value(seg)
+      val iters = qTerms.map(t => new PostingIter(0, 0.0, refsOf(t), avg))
+      val docBase = bBases.value(seg)
       BlockMaxWand.phrase(iters, offs, idfS, k, filter)
-        .iterator.map(h => Search.QueryHit(base + h.docId, h.score))
+        .iterator.map(h => Search.QueryHit(docBase + h.docId, h.score))
     }
 
-    val blocks = segBlocks(distinctTerms)
+    val blocks = segBlocks(distinctTerms ++ exTerms)
     val bDirs = spark.sparkContext.broadcast(segmentDirs.toArray)
     val localTopK =
       if (docFilter == null && attrFilter == null)
-        blocks.groupByKey(r => (r._1, r._2)).flatMapGroups { (key, rows) => run(key._1, rows, null) }
+        blocks.groupByKey(r => (r._1, r._2)).flatMapGroups { (key, rows) => run(key._1, key._2, rows, null) }
       else if (attrFilter != null) {
         val pred = attrFilter
         blocks
           .groupByKey(r => (r._1, r._2))
           .flatMapGroups { (key, rows) =>
             val cur = AttrSidecar.openCursor(bDirs.value(key._1), key._2, pred)
-            try run(key._1, rows, cur)
+            try run(key._1, key._2, rows, cur)
             finally cur.close()
           }
       } else {
@@ -255,7 +276,7 @@ final class MultiSearcher(
             if (allow.isEmpty) Iterator.empty
             else {
               java.util.Arrays.sort(allow)
-              run(key._1, rows, new FilterIter(allow))
+              run(key._1, key._2, rows, new FilterIter(allow))
             }
           }
       }

@@ -51,6 +51,16 @@ object Search {
     * ([[graft.index.TimeBuckets]]): whole-segment pruning first, sidecar
     * as the residual intra-bucket cut.
     */
+  /** `mustNot`: ES `bool.must_not` terms — docs containing ANY of them
+    * are excluded (non-scoring, like filter context). The excluded
+    * terms' posting blocks ride the same single exchange as the query
+    * terms'; each slice task walks them as a monotone exclusion cursor
+    * (block skip + binary search — untouched blocks never decode).
+    *
+    * Tombstoned docs ([[graft.index.Tombstones]]) are ALWAYS excluded:
+    * the live generation is resolved once driver-side, each slice task
+    * reads its own slice's deleted-id file node-locally.
+    */
   def topK(
       spark: SparkSession,
       indexDir: String,
@@ -58,7 +68,8 @@ object Search {
       mode: String,
       k: Int,
       docFilter: Column = null,
-      attrFilter: AttrPred = null
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil
   ): DataFrame = {
     require(docFilter == null || attrFilter == null,
       "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
@@ -82,12 +93,16 @@ object Search {
 
     val idfs: Array[Double] =
       terms.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
-    val termIdx: Map[String, Int] = terms.zipWithIndex.toMap
-    val bTerms = spark.sparkContext.broadcast((terms.toArray, idfs))
+    // a term in BOTH must and must_not excludes its own matches (ES bool
+    // semantics) — the exclusion iterator is a separate cursor over the
+    // same blocks, so no special-casing needed
+    val exTerms = mustNot.distinct
+    val bTerms = spark.sparkContext.broadcast((terms.toArray, idfs, exTerms.toArray))
+    val tomb = graft.index.Tombstones.handle(indexDir)
 
     val blocks = IndexBuilder
       .readPostings(spark, indexDir)
-      .where($"term".isin(terms: _*))
+      .where($"term".isin(terms ++ exTerms: _*))
       .select(
         $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
         $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
@@ -97,17 +112,23 @@ object Search {
     val isAnd = mode == "and"
     type BlockRow = (Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)
 
-    def wand(rows: Iterator[BlockRow], filter: DocFilter): Iterator[QueryHit] = {
-      val (qTerms, qIdfs) = bTerms.value
+    def wand(slice: Int, rows: Iterator[BlockRow], base: DocFilter): Iterator[QueryHit] = {
+      val (qTerms, qIdfs, exT) = bTerms.value
       val byTerm = rows.toArray.groupBy(_._2)
-      val iters = qTerms.iterator.zipWithIndex.flatMap { case (t, ti) =>
+      def itersOf(t: String, ti: Int, idf: Double): Option[PostingIter] =
         byTerm.get(t).map { rs =>
           val refs = rs
             .sortBy(r => (r._4, r._3)) // by doc_id_min, block_id
             .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
-          new PostingIter(ti, qIdfs(ti), refs, avgDl)
+          new PostingIter(ti, idf, refs, avgDl)
         }
-      }.toArray
+      val iters = qTerms.iterator.zipWithIndex
+        .flatMap { case (t, ti) => itersOf(t, ti, qIdfs(ti)) }.toArray
+      val exIters = exT.iterator.flatMap(t => itersOf(t, 0, 0.0)).toArray
+      var filter = base
+      if (exIters.nonEmpty)
+        filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+      if (tomb != null) filter = tomb.compose(slice, filter)
       val hits =
         if (isAnd) {
           if (iters.length < qTerms.length) Array.empty[BlockMaxWand.Hit]
@@ -118,7 +139,7 @@ object Search {
 
     val localTopK =
       if (docFilter == null && attrFilter == null)
-        blocks.groupByKey(_._1).flatMapGroups { (_, rows) => wand(rows, null) }
+        blocks.groupByKey(_._1).flatMapGroups { (slice, rows) => wand(slice, rows, null) }
       else if (attrFilter != null) {
         // sidecar path: plan-identical to the unfiltered search — the WAND
         // task streams its slice's attribute file locally (no doc-id
@@ -128,7 +149,7 @@ object Search {
         val pred = attrFilter
         blocks.groupByKey(_._1).flatMapGroups { (slice, rows) =>
           val cur = AttrSidecar.openCursor(idxDir, slice, pred)
-          try wand(rows, cur)
+          try wand(slice, rows, cur)
           finally cur.close()
         }
       } else {
@@ -141,12 +162,12 @@ object Search {
           .as[(Int, Long)]
         blocks
           .groupByKey(_._1)
-          .cogroup(filterIds.groupByKey(_._1)) { (_, rows, fids) =>
+          .cogroup(filterIds.groupByKey(_._1)) { (slice, rows, fids) =>
             val allow = fids.map(_._2).toArray
             if (allow.isEmpty) Iterator.empty
             else {
               java.util.Arrays.sort(allow)
-              wand(rows, new FilterIter(allow))
+              wand(slice, rows, new FilterIter(allow))
             }
           }
       }
@@ -191,7 +212,8 @@ object Search {
       phraseTerms: Seq[String],
       k: Int,
       docFilter: Column = null,
-      attrFilter: AttrPred = null
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil
   ): DataFrame = {
     import spark.implicits._
     require(phraseTerms.nonEmpty, "empty phrase")
@@ -216,11 +238,13 @@ object Search {
     // idf summed over every phrase POSITION (duplicate terms count per
     // occurrence — Lucene PhraseQuery shape; oracle mirrors)
     val idfSum = phraseTerms.map(t => NaiveBm25.idf(n, dfs(t))).sum
-    val bCtx = spark.sparkContext.broadcast((distinctTerms.toArray, offsets, idfSum))
+    val exTerms = mustNot.distinct
+    val bCtx = spark.sparkContext.broadcast((distinctTerms.toArray, offsets, idfSum, exTerms.toArray))
+    val tomb = graft.index.Tombstones.handle(indexDir)
 
     val blocks = IndexBuilder
       .readPostings(spark, indexDir)
-      .where($"term".isin(distinctTerms: _*))
+      .where($"term".isin(distinctTerms ++ exTerms: _*))
       .select(
         $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
         $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
@@ -228,31 +252,37 @@ object Search {
       .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
 
     def run(
+        slice: Int,
         rows: Iterator[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)],
-        filter: DocFilter
+        base: DocFilter
     ): Iterator[QueryHit] = {
-      val (qTerms, offs, idfS) = bCtx.value
+      val (qTerms, offs, idfS, exT) = bCtx.value
       val byTerm = rows.toArray.groupBy(_._2)
+      def refsOf(t: String) = byTerm(t)
+        .sortBy(r => (r._4, r._3))
+        .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
+      var filter = base
+      val exIters = exT.iterator.filter(byTerm.contains)
+        .map(t => new PostingIter(0, 0.0, refsOf(t), avgDl)).toArray
+      if (exIters.nonEmpty)
+        filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+      if (tomb != null) filter = tomb.compose(slice, filter)
       if (!qTerms.forall(byTerm.contains)) return Iterator.empty
-      val iters = qTerms.map { t =>
-        val refs = byTerm(t)
-          .sortBy(r => (r._4, r._3))
-          .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
-        new PostingIter(0, 0.0, refs, avgDl) // idf unused in phrase scoring
-      }
+      val iters = qTerms.map(t =>
+        new PostingIter(0, 0.0, refsOf(t), avgDl)) // idf unused in phrase scoring
       BlockMaxWand.phrase(iters, offs, idfS, k, filter)
         .iterator.map(h => QueryHit(h.docId, h.score))
     }
 
     val localTopK =
       if (docFilter == null && attrFilter == null)
-        blocks.groupByKey(_._1).flatMapGroups { (_, rows) => run(rows, null) }
+        blocks.groupByKey(_._1).flatMapGroups { (slice, rows) => run(slice, rows, null) }
       else if (attrFilter != null) {
         val idxDir = indexDir
         val pred = attrFilter
         blocks.groupByKey(_._1).flatMapGroups { (slice, rows) =>
           val cur = AttrSidecar.openCursor(idxDir, slice, pred)
-          try run(rows, cur)
+          try run(slice, rows, cur)
           finally cur.close()
         }
       } else {
@@ -262,12 +292,12 @@ object Search {
           .as[(Int, Long)]
         blocks
           .groupByKey(_._1)
-          .cogroup(filterIds.groupByKey(_._1)) { (_, rows, fids) =>
+          .cogroup(filterIds.groupByKey(_._1)) { (slice, rows, fids) =>
             val allow = fids.map(_._2).toArray
             if (allow.isEmpty) Iterator.empty
             else {
               java.util.Arrays.sort(allow)
-              run(rows, new FilterIter(allow))
+              run(slice, rows, new FilterIter(allow))
             }
           }
       }

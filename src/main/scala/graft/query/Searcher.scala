@@ -61,16 +61,18 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
     * sidecar path.
     */
   def topKBatch(queries: Seq[Searcher.BatchQuery], k: Int): DataFrame = {
-    val allTerms = queries.flatMap(_.terms).distinct
+    val allTerms = (queries.flatMap(_.terms) ++ queries.flatMap(_.mustNot)).distinct
     val dfs = dfOf(allTerms)
-    // per-query resolved plan: (terms in fixed order, idfs, isAnd, attr)
+    // per-query resolved plan: (terms in fixed order, idfs, isAnd, attr,
+    // must_not terms)
     val resolved = queries.map { q =>
       val ts = q.terms.distinct
       val idfs = ts.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
-      (q.qid, ts.toArray, idfs, q.mode == "and", q.attr)
+      (q.qid, ts.toArray, idfs, q.mode == "and", q.attr, q.mustNot.distinct.toArray)
     }
     val bQueries = spark.sparkContext.broadcast(resolved)
     val idxDir = indexDir
+    val tomb = graft.index.Tombstones.handle(indexDir)
     val presentTerms = allTerms.filter(dfs.contains)
     if (presentTerms.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "doc_id", "score")
@@ -92,11 +94,23 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
         val allowLists = scala.collection.mutable.HashMap.empty[graft.index.AttrPred, Array[Long]]
         def allowOf(p: graft.index.AttrPred): Array[Long] =
           allowLists.getOrElseUpdate(p, graft.index.AttrSidecar.matchingDocIds(idxDir, slice, p))
-        bQueries.value.iterator.flatMap { case (qid, qTerms, idfs, isAnd, attr) =>
+        // slice tombstones read once, shared read-only across queries
+        // (each query wraps them in its own cursor)
+        val tombIds: Array[Long] =
+          if (tomb == null) Array.emptyLongArray
+          else graft.index.Tombstones.readSlice(idxDir, tomb.gen, slice)
+        bQueries.value.iterator.flatMap { case (qid, qTerms, idfs, isAnd, attr, exT) =>
           val iters = qTerms.iterator.zipWithIndex.flatMap { case (t, ti) =>
             byTerm.get(t).map(refs => new PostingIter(ti, idfs(ti), refs, avg))
           }.toArray
-          val filter = if (attr == null) null else new BlockMaxWand.FilterIter(allowOf(attr))
+          var filter: DocFilter =
+            if (attr == null) null else new BlockMaxWand.FilterIter(allowOf(attr))
+          val exIters = exT.iterator.flatMap(t =>
+            byTerm.get(t).map(refs => new PostingIter(0, 0.0, refs, avg))).toArray
+          if (exIters.nonEmpty)
+            filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+          if (tombIds.nonEmpty)
+            filter = Filters.and(filter, new NotFilter(new SortedIdsSet(tombIds)))
           val hits =
             if (isAnd) {
               if (iters.length < qTerms.length) Array.empty[BlockMaxWand.Hit]
@@ -122,16 +136,18 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
     * same blocks, same WAND, same tie-break.
     */
   def topKLocal(
-      queryTerms: Seq[String], mode: String, k: Int, maxBlocks: Int = 4096
+      queryTerms: Seq[String], mode: String, k: Int, maxBlocks: Int = 4096,
+      mustNot: Seq[String] = Nil
   ): Seq[(Long, Double)] = {
     val terms = queryTerms.distinct
-    val dfs = dfOf(terms)
+    val dfs = dfOf((terms ++ mustNot).distinct)
     if (terms.isEmpty || (mode == "and" && terms.exists(t => !dfs.contains(t))))
       return Nil
     val present = terms.filter(dfs.contains)
     if (present.isEmpty) return Nil
+    val exTerms = mustNot.distinct.filter(dfs.contains)
     val rows = postings
-      .where($"term".isin(present: _*))
+      .where($"term".isin(present ++ exTerms: _*))
       .select(
         $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
         $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
@@ -146,32 +162,38 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
       .collect()
     if (rows.length > maxBlocks) {
       // hot query — stay distributed
-      return topK(queryTerms, mode, k).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      return topK(queryTerms, mode, k, mustNot).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     }
+    val tomb = graft.index.Tombstones.handle(indexDir)
     val idfs = terms.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
-    val hits = rows.groupBy(_._1).iterator.flatMap { case (_, sliceRows) =>
+    val hits = rows.groupBy(_._1).iterator.flatMap { case (slice, sliceRows) =>
       val byTerm = sliceRows.groupBy(_._2)
+      def refsOf(rs: Array[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]) =
+        rs.sortBy(r => (r._4, r._3))
+          .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
       val iters = terms.iterator.zipWithIndex.flatMap { case (t, ti) =>
-        byTerm.get(t).map { rs =>
-          val refs = rs.sortBy(r => (r._4, r._3))
-            .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
-          new PostingIter(ti, idfs(ti), refs, avgDl)
-        }
+        byTerm.get(t).map(rs => new PostingIter(ti, idfs(ti), refsOf(rs), avgDl))
       }.toArray
+      val exIters = exTerms.iterator.flatMap(t =>
+        byTerm.get(t).map(rs => new PostingIter(0, 0.0, refsOf(rs), avgDl))).toArray
+      var filter: DocFilter = null
+      if (exIters.nonEmpty) filter = new NotFilter(new PostingSet(exIters))
+      if (tomb != null) filter = tomb.compose(slice, filter)
       if (mode == "and") {
         if (iters.length < terms.length) Iterator.empty
-        else BlockMaxWand.and(iters, k).iterator
-      } else BlockMaxWand.or(iters, k).iterator
+        else BlockMaxWand.and(iters, k, filter).iterator
+      } else BlockMaxWand.or(iters, k, filter).iterator
     }.toSeq
     hits.sortBy(h => (-h.score, h.docId)).take(k).map(h => (h.docId, h.score))
   }
 
-  def topK(queryTerms: Seq[String], mode: String, k: Int): DataFrame = {
+  def topK(queryTerms: Seq[String], mode: String, k: Int,
+      mustNot: Seq[String] = Nil): DataFrame = {
     // AND with a missing term can short-circuit to empty without a job
     val dfs = dfOf(queryTerms)
     if (mode == "and" && queryTerms.distinct.exists(t => !dfs.contains(t)))
       return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
-    topKBatch(Seq(Searcher.BatchQuery(0L, queryTerms, mode)), k)
+    topKBatch(Seq(Searcher.BatchQuery(0L, queryTerms, mode, mustNot = mustNot)), k)
       .orderBy($"rank")
       .select($"doc_id", $"score")
   }
@@ -181,11 +203,14 @@ object Searcher {
   /** `attr` (nullable): per-query filter context, evaluated from the
     * slice attribute sidecar inside the batch job (ES bool filter next to
     * the match query — composable per query, not per batch).
+    * `mustNot`: per-query excluded terms (ES bool.must_not) — exclusion
+    * cursors over the same shuffled blocks, non-scoring.
     */
   final case class BatchQuery(
       qid: Long,
       terms: Seq[String],
       mode: String,
-      attr: graft.index.AttrPred = null
+      attr: graft.index.AttrPred = null,
+      mustNot: Seq[String] = Nil
   )
 }

@@ -1,0 +1,277 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+import graft.functions.Analyzer
+import graft.index.{IndexBuilder, Tombstones}
+import graft.index.IndexBuilder.BuildConfig
+import graft.query._
+import graft.query.BlockMaxWand.PostingIter
+import graft.sources.PagesGen
+
+/** ES bool.must_not (term exclusion) and Lucene-style deletes
+  * (tombstones + purge): rank identity vs the naive oracle, cross-path
+  * consistency (distributed / batch / driver-local / multi-segment), and
+  * purge ≡ fresh build over the survivors.
+  */
+class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val NDocs = 2000L
+  private var dir: Path = _ // pristine index (must_not tests)
+  private var delDir: Path = _ // same corpus, gets tombstones
+  private var corpus: Seq[(Long, String)] = _ // docID -> text
+  private var langOf: Map[Long, String] = _
+
+  private val cfg = BuildConfig(nPartitions = 8, nGroups = 2, nSlices = 4, blockSize = 64)
+
+  override def beforeAll(): Unit = {
+    dir = Files.createTempDirectory("graft-bool")
+    delDir = Files.createTempDirectory("graft-del")
+    val pages = PagesGen.pages(spark, NDocs, 8)
+    IndexBuilder.build(spark, pages, dir.toString, cfg)
+    IndexBuilder.build(spark, pages, delDir.toString, cfg)
+    val byUrl = (0L until NDocs).map { i =>
+      val p = PagesGen.pageFor(i)
+      (p.url, p.text, p.lang)
+    }.sortBy(_._1)
+    corpus = byUrl.zipWithIndex.map { case ((_, text, _), id) => (id.toLong, text) }
+    langOf = byUrl.zipWithIndex.map { case ((_, _, lang), id) => id.toLong -> lang }.toMap
+  }
+
+  override def afterAll(): Unit = {
+    import scala.reflect.io.Directory
+    new Directory(dir.toFile).deleteRecursively()
+    new Directory(delDir.toFile).deleteRecursively()
+  }
+
+  private def containsTerm(text: String, terms: Seq[String]): Boolean = {
+    val toks = Analyzer.tokenize(text).toSet
+    terms.exists(toks.contains)
+  }
+
+  private def naive(terms: Seq[String], mode: String, mustNot: Seq[String], k: Int = 10) =
+    NaiveBm25.topKFiltered(
+      corpus, terms, mode, k,
+      id => !containsTerm(corpus(id.toInt)._2, mustNot))
+
+  private def got(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  // ---- filter combinators (pure unit) ---------------------------------
+
+  test("SortedIdsSet / NotFilter / AndFilter: monotone probe semantics") {
+    val set = new SortedIdsSet(Array(3L, 4L, 5L, 9L))
+    assert(!set.matches(1L) && set.matches(3L) && set.matches(4L) && !set.matches(7L) && set.matches(9L) && !set.matches(11L))
+
+    val not = new NotFilter(new SortedIdsSet(Array(3L, 4L, 5L, 9L)))
+    assert(!not.exhausted)
+    assert(not.contains(2L) && !not.contains(3L) && !not.contains(5L) && not.contains(6L))
+    assert(not.ceil(7L) == 7L && !not.contains(9L) && not.ceil(9L) == 10L)
+
+    // AND of two allow-lists via complement arithmetic: allowed = evens ∧ not {4,6}
+    val evens = new BlockMaxWand.FilterIter(Array(0L, 2L, 4L, 6L, 8L, 10L))
+    val excl = new NotFilter(new SortedIdsSet(Array(4L, 6L)))
+    val and = new AndFilter(evens, excl)
+    assert(and.contains(0L) && and.contains(2L) && !and.contains(3L) && !and.contains(4L))
+    assert(and.ceil(3L) == 8L) // 4 and 6 excluded → next allowed even is 8
+    assert(and.ceil(9L) == 10L)
+    assert(and.ceil(11L) == Long.MaxValue)
+  }
+
+  // ---- must_not -------------------------------------------------------
+
+  private val mnCases = Seq(
+    (Seq("w1", "w2"), "or", Seq("w3")),
+    (Seq("w1", "w2"), "and", Seq("w5")),
+    (Seq("w0"), "or", Seq("w1", "w2")), // hot query, two exclusions
+    (Seq("w4", "w7"), "or", Seq("nosuchterm")), // absent exclusion = no-op
+    (Seq("rareterm7"), "or", Seq("w0")) // rare query, hot exclusion
+  )
+
+  test("must_not ≡ naive exclusion with corpus-global scores (distributed)") {
+    mnCases.foreach { case (ts, mode, mn) =>
+      val exp = naive(ts, mode, mn)
+      val gotD = got(Search.topK(spark, dir.toString, ts, mode, 10, mustNot = mn))
+      assert(gotD.map(_._1) == exp.map(_.docId), s"$ts $mode NOT $mn ids")
+      gotD.zip(exp).foreach { case ((_, s), e) =>
+        assert(math.abs(s - e.score) < 1e-9, s"$ts $mode NOT $mn score")
+      }
+    }
+  }
+
+  test("must_not: batch and driver-local paths agree with the distributed path") {
+    val searcher = new Searcher(spark, dir.toString)
+    mnCases.foreach { case (ts, mode, mn) =>
+      val exp = got(Search.topK(spark, dir.toString, ts, mode, 10, mustNot = mn))
+      val batch = searcher.topKBatch(
+        Seq(Searcher.BatchQuery(7L, ts, mode, mustNot = mn)), 10)
+        .orderBy($"rank").select($"doc_id", $"score")
+      assert(got(batch) == exp, s"batch $ts NOT $mn")
+      val local = searcher.topKLocal(ts, mode, 10, mustNot = mn)
+      assert(local == exp, s"local $ts NOT $mn")
+    }
+  }
+
+  test("must_not: a term excluded and queried at once matches nothing it contains") {
+    // every candidate of the single-term query contains the term → empty
+    assert(got(Search.topK(spark, dir.toString, Seq("w3"), "or", 10, mustNot = Seq("w3"))).isEmpty)
+    // OR query keeps docs matching w1-but-not-w3
+    val exp = naive(Seq("w1", "w3"), "or", Seq("w3"))
+    assert(exp.forall(h => !containsTerm(corpus(h.docId.toInt)._2, Seq("w3"))))
+    val gotD = got(Search.topK(spark, dir.toString, Seq("w1", "w3"), "or", 10, mustNot = Seq("w3")))
+    assert(gotD.map(_._1) == exp.map(_.docId))
+  }
+
+  test("must_not composes with filter context (sidecar + ad-hoc)") {
+    val exp = NaiveBm25.topKFiltered(
+      corpus, Seq("w1", "w2"), "or", 10,
+      id => langOf(id) == "en" && !containsTerm(corpus(id.toInt)._2, Seq("w4")))
+    val viaAttr = got(Search.topK(spark, dir.toString, Seq("w1", "w2"), "or", 10,
+      attrFilter = graft.index.AttrPred.lang("en"), mustNot = Seq("w4")))
+    assert(viaAttr.map(_._1) == exp.map(_.docId), "sidecar ∧ must_not")
+    val viaCol = got(Search.topK(spark, dir.toString, Seq("w1", "w2"), "or", 10,
+      docFilter = $"lang" === "en", mustNot = Seq("w4")))
+    assert(viaCol.map(_._1) == exp.map(_.docId), "allow-list ∧ must_not")
+  }
+
+  test("must_not on phrase queries") {
+    // phrase results minus docs containing the excluded term
+    val basePhrase = got(Search.phraseTopK(spark, dir.toString, Seq("w1", "w2"), 50))
+    val mn = Seq("w9")
+    val expIds = basePhrase.map(_._1)
+      .filterNot(id => containsTerm(corpus(id.toInt)._2, mn)).take(10)
+    assume(expIds.nonEmpty && expIds != basePhrase.map(_._1).take(10),
+      "fixture must make the exclusion observable")
+    val gotD = got(Search.phraseTopK(spark, dir.toString, Seq("w1", "w2"), 10, mustNot = mn))
+    assert(gotD.map(_._1) == expIds)
+  }
+
+  // ---- tombstones -----------------------------------------------------
+
+  test("delete marks docs: excluded from every path, survivor scores unchanged") {
+    val deleted = (id: Long) => langOf(id) == "de"
+    val nDel = Tombstones.delete(spark, delDir.toString, $"lang" === "de")
+    assert(nDel == langOf.values.count(_ == "de"), "deleted count")
+    assert(Tombstones.count(delDir.toString) == nDel)
+
+    Seq((Seq("w1", "w2"), "or"), (Seq("w1", "w2"), "and"), (Seq("w0"), "or")).foreach {
+      case (ts, mode) =>
+        // Lucene semantics: stats unchanged until purge → scores equal the
+        // pristine index's, candidates minus deleted
+        val exp = NaiveBm25.topKFiltered(corpus, ts, mode, 10, id => !deleted(id))
+        val gotD = got(Search.topK(spark, delDir.toString, ts, mode, 10))
+        assert(gotD.map(_._1) == exp.map(_.docId), s"deleted $ts $mode ids")
+        gotD.zip(exp).foreach { case ((_, s), e) =>
+          assert(math.abs(s - e.score) < 1e-9, s"deleted $ts $mode score")
+        }
+        assert(gotD.forall { case (id, _) => !deleted(id) })
+        val searcher = new Searcher(spark, delDir.toString)
+        assert(searcher.topKLocal(ts, mode, 10) == gotD, "local path sees tombstones")
+        assert(got(searcher.topK(ts, mode, 10)) == gotD, "batch path sees tombstones")
+    }
+  }
+
+  test("delete is incremental and idempotent (sorted-union generations)") {
+    val before = Tombstones.count(delDir.toString)
+    // re-delete the same predicate: union unchanged
+    Tombstones.delete(spark, delDir.toString, $"lang" === "de")
+    assert(Tombstones.count(delDir.toString) == before, "idempotent")
+    // add a second predicate: union grows by the disjoint new set
+    val extra = Tombstones.delete(spark, delDir.toString, $"doc_id" === 0L)
+    val expected = before + (if (langOf(0L) == "de") 0 else 1)
+    assert(extra == expected && Tombstones.count(delDir.toString) == expected)
+    val gotD = got(Search.topK(spark, delDir.toString, Seq("w0"), "or", 10))
+    assert(!gotD.exists(_._1 == 0L), "doc 0 gone after incremental delete")
+  }
+
+  test("multi-segment search composes per-segment tombstones") {
+    val base = Files.createTempDirectory("graft-mseg-del")
+    try {
+      val half = NDocs / 2
+      val pages = PagesGen.pages(spark, NDocs, 8)
+      val a = s"$base/segA"; val b = s"$base/segB"
+      // split by url rank: segment A = first half of the sorted url space
+      val sortedUrls = (0L until NDocs).map(PagesGen.pageFor(_).url).sorted
+      val cut = sortedUrls(half.toInt)
+      IndexBuilder.build(spark, pages.filter(_.url < cut), a, cfg)
+      IndexBuilder.build(spark, pages.filter(_.url >= cut), b, cfg)
+      // delete lang=de docs from BOTH segments
+      Tombstones.delete(spark, a, $"lang" === "de")
+      Tombstones.delete(spark, b, $"lang" === "de")
+      val ms = new MultiSearcher(spark, Seq(a, b))
+      val exp = NaiveBm25.topKFiltered(corpus, Seq("w1", "w2"), "or", 10,
+        id => langOf(id) != "de")
+      val gotD = got(ms.topK(Seq("w1", "w2"), "or", 10))
+      assert(gotD.map(_._1) == exp.map(_.docId), "multiseg tombstones ids")
+      // and must_not across segments
+      val exp2 = naive(Seq("w1", "w2"), "or", Seq("w3"))
+        .filter(h => langOf(h.docId) != "de")
+      val got2 = got(ms.topK(Seq("w1", "w2"), "or", 10, mustNot = Seq("w3")))
+      assert(got2.map(_._1) == NaiveBm25.topKFiltered(corpus, Seq("w1", "w2"), "or", 10,
+        id => langOf(id) != "de" && !containsTerm(corpus(id.toInt)._2, Seq("w3"))).map(_.docId),
+        "multiseg must_not ∧ tombstones")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(base.toFile).deleteRecursively()
+    }
+  }
+
+  test("purge ≡ fresh build over the survivors (ids, scores, stats)") {
+    val purged = Files.createTempDirectory("graft-purged")
+    val fresh = Files.createTempDirectory("graft-fresh")
+    try {
+      // delDir currently holds tombstones = lang de ∪ {0}
+      val deleted = (id: Long) => langOf(id) == "de" || id == 0L
+      Tombstones.purge(spark, delDir.toString, purged.toString)
+      // survivors keep url-rank order → fresh build over the same pages
+      // assigns IDENTICAL dense ids
+      val pages = PagesGen.pages(spark, NDocs, 8)
+      val sortedUrls = (0L until NDocs).map(PagesGen.pageFor(_).url).sorted
+      val idOfUrl = sortedUrls.zipWithIndex.toMap
+      IndexBuilder.build(spark, pages.filter(p => {
+        val bc = idOfUrl // local for serialization
+        !((p.lang == "de") || bc(p.url) == 0)
+      }), fresh.toString, cfg)
+
+      val sP = IndexBuilder.readStats(spark, purged.toString)
+      val sF = IndexBuilder.readStats(spark, fresh.toString)
+      assert(sP.n_docs == sF.n_docs && sP.total_tokens == sF.total_tokens)
+      assert(math.abs(sP.avg_dl - sF.avg_dl) < 1e-12)
+      assert(Tombstones.count(purged.toString) == 0L, "purged index is clean")
+
+      Seq((Seq("w1", "w2"), "or"), (Seq("w0"), "or"), (Seq("w1", "w2"), "and")).foreach {
+        case (ts, mode) =>
+          val p = got(Search.topK(spark, purged.toString, ts, mode, 10))
+          val f = got(Search.topK(spark, fresh.toString, ts, mode, 10))
+          assert(p.map(_._1) == f.map(_._1), s"purged vs fresh $ts $mode ids")
+          p.zip(f).foreach { case ((_, a), (_, b)) =>
+            assert(math.abs(a - b) < 1e-9, s"purged vs fresh $ts $mode score")
+          }
+      }
+      // phrase capability survives the purge (positions re-staged verbatim)
+      val pp = got(Search.phraseTopK(spark, purged.toString, Seq("w1", "w2"), 10))
+      val fp = got(Search.phraseTopK(spark, fresh.toString, Seq("w1", "w2"), 10))
+      assert(pp.map(_._1) == fp.map(_._1), "purged phrase ids")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(purged.toFile).deleteRecursively()
+      new Directory(fresh.toFile).deleteRecursively()
+    }
+  }
+
+  test("exclusion iterators skip blocks: PostingSet advances monotonically") {
+    // build a tiny posting iter over synthetic blocks and probe it as a set
+    val ids = Array(5L, 8L, 13L, 21L, 34L)
+    val enc = graft.functions.Codec.encodeGapsFromBase(ids)
+    val tfs = graft.functions.Codec.encodeIntsAuto(Array.fill(ids.length)(1))
+    val dls = graft.functions.Codec.encodeIntsAuto(Array.fill(ids.length)(10))
+    val ref = BlockMaxWand.BlockRef(ids.head, ids.last, ids.length, enc, tfs, dls, Array.empty[Byte], 1.0)
+    val set = new PostingSet(Array(new PostingIter(0, 0.0, Array(ref), 10.0)))
+    assert(!set.matches(4L) && set.matches(5L) && !set.matches(6L) && set.matches(13L) && set.matches(34L) && !set.matches(35L))
+  }
+}

@@ -135,6 +135,29 @@ class MiscOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IndexJob CLI: delete marks docs, purge rewrites without them") {
+    val base = Files.createTempDirectory("indexjob-del").toString
+    val pagesPath = s"$base/pages"
+    spark.range(0L, 300L, 1, 2).map(i => PagesGen.pageFor(i)).write.parquet(pagesPath)
+    IndexJob.run(spark, Seq("build", pagesPath, s"$base/idx",
+      "--partitions=4", "--groups=2", "--slices=4", "--block=64"))
+    val before = graft.query.Search.topK(spark, s"$base/idx", Seq("w1"), "or", 5)
+      .collect().map(_.getLong(0))
+    IndexJob.run(spark, Seq("delete", s"$base/idx", "--lang=de"))
+    assert(graft.index.Tombstones.count(s"$base/idx") > 0)
+    val langOf = spark.read.parquet(s"$base/idx/docs")
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = graft.query.Search.topK(spark, s"$base/idx", Seq("w1"), "or", 5)
+      .collect().map(_.getLong(0))
+    assert(after.forall(langOf(_) != "de"), "deleted lang excluded via CLI")
+    assert(before.exists(langOf(_) == "de") || before.toSeq != after.toSeq,
+      "fixture must make the delete observable")
+    IndexJob.run(spark, Seq("purge", s"$base/idx", s"$base/purged"))
+    assert(graft.index.Tombstones.count(s"$base/purged") == 0)
+    val nP = IndexBuilder.readStats(spark, s"$base/purged").n_docs
+    assert(nP == langOf.values.count(_ != "de"), "purged stats count survivors only")
+  }
+
   test("IndexJob CLI: compact + search-family round trip") {
     import graft.index.SegmentFamily
     val base = Files.createTempDirectory("indexjob-fam").toString
