@@ -130,7 +130,13 @@ object Bench {
       }
     }
     def controlRun(cores: Int): Double = {
-      val out = childRun("graft.CpuProbe", cores, Seq(benchDocs.toString, "2"))
+      // reps scale with cores so each control samples a ~20 s window at
+      // BOTH levels: a 32-core tokenize pass is ~3 s, and best-of-2 of
+      // 3 s windows can land entirely inside one host-noise burst (one
+      // observed round: ctl32 at 0.42× its same-session siblings, which
+      // inflated that round's eff-vs-control to a nonsense 1.24)
+      val reps = if (cores >= 32) 8 else 2
+      val out = childRun("graft.CpuProbe", cores, Seq(benchDocs.toString, reps.toString))
       cpuRe.findFirstMatchIn(out) match {
         case Some(m) => m.group(1).toDouble
         case None => throw new RuntimeException(s"control at $cores cores produced no CPUPROBE line:\n$out")
@@ -176,8 +182,18 @@ object Bench {
     val controlEff = ctl32 / (4.0 * ctl8)
     // headline vs-control number: best PAIRED round (same-window ratio) —
     // the instrument the builder's bar (≥0.8 of the same-box control) is
-    // defined against; median reported alongside as the robust estimate
-    val effVsControl = rounds.map(_.effVsCtl).max
+    // defined against; median reported alongside as the robust estimate.
+    // Plausibility guard: a round whose control efficiency strays >40%
+    // from the rounds' median control measured a CORRUPTED ceiling (the
+    // control itself ate a noise burst) — its eff-vs-ctl ratio is
+    // meaningless (can exceed 1.0) and must not become the headline;
+    // such rounds stay visible in `rounds` and in the _rawbest field.
+    val ctlMed = median(rounds.map(_.ctlEff))
+    val plausible = rounds.filter(r =>
+      r.ctlEff >= 0.6 * ctlMed && r.ctlEff <= 1.4 * ctlMed)
+    val effVsControl =
+      (if (plausible.nonEmpty) plausible else rounds).map(_.effVsCtl).max
+    val effVsControlRawBest = rounds.map(_.effVsCtl).max
     val effVsControlMedian = median(rounds.map(_.effVsCtl))
     val effPairedBest = rounds.map(_.eff).max
     val effPairedMedian = median(rounds.map(_.eff))
@@ -229,7 +245,7 @@ object Bench {
       .foreach(f => rmrf(f.getAbsolutePath))
 
     println(
-      f"""{"metric":"index_docs_per_sec_32cores","value":$tp32%.1f,"unit":"docs/sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","bench_docs":$benchDocs,"probe_pairs":$probeRuns,"index_docs_per_sec_8cores":$tp8%.1f,"index_mib_per_sec_8cores":$mib8%.2f,"index_mib_per_sec_32cores":$mib32%.2f,"scaling_efficiency_8_to_32":$efficiency%.3f,"scaling_efficiency_paired_best":$effPairedBest%.3f,"scaling_efficiency_paired_median":$effPairedMedian%.3f,"control_rate_8cores":$ctl8%.1f,"control_rate_32cores":$ctl32%.1f,"control_efficiency_8_to_32":$controlEff%.3f,"efficiency_vs_samebox_control":$effVsControl%.3f,"efficiency_vs_samebox_control_median":$effVsControlMedian%.3f,"rounds":$pairsJson,"build_stage_secs":$stagesJson,"bm25_queries_per_sec_32cores":$qps%.1f,"bm25_adhoc_latency_sec":$adhocSec%.3f,"bm25_local_latency_sec":$localSec%.3f,"gate_queries_total_sec":$queriesTotal%.1f}"""
+      f"""{"metric":"index_docs_per_sec_32cores","value":$tp32%.1f,"unit":"docs/sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","bench_docs":$benchDocs,"probe_pairs":$probeRuns,"index_docs_per_sec_8cores":$tp8%.1f,"index_mib_per_sec_8cores":$mib8%.2f,"index_mib_per_sec_32cores":$mib32%.2f,"scaling_efficiency_8_to_32":$efficiency%.3f,"scaling_efficiency_paired_best":$effPairedBest%.3f,"scaling_efficiency_paired_median":$effPairedMedian%.3f,"control_rate_8cores":$ctl8%.1f,"control_rate_32cores":$ctl32%.1f,"control_efficiency_8_to_32":$controlEff%.3f,"efficiency_vs_samebox_control":$effVsControl%.3f,"efficiency_vs_samebox_control_median":$effVsControlMedian%.3f,"efficiency_vs_samebox_control_rawbest":$effVsControlRawBest%.3f,"rounds":$pairsJson,"build_stage_secs":$stagesJson,"bm25_queries_per_sec_32cores":$qps%.1f,"bm25_adhoc_latency_sec":$adhocSec%.3f,"bm25_local_latency_sec":$localSec%.3f,"gate_queries_total_sec":$queriesTotal%.1f}"""
     )
   }
 }

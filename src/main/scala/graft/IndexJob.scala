@@ -19,12 +19,14 @@ import graft.query.Search
   *   merge      <indexA> <indexB> <outDir> [same flags]     # byte-identical rebuild merge
   *   fastmerge  <outDir> <indexA> <indexB> [<indexC> ...]   # decode-free stacked merge
   *   compact    <familyRoot> [--merge-factor=N]             # tiered policy to quiescence
-  *   search     <indexDir> <and|or> <k> term [term ...] [--lang=xx] [--from=ISO_TS] [--to=ISO_TS] [--must-not=t1,t2]
+  *   search     <indexDir> <and|or> <k> term [term ...] [--lang=xx] [--from=ISO_TS] [--to=ISO_TS] [--must-not=t1,t2] [--min-match=M]
   *   phrase     <indexDir> <k> term [term ...]
   *   search-segments <k> <and|or> <terms,comma-sep> <segDir> [<segDir> ...]
   *   search-family   <familyRoot> <and|or> <k> term [term ...]
   *   delete     <indexDir> (--lang=xx | --url-prefix=p)      # tombstone marking (Lucene delete semantics)
   *   purge      <indexDir> <outDir> [build flags]            # rewrite without deleted docs
+  *   facet-hist <indexDir> <and|or> <hour|day|month> term [term ...]   # date_histogram over the match set
+  *   facet-lang <indexDir> <and|or> term [term ...]                    # terms agg over the match set
   * }}}
   *
   * search's --lang/--from/--to are TYPED predicates → evaluated from the
@@ -135,7 +137,8 @@ object IndexJob {
         val attrFilter = if (preds.isEmpty) null else AttrPred.And(preds)
         val mustNot = strFlag(args, "must-not").map(_.split(",").toSeq).getOrElse(Nil)
         printHits(Search.topK(spark, indexDir, terms, mode, k.toInt,
-          attrFilter = attrFilter, mustNot = mustNot))
+          attrFilter = attrFilter, mustNot = mustNot,
+          minShouldMatch = flag(args, "min-match", 1)))
       case Some("phrase") =>
         val Seq(indexDir, k) = positional.take(2)
         printHits(Search.phraseTopK(spark, indexDir, positional.drop(2), k.toInt))
@@ -164,9 +167,17 @@ object IndexJob {
           .exists(f => args.exists(_.startsWith(s"--$f=")))
         withRetries(args)(graft.index.Tombstones.purge(
           spark, indexDir, outDir, if (hasLayout) cfg(args) else null))
+      case Some("facet-hist") =>
+        val Seq(indexDir, mode, interval) = positional.take(3)
+        graft.query.Facets.dateHistogram(spark, indexDir, positional.drop(3), mode, interval)
+          .collect().foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}"))
+      case Some("facet-lang") =>
+        val Seq(indexDir, mode) = positional.take(2)
+        graft.query.Facets.termsAgg(spark, indexDir, positional.drop(2), mode)
+          .collect().foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}"))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown command $other; expected build|build-time|ingest-time|merge|fastmerge|compact|search|phrase|search-segments|search-family|delete|purge"
+          s"unknown command $other; expected build|build-time|ingest-time|merge|fastmerge|compact|search|phrase|search-segments|search-family|delete|purge|facet-hist|facet-lang"
         )
     }
   }

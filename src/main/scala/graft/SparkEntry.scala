@@ -262,6 +262,27 @@ object SparkEntry {
       Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, docFilter = $"lang" === "fr")
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
+    // ES aggregation phase (Kibana's view of an event log): counts over
+    // the query's FULL match set, never scored/ranked — per-slice
+    // enumeration + node-local doc-values (sidecar) reads; only per-bucket
+    // partial counts shuffle
+    "q_facet_hist" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.dateHistogram(s, indexFor(s, dir), QueryOr, "or", "day")
+        .select($"bucket", $"n_docs")
+    },
+    "q_facet_lang" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.termsAgg(s, indexFor(s, dir), QueryAnd, "and")
+        .select($"lang", $"n_docs")
+    },
+    // bool.should minimum_should_match: candidates must match ≥2 of the 3
+    // query terms; scores unchanged (still summed over matched terms)
+    "q_bm25_msm" -> { (s, dir) =>
+      import s.implicits._
+      Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, minShouldMatch = 2)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
     // bool.must_not: docs containing the excluded term can't match; scores
     // stay corpus-global (exclusion is non-scoring — ES bool semantics).
     // The excluded term's blocks ride the same exchange; each slice task
@@ -528,10 +549,13 @@ object SparkEntry {
     */
   private def bm25OracleSql(
       terms: Seq[String], and: Boolean, candWhere: String = "",
-      mustNot: Seq[String] = Nil, purgeWhere: String = ""
+      mustNot: Seq[String] = Nil, purgeWhere: String = "", msm: Int = 1
   ): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
-    val having = if (and) s"HAVING count(*) = ${terms.distinct.size}" else ""
+    val having =
+      if (and) s"HAVING count(*) = ${terms.distinct.size}"
+      else if (msm > 1) s"HAVING count(*) >= $msm"
+      else ""
     val rel = if (purgeWhere.isEmpty) "documents" else "basedocs"
     val baseCte =
       if (purgeWhere.isEmpty) ""
@@ -743,6 +767,29 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM merged ORDER BY sco
     "q_bm25_topk_and" -> bm25OracleSql(QueryAnd, and = true),
     "q_bm25_filtered_kw" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang = 'es'"),
     "q_bm25_filtered_adhoc" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang = 'fr'"),
+    // facet oracles: match set from tokenized text; the gate fixture's
+    // warc_ts = epoch(2021-01-01) + doc_id minutes (documentsAsPages)
+    "q_facet_hist" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+)
+SELECT strftime(epoch_ms(1609459200000 + doc_id * 60000), '%Y%m%d') AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
+                 WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+GROUP BY 1""",
+    "q_facet_lang" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+)
+SELECT lang, count(*)::BIGINT AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM toks
+                 WHERE term IN (${QueryAnd.map(t => s"'$t'").mkString(", ")})
+                 GROUP BY doc_id HAVING count(DISTINCT term) = ${QueryAnd.distinct.size})
+GROUP BY 1""",
+    "q_bm25_msm" -> bm25OracleSql(QueryOr, and = false, msm = 2),
     "q_bm25_must_not" -> bm25OracleSql(QueryOr, and = false, mustNot = Seq("batch")),
     // tombstoned docs can't match but still count in stats (pre-purge)
     "q_bm25_deleted" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang <> 'de'"),

@@ -70,6 +70,51 @@ object Analyzer extends Serializable {
     out.toArray
   }
 
+  /** Tokenize keeping each token's [start, end) char offsets in the
+    * ORIGINAL text — the highlighter's primitive (fragments must quote
+    * the source text, not the normalized tokens). Same state machine as
+    * [[tokenize]], duplicated rather than shared so the index-build hot
+    * path keeps its allocation-free shape; agreement is property-tested
+    * (tokens of both functions must be identical on any input).
+    */
+  def tokenizeWithOffsets(text: String): (Array[String], Array[Int], Array[Int]) = {
+    if (text == null || text.isEmpty)
+      return (Array.empty, Array.empty, Array.empty)
+    val toks = mutable.ArrayBuffer.empty[String]
+    val starts = mutable.ArrayBuffer.empty[Int]
+    val ends = mutable.ArrayBuffer.empty[Int]
+    def emitAt(start: Int, end: Int): Unit = {
+      val before = toks.length
+      emit(toks, text, start, end)
+      if (toks.length > before) { starts += start; ends += end }
+    }
+    val n = text.length
+    var i = 0
+    var start = -1
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isTokenChar(cp)) {
+        if (start < 0) start = i
+        i += w
+      } else if (
+        start >= 0 && i + w < n && {
+          val next = text.codePointAt(i + w)
+          val prev = text.codePointBefore(i)
+          (isMidLetter(cp) && Character.isLetter(prev) && Character.isLetter(next)) ||
+          (isMidNum(cp) && Character.isDigit(prev) && Character.isDigit(next))
+        }
+      ) {
+        i += w
+      } else {
+        if (start >= 0) { emitAt(start, i); start = -1 }
+        i += w
+      }
+    }
+    if (start >= 0) emitAt(start, n)
+    (toks.toArray, starts.toArray, ends.toArray)
+  }
+
   /** Emit a token iff it contains at least one letter or digit (drops
     * joiner-only runs like "___").
     */

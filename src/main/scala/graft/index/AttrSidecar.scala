@@ -210,6 +210,65 @@ object AttrSidecar {
     } finally c.close()
   }
 
+  /** Open a VALUE reader over one slice's sidecar (aggregations: the
+    * caller walks ascending matched doc ids and reads each one's
+    * attributes — ES doc-values exactly as its aggregation phase uses
+    * them). Caller MUST close().
+    */
+  def openReader(indexDir: String, slice: Int): AttrReader = {
+    val p = new Path(slicePath(indexDir, slice))
+    val fs = p.getFileSystem(new Configuration())
+    require(fs.exists(p),
+      s"attr sidecar missing for slice $slice of $indexDir — index built pre-v${IndexBuilder.FormatVersion}?")
+    val footer = readFooter(fs, p)
+    val raw = fs.open(p)
+    val in = new DataInputStream(new BufferedInputStream(raw, 1 << 16))
+    require(in.readInt() == Magic && in.readInt() == Version, s"bad attr sidecar header: $p")
+    new AttrReader(in, footer.n, footer.langs)
+  }
+
+  /** Monotone attribute VALUE cursor: `seek(target)` (ascending targets)
+    * positions on the record of `target` and exposes its lang + warc_ts.
+    * O(1) memory, strictly-forward decode — same contract as AttrCursor,
+    * yielding values instead of a predicate verdict.
+    */
+  final class AttrReader(
+      in: DataInputStream,
+      n: Long,
+      langs: Array[String]
+  ) extends AutoCloseable {
+    private var i = 0L
+    private var curId = 0L
+    private var curTs = 0L
+    private var curCode = 0
+    private var open = true
+    advanceRecord()
+
+    private def advanceRecord(): Unit = {
+      if (i >= n) { curId = Long.MaxValue; closeQuietly(); return }
+      val gap = readVar(in)
+      val code = readVar(in).toInt
+      val tsd = unzigzag(readVar(in))
+      curId = if (i == 0) gap else curId + gap
+      curTs = if (i == 0) tsd else curTs + tsd
+      curCode = code
+      i += 1
+    }
+
+    /** Position on `target`'s record; false if the doc has no record
+      * (can't happen for ids that carry postings — defensive).
+      */
+    def seek(target: Long): Boolean = {
+      while (curId < target) advanceRecord()
+      curId == target
+    }
+    def lang: String = langs(curCode)
+    def tsMillis: Long = curTs
+
+    private def closeQuietly(): Unit = if (open) { open = false; in.close() }
+    def close(): Unit = closeQuietly()
+  }
+
   /** Monotone streaming filter over one slice's attribute records — the
     * [[graft.query.DocFilter]] WAND consumes. Decodes ~3 varints per doc
     * strictly forward; O(1) memory. Targets must be ascending (WAND's

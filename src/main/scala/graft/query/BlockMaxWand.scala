@@ -229,8 +229,14 @@ object BlockMaxWand {
     * that order for float-identical sums vs the naive oracle.
     * `filter` (nullable): non-scoring allow-list; scores are unchanged,
     * only candidate eligibility is gated (ES filter-context semantics).
+    * `minShouldMatch`: a candidate must align ≥ this many DISTINCT query
+    * terms (ES bool.should minimum_should_match; 1 = plain OR, |terms| ≡
+    * AND). Enforced at scoring time by counting distinct termIdx values
+    * on the pivot — the WAND bound still only gates skips, so rank
+    * identity vs the naive oracle is preserved for every msm.
     */
-  def or(iters: Array[PostingIter], k: Int, filter: DocFilter = null): Array[Hit] = {
+  def or(iters: Array[PostingIter], k: Int, filter: DocFilter = null,
+      minShouldMatch: Int = 1): Array[Hit] = {
     val top = new TopK(k)
     val live = iters.filter(!_.exhausted)
     if (live.isEmpty) return Array.empty
@@ -273,15 +279,17 @@ object BlockMaxWand {
                 m += 1
               }
               if (bacc > theta) {
-                // exact score, summing in ORIGINAL query-term order
+                // exact score, summing in ORIGINAL query-term order;
+                // count distinct matched terms for minimum_should_match
                 var s = 0.0
+                var matched = 0
                 var t = 0
                 while (t < iters.length) {
                   val it = iters(t)
-                  if (!it.exhausted && it.doc == pivot) s += it.score
+                  if (!it.exhausted && it.doc == pivot) { s += it.score; matched += 1 }
                   t += 1
                 }
-                top.offer(Hit(pivot, s))
+                if (matched >= minShouldMatch) top.offer(Hit(pivot, s))
               }
               // advance every iterator sitting on pivot
               var a = 0
@@ -465,6 +473,90 @@ object BlockMaxWand {
       s += 1
     }
     freq
+  }
+
+  /** Enumerate ALL matching docs of a slice, ascending, NO scoring — the
+    * candidate stream of the aggregation phase (ES runs its aggs over
+    * exactly this: every doc matching the query, not the top-k). AND =
+    * leapfrog intersection; OR = doc-at-a-time merge with a
+    * distinct-matched-term count gate (`minShouldMatch`). `filter`
+    * composes as a non-scoring conjunct (filter context, must_not,
+    * tombstones — same as retrieval).
+    */
+  def matchingDocIds(
+      iters: Array[PostingIter],
+      isAnd: Boolean,
+      minShouldMatch: Int = 1,
+      filter: DocFilter = null
+  ): Iterator[Long] = {
+    val gate = filter // `filter` shadows Iterator.filter inside the anon classes
+    if (iters.isEmpty) return Iterator.empty
+    if (isAnd) {
+      if (iters.exists(_.exhausted)) return Iterator.empty
+      new scala.collection.AbstractIterator[Long] {
+        private var nextDoc = advanceAligned(iters.map(_.doc).max)
+        private def advanceAligned(from: Long): Long = {
+          var target = from
+          while (true) {
+            var aligned = true
+            if (gate != null) {
+              val c = gate.ceil(target)
+              if (c == Long.MaxValue) return Long.MaxValue
+              if (c > target) { target = c; aligned = false }
+            }
+            var t = 0
+            while (t < iters.length) {
+              iters(t).advance(target)
+              if (iters(t).exhausted) return Long.MaxValue
+              if (iters(t).doc > target) { target = iters(t).doc; aligned = false }
+              t += 1
+            }
+            if (aligned) return target
+          }
+          Long.MaxValue // unreachable
+        }
+        def hasNext: Boolean = nextDoc != Long.MaxValue
+        def next(): Long = { val d = nextDoc; nextDoc = advanceAligned(d + 1); d }
+      }
+    } else {
+      val live = iters.filter(!_.exhausted)
+      new scala.collection.AbstractIterator[Long] {
+        private var nextDoc = findNext()
+        private def findNext(): Long = {
+          while (true) {
+            var m = Long.MaxValue
+            var i = 0
+            while (i < live.length) {
+              val d = live(i).doc
+              if (d < m) m = d
+              i += 1
+            }
+            if (m == Long.MaxValue) return Long.MaxValue
+            if (gate != null && !gate.contains(m)) {
+              // skip the whole disallowed gap in one jump
+              val nxt = gate.ceil(m + 1)
+              if (nxt == Long.MaxValue) return Long.MaxValue
+              var a = 0
+              while (a < live.length) {
+                if (live(a).doc < nxt) live(a).advance(nxt)
+                a += 1
+              }
+            } else {
+              var matched = 0
+              var a = 0
+              while (a < live.length) {
+                if (live(a).doc == m) { matched += 1; live(a).next() }
+                a += 1
+              }
+              if (matched >= minShouldMatch) return m
+            }
+          }
+          Long.MaxValue // unreachable
+        }
+        def hasNext: Boolean = nextDoc != Long.MaxValue
+        def next(): Long = { val d = nextDoc; nextDoc = findNext(); d }
+      }
+    }
   }
 
   /** Top-k conjunctive (AND) retrieval: leapfrog intersection with block

@@ -1,0 +1,209 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.{AttrPred, AttrSidecar, IndexBuilder}
+import graft.query.BlockMaxWand.{BlockRef, PostingIter}
+
+/** Aggregations over a query's FULL match set — the Elasticsearch
+  * aggregation phase (the reference's users read event logs through
+  * exactly this: Kibana date histograms and terms facets over a filtered
+  * query; ES provisions the keyword/date fields next to the text fields
+  * for it, `ElasticSearchStorage.cs:208-233`).
+  *
+  *   - [[dateHistogram]]: matching-doc counts per UTC time bucket of
+  *     `warc_ts` (hour/day/month) — ES `date_histogram`;
+  *   - [[termsAgg]]: matching-doc counts per `lang` — ES `terms` agg on
+  *     a keyword field.
+  *
+  * Both take ONE index or a SEGMENT FAMILY (`Multi` variants — streaming
+  * segments / time buckets aggregate without any merge, ≙ ES aggregating
+  * across its `{prefix}-*` indices; counts need no docID remapping, so
+  * unlike search there are no base offsets at all).
+  *
+  * Scale shape (the part that matters at 10^12 docs): aggregation never
+  * scores and never ranks — each (segment, slice) task enumerates its
+  * matching doc ids ([[BlockMaxWand.matchingDocIds]]: leapfrog AND /
+  * counted OR over the same pushdown-filtered posting blocks retrieval
+  * uses) and reads each match's (lang, warc_ts) from its OWN slice's
+  * attribute sidecar with a monotone O(1)-memory value cursor
+  * ([[AttrSidecar.AttrReader]] — the ES doc-values read path). What
+  * crosses the network is only the per-slice partial (bucket → count)
+  * maps: bounded by the bucket cardinality, independent of match count.
+  * No corpus stats are read (nothing is scored). Filter context,
+  * must_not, and tombstones compose exactly as in retrieval.
+  */
+object Facets {
+
+  /** (bucket, n_docs) per UTC `interval` bucket ∈ {hour, day, month},
+    * ascending bucket. Buckets formatted yyyyMMddHH / yyyyMMdd / yyyyMM —
+    * the same fixed-UTC labels TimeBuckets uses (session-tz-proof).
+    */
+  def dateHistogram(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      interval: String = "day",
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame =
+    dateHistogramMulti(spark, Seq(indexDir), queryTerms, mode, interval,
+      attrFilter, mustNot, minShouldMatch)
+
+  /** [[dateHistogram]] over a segment family (no merge, no id remap). */
+  def dateHistogramMulti(
+      spark: SparkSession,
+      segmentDirs: Seq[String],
+      queryTerms: Seq[String],
+      mode: String,
+      interval: String = "day",
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    val pattern = interval match {
+      case "hour"  => "yyyyMMddHH"
+      case "day"   => "yyyyMMdd"
+      case "month" => "yyyyMM"
+      case other   => throw new IllegalArgumentException(s"unknown interval $other")
+    }
+    aggregate(spark, segmentDirs, queryTerms, mode, attrFilter, mustNot, minShouldMatch,
+      keyPattern = pattern)
+      .toDF("bucket", "n_docs")
+      .orderBy("bucket")
+  }
+
+  /** (lang, n_docs) per language of the matching docs, descending count
+    * (ES terms-agg order; ties by value for determinism).
+    */
+  def termsAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame =
+    termsAggMulti(spark, Seq(indexDir), queryTerms, mode, attrFilter, mustNot, minShouldMatch)
+
+  /** [[termsAgg]] over a segment family. */
+  def termsAggMulti(
+      spark: SparkSession,
+      segmentDirs: Seq[String],
+      queryTerms: Seq[String],
+      mode: String,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    aggregate(spark, segmentDirs, queryTerms, mode, attrFilter, mustNot, minShouldMatch,
+      keyPattern = null)
+      .toDF("lang", "n_docs")
+      .orderBy(desc("n_docs"), asc("lang"))
+  }
+
+  /** Shared (segment, slice)-local walk. `keyPattern` null → key by
+    * lang; else key by UTC-formatted warc_ts. Returns an un-aliased
+    * (key, count) frame; the only exchange is the final tiny
+    * (key → Σ count) groupBy.
+    *
+    * AND-mode early exit uses per-segment vocabulary: a term missing
+    * from segment S only empties S's contribution (each segment is its
+    * own corpus for matching), which the per-task iters check handles —
+    * no global df lookup is needed.
+    */
+  private def aggregate(
+      spark: SparkSession,
+      segmentDirs: Seq[String],
+      queryTerms: Seq[String],
+      mode: String,
+      attrFilter: AttrPred,
+      mustNot: Seq[String],
+      minShouldMatch: Int,
+      keyPattern: String
+  ): DataFrame = {
+    import spark.implicits._
+    require(segmentDirs.nonEmpty, "no segments")
+    val terms = queryTerms.distinct
+    val isAnd = mode == "and"
+    val exTerms = mustNot.distinct
+    if (terms.isEmpty || terms.size < minShouldMatch)
+      return spark.emptyDataset[(String, Long)].toDF("key", "n")
+
+    val bCtx = spark.sparkContext.broadcast((terms.toArray, exTerms.toArray))
+    val bDirs = spark.sparkContext.broadcast(segmentDirs.toArray)
+    val bTombs = spark.sparkContext.broadcast(
+      segmentDirs.map(graft.index.Tombstones.handle).toArray)
+    val msm = minShouldMatch
+    val pat = keyPattern
+    val pred = attrFilter
+
+    val blocks = segmentDirs.zipWithIndex
+      .map { case (d, i) =>
+        IndexBuilder.readPostings(spark, d)
+          .where($"term".isin(terms ++ exTerms: _*))
+          .select(
+            lit(i).as("seg"), $"slice", $"term", $"block_id", $"doc_id_min",
+            $"doc_id_max", $"count", $"deltas", $"tfs", $"dls", $"poss"
+          )
+      }
+      .reduce(_ unionByName _)
+      .as[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+
+    blocks
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key, rows) =>
+        val (seg, slice) = key
+        val segDir = bDirs.value(seg)
+        val (qTerms, exT) = bCtx.value
+        val byTerm = rows.toArray.groupBy(_._3)
+        def iterOf(t: String): Option[PostingIter] =
+          byTerm.get(t).map { rs =>
+            val refs = rs.sortBy(r => (r._5, r._4))
+              .map(r => BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11, 0.0))
+            new PostingIter(0, 0.0, refs, 1.0) // scoring unused: bounds/avgdl moot
+          }
+        val iters = qTerms.iterator.flatMap(iterOf).toArray
+        if (iters.isEmpty || (isAnd && iters.length < qTerms.length)) Iterator.empty
+        else {
+          var filter: DocFilter =
+            if (pred == null) null else AttrSidecar.openCursor(segDir, slice, pred)
+          val predCursor = filter // close after the walk
+          val exIters = exT.iterator.flatMap(iterOf).toArray
+          if (exIters.nonEmpty)
+            filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+          val tomb = bTombs.value(seg)
+          if (tomb != null) filter = tomb.compose(slice, filter)
+          val fmt =
+            if (pat == null) null
+            else java.time.format.DateTimeFormatter.ofPattern(pat)
+              .withZone(java.time.ZoneOffset.UTC)
+          val reader = AttrSidecar.openReader(segDir, slice)
+          try {
+            val counts = scala.collection.mutable.HashMap.empty[String, Long]
+            BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
+              if (reader.seek(id)) {
+                val k =
+                  if (fmt == null) reader.lang
+                  else fmt.format(java.time.Instant.ofEpochMilli(reader.tsMillis))
+                counts.update(k, counts.getOrElse(k, 0L) + 1L)
+              }
+            }
+            counts.iterator.toArray.iterator // materialize before close
+          } finally {
+            reader.close()
+            predCursor match {
+              case c: AutoCloseable => c.close()
+              case _ =>
+            }
+          }
+        }
+      }
+      .toDF("key", "n")
+      .groupBy($"key")
+      .agg(sum($"n").as("n"))
+  }
+}

@@ -108,7 +108,8 @@ final class MultiSearcher(
       k: Int,
       docFilter: Column = null,
       attrFilter: AttrPred = null,
-      mustNot: Seq[String] = Nil
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
   ): DataFrame = {
     require(docFilter == null || attrFilter == null,
       "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
@@ -129,6 +130,7 @@ final class MultiSearcher(
       segmentDirs.map(graft.index.Tombstones.handle).toArray)
     val avg = avgDl
     val isAnd = mode == "and"
+    val msm = minShouldMatch
 
     def wand(seg: Int, slice: Int, rows: Iterator[BlockRow], base: DocFilter): Iterator[Search.QueryHit] = {
       val (qTerms, qIdfs, exT) = bTerms.value
@@ -154,7 +156,7 @@ final class MultiSearcher(
         if (isAnd) {
           if (iters.length < qTerms.length) Array.empty[BlockMaxWand.Hit]
           else BlockMaxWand.and(iters, k, filter)
-        } else BlockMaxWand.or(iters, k, filter)
+        } else BlockMaxWand.or(iters, k, filter, msm)
       val docBase = bBases.value(seg)
       hits.iterator.map(h => Search.QueryHit(docBase + h.docId, h.score))
     }

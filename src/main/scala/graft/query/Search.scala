@@ -60,6 +60,10 @@ object Search {
     * Tombstoned docs ([[graft.index.Tombstones]]) are ALWAYS excluded:
     * the live generation is resolved once driver-side, each slice task
     * reads its own slice's deleted-id file node-locally.
+    *
+    * `minShouldMatch` (OR mode only): candidates must match ≥ this many
+    * distinct query terms — ES bool.should minimum_should_match. Scores
+    * are unchanged (still summed over every matched term).
     */
   def topK(
       spark: SparkSession,
@@ -69,7 +73,8 @@ object Search {
       k: Int,
       docFilter: Column = null,
       attrFilter: AttrPred = null,
-      mustNot: Seq[String] = Nil
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
   ): DataFrame = {
     require(docFilter == null || attrFilter == null,
       "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
@@ -89,7 +94,8 @@ object Search {
     if (mode == "and" && terms.exists(t => !dfs.contains(t)))
       return spark.emptyDataset[QueryHit].toDF()
     val present = terms.filter(dfs.contains)
-    if (present.isEmpty) return spark.emptyDataset[QueryHit].toDF()
+    if (present.isEmpty || present.size < minShouldMatch)
+      return spark.emptyDataset[QueryHit].toDF()
 
     val idfs: Array[Double] =
       terms.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
@@ -110,6 +116,7 @@ object Search {
       .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
 
     val isAnd = mode == "and"
+    val msm = minShouldMatch
     type BlockRow = (Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)
 
     def wand(slice: Int, rows: Iterator[BlockRow], base: DocFilter): Iterator[QueryHit] = {
@@ -133,7 +140,7 @@ object Search {
         if (isAnd) {
           if (iters.length < qTerms.length) Array.empty[BlockMaxWand.Hit]
           else BlockMaxWand.and(iters, k, filter)
-        } else BlockMaxWand.or(iters, k, filter)
+        } else BlockMaxWand.or(iters, k, filter, msm)
       hits.iterator.map(h => QueryHit(h.docId, h.score))
     }
 

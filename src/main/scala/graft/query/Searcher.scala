@@ -68,7 +68,7 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
     val resolved = queries.map { q =>
       val ts = q.terms.distinct
       val idfs = ts.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
-      (q.qid, ts.toArray, idfs, q.mode == "and", q.attr, q.mustNot.distinct.toArray)
+      (q.qid, ts.toArray, idfs, q.mode == "and", q.attr, q.mustNot.distinct.toArray, q.minShouldMatch)
     }
     val bQueries = spark.sparkContext.broadcast(resolved)
     val idxDir = indexDir
@@ -99,7 +99,7 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
         val tombIds: Array[Long] =
           if (tomb == null) Array.emptyLongArray
           else graft.index.Tombstones.readSlice(idxDir, tomb.gen, slice)
-        bQueries.value.iterator.flatMap { case (qid, qTerms, idfs, isAnd, attr, exT) =>
+        bQueries.value.iterator.flatMap { case (qid, qTerms, idfs, isAnd, attr, exT, msm) =>
           val iters = qTerms.iterator.zipWithIndex.flatMap { case (t, ti) =>
             byTerm.get(t).map(refs => new PostingIter(ti, idfs(ti), refs, avg))
           }.toArray
@@ -115,7 +115,7 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
             if (isAnd) {
               if (iters.length < qTerms.length) Array.empty[BlockMaxWand.Hit]
               else BlockMaxWand.and(iters, k, filter)
-            } else BlockMaxWand.or(iters, k, filter)
+            } else BlockMaxWand.or(iters, k, filter, msm)
           hits.iterator.map(h => (qid, h.docId, h.score))
         }
       }
@@ -137,7 +137,7 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
     */
   def topKLocal(
       queryTerms: Seq[String], mode: String, k: Int, maxBlocks: Int = 4096,
-      mustNot: Seq[String] = Nil
+      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1
   ): Seq[(Long, Double)] = {
     val terms = queryTerms.distinct
     val dfs = dfOf((terms ++ mustNot).distinct)
@@ -162,7 +162,8 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
       .collect()
     if (rows.length > maxBlocks) {
       // hot query — stay distributed
-      return topK(queryTerms, mode, k, mustNot).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      return topK(queryTerms, mode, k, mustNot, minShouldMatch)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     }
     val tomb = graft.index.Tombstones.handle(indexDir)
     val idfs = terms.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
@@ -182,18 +183,19 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
       if (mode == "and") {
         if (iters.length < terms.length) Iterator.empty
         else BlockMaxWand.and(iters, k, filter).iterator
-      } else BlockMaxWand.or(iters, k, filter).iterator
+      } else BlockMaxWand.or(iters, k, filter, minShouldMatch).iterator
     }.toSeq
     hits.sortBy(h => (-h.score, h.docId)).take(k).map(h => (h.docId, h.score))
   }
 
   def topK(queryTerms: Seq[String], mode: String, k: Int,
-      mustNot: Seq[String] = Nil): DataFrame = {
+      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1): DataFrame = {
     // AND with a missing term can short-circuit to empty without a job
     val dfs = dfOf(queryTerms)
     if (mode == "and" && queryTerms.distinct.exists(t => !dfs.contains(t)))
       return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
-    topKBatch(Seq(Searcher.BatchQuery(0L, queryTerms, mode, mustNot = mustNot)), k)
+    topKBatch(Seq(Searcher.BatchQuery(0L, queryTerms, mode,
+      mustNot = mustNot, minShouldMatch = minShouldMatch)), k)
       .orderBy($"rank")
       .select($"doc_id", $"score")
   }
@@ -205,12 +207,15 @@ object Searcher {
     * the match query — composable per query, not per batch).
     * `mustNot`: per-query excluded terms (ES bool.must_not) — exclusion
     * cursors over the same shuffled blocks, non-scoring.
+    * `minShouldMatch` (OR mode): candidates must match ≥ this many
+    * distinct query terms.
     */
   final case class BatchQuery(
       qid: Long,
       terms: Seq[String],
       mode: String,
       attr: graft.index.AttrPred = null,
-      mustNot: Seq[String] = Nil
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
   )
 }

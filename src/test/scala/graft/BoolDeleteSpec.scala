@@ -26,6 +26,7 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var delDir: Path = _ // same corpus, gets tombstones
   private var corpus: Seq[(Long, String)] = _ // docID -> text
   private var langOf: Map[Long, String] = _
+  private var tsOf: Map[Long, Long] = _ // docID -> warc_ts millis
 
   private val cfg = BuildConfig(nPartitions = 8, nGroups = 2, nSlices = 4, blockSize = 64)
 
@@ -37,10 +38,11 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     IndexBuilder.build(spark, pages, delDir.toString, cfg)
     val byUrl = (0L until NDocs).map { i =>
       val p = PagesGen.pageFor(i)
-      (p.url, p.text, p.lang)
+      (p.url, p.text, p.lang, p.warc_ts.getTime)
     }.sortBy(_._1)
-    corpus = byUrl.zipWithIndex.map { case ((_, text, _), id) => (id.toLong, text) }
-    langOf = byUrl.zipWithIndex.map { case ((_, _, lang), id) => id.toLong -> lang }.toMap
+    corpus = byUrl.zipWithIndex.map { case ((_, text, _, _), id) => (id.toLong, text) }
+    langOf = byUrl.zipWithIndex.map { case ((_, _, lang, _), id) => id.toLong -> lang }.toMap
+    tsOf = byUrl.zipWithIndex.map { case ((_, _, _, ts), id) => id.toLong -> ts }.toMap
   }
 
   override def afterAll(): Unit = {
@@ -151,6 +153,33 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotD.map(_._1) == expIds)
   }
 
+  // ---- minimum_should_match -------------------------------------------
+
+  test("minimum_should_match ≡ naive count gate (distributed, batch, local)") {
+    def matchCount(id: Long, ts: Seq[String]): Int = {
+      val toks = Analyzer.tokenize(corpus(id.toInt)._2).toSet
+      ts.count(toks.contains)
+    }
+    val searcher = new Searcher(spark, dir.toString)
+    Seq((Seq("w1", "w2", "w3"), 2), (Seq("w1", "w2", "w3"), 3), (Seq("w0", "w4"), 2)).foreach {
+      case (ts, m) =>
+        val exp = NaiveBm25.topKFiltered(corpus, ts, "or", 10, id => matchCount(id, ts) >= m)
+        val gotD = got(Search.topK(spark, dir.toString, ts, "or", 10, minShouldMatch = m))
+        assert(gotD.map(_._1) == exp.map(_.docId), s"msm $ts >= $m ids")
+        gotD.zip(exp).foreach { case ((_, s), e) =>
+          assert(math.abs(s - e.score) < 1e-9, s"msm $ts >= $m score")
+        }
+        assert(searcher.topKLocal(ts, "or", 10, minShouldMatch = m) == gotD, "local msm")
+        assert(got(searcher.topK(ts, "or", 10, minShouldMatch = m)) == gotD, "batch msm")
+    }
+    // msm = |terms| ≡ AND (same candidates, same scores)
+    val viaMsm = got(Search.topK(spark, dir.toString, Seq("w1", "w2"), "or", 10, minShouldMatch = 2))
+    val viaAnd = got(Search.topK(spark, dir.toString, Seq("w1", "w2"), "and", 10))
+    assert(viaMsm == viaAnd, "msm=|terms| ≡ AND")
+    // msm > matched vocabulary → empty
+    assert(got(Search.topK(spark, dir.toString, Seq("w1", "nosuchterm"), "or", 10, minShouldMatch = 2)).isEmpty)
+  }
+
   // ---- tombstones -----------------------------------------------------
 
   test("delete marks docs: excluded from every path, survivor scores unchanged") {
@@ -215,6 +244,15 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got2.map(_._1) == NaiveBm25.topKFiltered(corpus, Seq("w1", "w2"), "or", 10,
         id => langOf(id) != "de" && !containsTerm(corpus(id.toInt)._2, Seq("w3"))).map(_.docId),
         "multiseg must_not ∧ tombstones")
+      // facets over the family: counts merge across segments with no id
+      // remap, per-segment tombstones excluded
+      val expFacet = corpus.collect {
+        case (id, text) if langOf(id) != "de" &&
+          containsTerm(text, Seq("w1", "w2")) => langOf(id)
+      }.groupBy(identity).map { case (l, xs) => (l, xs.size.toLong) }
+      val gotFacet = graft.query.Facets.termsAggMulti(spark, Seq(a, b), Seq("w1", "w2"), "or")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotFacet == expFacet, "family terms agg")
     } finally {
       import scala.reflect.io.Directory
       new Directory(base.toFile).deleteRecursively()
@@ -262,6 +300,77 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       new Directory(purged.toFile).deleteRecursively()
       new Directory(fresh.toFile).deleteRecursively()
     }
+  }
+
+  // ---- aggregations over the match set --------------------------------
+
+  private def matchedIds(ts: Seq[String], and: Boolean, msm: Int = 1): Seq[Long] =
+    corpus.collect { case (id, text) =>
+      val toks = Analyzer.tokenize(text).toSet
+      val m = ts.count(toks.contains)
+      (id, if (and) m == ts.distinct.size else m >= msm)
+    }.filter(_._2).map(_._1)
+
+  private def bucketOf(id: Long, pattern: String): String =
+    java.time.format.DateTimeFormatter.ofPattern(pattern)
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(tsOf(id)))
+
+  test("date histogram ≡ exhaustive bucket counts (or/and, filters compose)") {
+    import graft.query.Facets
+    // OR histogram at day grain
+    val expOr = matchedIds(Seq("w1", "w2"), and = false)
+      .groupBy(bucketOf(_, "yyyyMMdd")).map { case (b, ids) => (b, ids.size.toLong) }
+    val gotOr = Facets.dateHistogram(spark, dir.toString, Seq("w1", "w2"), "or", "day")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotOr == expOr, "or day histogram")
+    // AND histogram at month grain
+    val expAnd = matchedIds(Seq("w1", "w2"), and = true)
+      .groupBy(bucketOf(_, "yyyyMM")).map { case (b, ids) => (b, ids.size.toLong) }
+    val gotAnd = Facets.dateHistogram(spark, dir.toString, Seq("w1", "w2"), "and", "month")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotAnd == expAnd, "and month histogram")
+    // msm composes into the enumeration
+    val expMsm = matchedIds(Seq("w1", "w2", "w3"), and = false, msm = 2)
+      .groupBy(bucketOf(_, "yyyyMM")).map { case (b, ids) => (b, ids.size.toLong) }
+    val gotMsm = Facets.dateHistogram(spark, dir.toString, Seq("w1", "w2", "w3"), "or", "month",
+      minShouldMatch = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotMsm == expMsm, "msm histogram")
+  }
+
+  test("terms agg ≡ exhaustive lang counts; must_not + tombstones compose") {
+    import graft.query.Facets
+    val expLang = matchedIds(Seq("w1", "w2"), and = false)
+      .groupBy(langOf).map { case (l, ids) => (l, ids.size.toLong) }
+    val gotLang = Facets.termsAgg(spark, dir.toString, Seq("w1", "w2"), "or")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotLang == expLang, "lang facet")
+    // must_not composes
+    val expMn = matchedIds(Seq("w1", "w2"), and = false)
+      .filterNot(id => containsTerm(corpus(id.toInt)._2, Seq("w3")))
+      .groupBy(langOf).map { case (l, ids) => (l, ids.size.toLong) }
+    val gotMn = Facets.termsAgg(spark, dir.toString, Seq("w1", "w2"), "or", mustNot = Seq("w3"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotMn == expMn, "lang facet with must_not")
+    // tombstones compose (delDir: lang=de ∪ {0} deleted by earlier tests,
+    // ordering within the suite guarantees that state)
+    val deleted = (id: Long) => langOf(id) == "de" || id == 0L
+    val expDel = matchedIds(Seq("w1", "w2"), and = false)
+      .filterNot(deleted)
+      .groupBy(langOf).map { case (l, ids) => (l, ids.size.toLong) }
+    val gotDel = Facets.termsAgg(spark, delDir.toString, Seq("w1", "w2"), "or")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotDel == expDel, "lang facet excludes tombstones")
+    assert(!gotDel.contains("de"), "deleted lang bucket absent")
+    // attr filter composes (lang en only)
+    val expF = matchedIds(Seq("w1", "w2"), and = false)
+      .filter(langOf(_) == "en")
+      .groupBy(bucketOf(_, "yyyyMM")).map { case (b, ids) => (b, ids.size.toLong) }
+    val gotF = Facets.dateHistogram(spark, dir.toString, Seq("w1", "w2"), "or", "month",
+      attrFilter = graft.index.AttrPred.lang("en"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotF == expF, "histogram with lang filter context")
   }
 
   test("exclusion iterators skip blocks: PostingSet advances monotonically") {

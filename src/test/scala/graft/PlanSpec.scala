@@ -107,6 +107,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"filtered plan has extra scans: ${scans(pf)} vs ${scans(pu)}")
   }
 
+  test("facet aggregation: postings-only scan, doc values from the sidecar, one tiny agg exchange") {
+    // the aggregation phase must not scan the docs table at all — every
+    // matched doc's (lang, warc_ts) comes from the slice sidecar file;
+    // only per-bucket partial counts are exchanged
+    val hist = graft.query.Facets.dateHistogram(spark, dir, Seq("w0", "w1"), "or", "month")
+    val plan = executedPlan(hist)
+    assert(!plan.contains("/docs"), s"facet plan scans the docs table:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("term"),
+      "facet postings scan must push the term predicate")
+  }
+
   test("IVF probe scan prunes list partitions (PartitionFilters on list)") {
     import spark.implicits._
     val data = (0 until 64).map { i =>
