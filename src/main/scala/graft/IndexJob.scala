@@ -21,6 +21,8 @@ import graft.query.Search
   *   compact    <familyRoot> [--merge-factor=N]             # tiered policy to quiescence
   *   search     <indexDir> <and|or> <k> term [term ...] [--lang=xx] [--from=ISO_TS] [--to=ISO_TS] [--must-not=t1,t2] [--min-match=M]
   *   phrase     <indexDir> <k> term [term ...]
+  *   prefix-search <indexDir> <k> <prefix> [--max-expansions=N]
+  *   fuzzy-search  <indexDir> <k> <term> [--max-edits=N] [--max-expansions=N]
   *   search-segments <k> <and|or> <terms,comma-sep> <segDir> [<segDir> ...]
   *   search-family   <familyRoot> <and|or> <k> term [term ...]
   *   delete     <indexDir> (--lang=xx | --url-prefix=p)      # tombstone marking (Lucene delete semantics)
@@ -142,6 +144,15 @@ object IndexJob {
       case Some("phrase") =>
         val Seq(indexDir, k) = positional.take(2)
         printHits(Search.phraseTopK(spark, indexDir, positional.drop(2), k.toInt))
+      case Some("prefix-search") =>
+        val Seq(indexDir, k, prefix) = positional.take(3)
+        printHits(Search.prefixTopK(spark, indexDir, prefix, k.toInt,
+          maxExpansions = flag(args, "max-expansions", 128)))
+      case Some("fuzzy-search") =>
+        val Seq(indexDir, k, term) = positional.take(3)
+        printHits(Search.fuzzyTopK(spark, indexDir, term, k.toInt,
+          maxEdits = flag(args, "max-edits", 1),
+          maxExpansions = flag(args, "max-expansions", 64)))
       case Some("search-segments") =>
         val Seq(k, mode, termsCsv) = positional.take(3)
         val segs = positional.drop(3)

@@ -283,6 +283,23 @@ object SparkEntry {
       Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, minShouldMatch = 2)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
+    // ES fuzzy query: the misspelling 'merg' is ABSENT from the corpus —
+    // matches come only through the dictionary edit-distance expansion
+    // (codegen levenshtein over the terms table, df-desc cap)
+    "q_bm25_fuzzy" -> { (s, dir) =>
+      import s.implicits._
+      Search.fuzzyTopK(s, indexFor(s, dir), "merg", 10, maxEdits = 1)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // ES prefix query: dictionary range expansion (pushdown StartsWith)
+    // rewritten to an OR over the expansions with per-term idf — the
+    // fixture prefix expands fully below the cap, so the exhaustive LIKE
+    // oracle is exact
+    "q_bm25_prefix" -> { (s, dir) =>
+      import s.implicits._
+      Search.prefixTopK(s, indexFor(s, dir), "s", 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
     // bool.must_not: docs containing the excluded term can't match; scores
     // stay corpus-global (exclusion is non-scoring — ES bool semantics).
     // The excluded term's blocks ride the same exchange; each slice task
@@ -549,7 +566,8 @@ object SparkEntry {
     */
   private def bm25OracleSql(
       terms: Seq[String], and: Boolean, candWhere: String = "",
-      mustNot: Seq[String] = Nil, purgeWhere: String = "", msm: Int = 1
+      mustNot: Seq[String] = Nil, purgeWhere: String = "", msm: Int = 1,
+      termWhere: String = ""
   ): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val having =
@@ -557,6 +575,7 @@ object SparkEntry {
       else if (msm > 1) s"HAVING count(*) >= $msm"
       else ""
     val rel = if (purgeWhere.isEmpty) "documents" else "basedocs"
+    val termPred = if (termWhere.isEmpty) s"term IN ($inList)" else termWhere
     val baseCte =
       if (purgeWhere.isEmpty) ""
       else
@@ -582,7 +601,7 @@ object SparkEntry {
 ), stats AS (
   SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
 ), tf AS (
-  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks WHERE term IN ($inList) GROUP BY 1, 2
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks WHERE $termPred GROUP BY 1, 2
 ), df AS (
   SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
 ), scores AS (
@@ -790,6 +809,8 @@ WHERE doc_id IN (SELECT doc_id FROM toks
                  GROUP BY doc_id HAVING count(DISTINCT term) = ${QueryAnd.distinct.size})
 GROUP BY 1""",
     "q_bm25_msm" -> bm25OracleSql(QueryOr, and = false, msm = 2),
+    "q_bm25_prefix" -> bm25OracleSql(Nil, and = false, termWhere = "term LIKE 's%'"),
+    "q_bm25_fuzzy" -> bm25OracleSql(Nil, and = false, termWhere = "levenshtein(term, 'merg') <= 1"),
     "q_bm25_must_not" -> bm25OracleSql(QueryOr, and = false, mustNot = Seq("batch")),
     // tombstoned docs can't match but still count in stats (pre-purge)
     "q_bm25_deleted" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang <> 'de'"),

@@ -185,6 +185,72 @@ object Search {
       .limit(k)
   }
 
+  /** ES prefix query (`{"prefix": {"text": "..."}}`): expand the prefix
+    * against the term dictionary — a RANGE read of the term-sorted
+    * parquet (StringStartsWith pushes to the scan; at 10^12-doc vocab
+    * only the prefix's row groups open) — capped at `maxExpansions` by
+    * descending df then term (ES's top_terms rewrite), then the standard
+    * OR WAND over the expansions. Scoring keeps per-expansion idf (ES
+    * scoring_boolean rewrite — the stronger contract vs constant_score).
+    * The whole bool vocabulary (filter context, mustNot, msm) composes,
+    * because the rewrite IS a bool query.
+    */
+  def prefixTopK(
+      spark: SparkSession,
+      indexDir: String,
+      prefix: String,
+      k: Int,
+      maxExpansions: Int = 128,
+      docFilter: Column = null,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil
+  ): DataFrame = {
+    import spark.implicits._
+    require(prefix.nonEmpty, "empty prefix")
+    val expansions = IndexBuilder.readTerms(spark, indexDir)
+      .where($"term".startsWith(prefix))
+      .orderBy(desc("doc_freq"), asc("term"))
+      .limit(maxExpansions)
+      .collect().map(_.term).toSeq
+    if (expansions.isEmpty) return spark.emptyDataset[QueryHit].toDF()
+    topK(spark, indexDir, expansions, "or", k, docFilter, attrFilter, mustNot)
+  }
+
+  /** ES fuzzy query (`{"fuzzy": {"text": "..."}}`): expand to dictionary
+    * terms within `maxEdits` Levenshtein distance, capped at
+    * `maxExpansions` by (df desc, term) — ES's fuzzy rewrite — then the
+    * standard OR WAND with per-expansion idf. The expansion is a
+    * DISTRIBUTED filter over the terms table using the codegen'd
+    * `levenshtein` expression with a length pre-cut (|len−|q|| ≤
+    * maxEdits): the terms table is orders of magnitude smaller than the
+    * postings (ES walks an FST automaton per shard; our dictionary scan
+    * is the column-pruned batch analog and parallelizes with the
+    * cluster).
+    */
+  def fuzzyTopK(
+      spark: SparkSession,
+      indexDir: String,
+      term: String,
+      k: Int,
+      maxEdits: Int = 1,
+      maxExpansions: Int = 64,
+      docFilter: Column = null,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil
+  ): DataFrame = {
+    import spark.implicits._
+    require(term.nonEmpty, "empty term")
+    require(maxEdits >= 0 && maxEdits <= 2, "ES caps fuzziness at 2 edits")
+    val expansions = IndexBuilder.readTerms(spark, indexDir)
+      .where(abs(length($"term") - lit(term.length)) <= maxEdits)
+      .where(levenshtein($"term", lit(term)) <= maxEdits)
+      .orderBy(desc("doc_freq"), asc("term"))
+      .limit(maxExpansions)
+      .collect().map(_.term).toSeq
+    if (expansions.isEmpty) return spark.emptyDataset[QueryHit].toDF()
+    topK(spark, indexDir, expansions, "or", k, docFilter, attrFilter, mustNot)
+  }
+
   /** ES "fetch phase": join top-k hits back to their stored doc fields
     * (url, warc_ts, lang, doc_len — never `text` unless asked: the docs
     * scan is column-pruned). Hits are ≤ k rows → broadcast side of the

@@ -302,6 +302,55 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- prefix queries -------------------------------------------------
+
+  test("prefix query ≡ OR over the full dictionary expansion; cap honors df order") {
+    // expansions recomputed independently from the raw corpus
+    def vocabDf(pre: String): Map[String, Int] =
+      corpus.flatMap { case (_, text) => Analyzer.tokenize(text).distinct }
+        .filter(_.startsWith(pre))
+        .groupBy(identity).map { case (t, xs) => (t, xs.size) }
+    val pre = "w123"
+    val exps = vocabDf(pre).keys.toSeq.sorted
+    assume(exps.size > 2 && exps.size < 128, s"fixture prefix must expand moderately: $exps")
+    val exp = NaiveBm25.topK(corpus, exps, "or", 10)
+    val gotD = got(Search.prefixTopK(spark, dir.toString, pre, 10))
+    assert(gotD.map(_._1) == exp.map(_.docId), "prefix ids")
+    gotD.zip(exp).foreach { case ((_, s), e) =>
+      assert(math.abs(s - e.score) < 1e-9, "prefix score")
+    }
+    // cap: only the top-maxExpansions terms by (df desc, term) participate
+    val top2 = vocabDf(pre).toSeq.sortBy { case (t, df) => (-df, t) }.take(2).map(_._1)
+    val expCap = NaiveBm25.topK(corpus, top2, "or", 10)
+    val gotCap = got(Search.prefixTopK(spark, dir.toString, pre, 10, maxExpansions = 2))
+    assert(gotCap.map(_._1) == expCap.map(_.docId), "capped prefix ids")
+    // no expansion → empty
+    assert(got(Search.prefixTopK(spark, dir.toString, "zzzz", 10)).isEmpty)
+  }
+
+  test("fuzzy query: misspelling reaches its dictionary neighbors, nothing else") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = corpus.flatMap { case (_, t) => Analyzer.tokenize(t) }.distinct
+    // 'w1x' is absent from the vocab; its 1-edit neighbors (w1, w1?, w?x…)
+    // are recomputed independently here
+    val q = "w1x"
+    assume(!vocab.contains(q))
+    val exps = vocab.filter(lev(_, q) <= 1)
+    assume(exps.nonEmpty, "fixture must have 1-edit neighbors")
+    val exp = NaiveBm25.topK(corpus, exps, "or", 10)
+    val gotD = got(Search.fuzzyTopK(spark, dir.toString, q, 10, maxEdits = 1))
+    assert(gotD.map(_._1) == exp.map(_.docId), s"fuzzy ids (exps=$exps)")
+    // exact term in vocab at 0 edits ≡ plain topK
+    val e0 = got(Search.fuzzyTopK(spark, dir.toString, "w7", 10, maxEdits = 0))
+    assert(e0 == got(Search.topK(spark, dir.toString, Seq("w7"), "or", 10)))
+  }
+
   // ---- aggregations over the match set --------------------------------
 
   private def matchedIds(ts: Seq[String], and: Boolean, msm: Int = 1): Seq[Long] =
