@@ -61,6 +61,7 @@ object Bench {
     SparkEntry.compactedFamilyFor(spark, sfDir)
     SparkEntry.deletedIndexFor(spark, sfDir)
     SparkEntry.purgedIndexFor(spark, sfDir)
+    SparkEntry.upsertFamilyFor(spark, sfDir)
     OpsQueries.warmFixtures(spark, sfDir)
     // a crashing gate query must be VISIBLE in the bench JSON (timing -1 +
     // an errors list), never mistakable for a fast success

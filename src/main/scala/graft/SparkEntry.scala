@@ -148,6 +148,40 @@ object SparkEntry {
       root
     })
 
+  /** Upsert gate fixture: a 2-segment family over the corpus halves,
+    * then every 10th doc re-indexed via [[graft.index.SegmentFamily
+    * .upsert]] with "updated "-prefixed text. Global ids follow manifest
+    * order [halfA, halfB, up-1], so the new version of doc d has id
+    * n + d/10 — SQL-derivable for the oracle; stats keep counting the
+    * tombstoned old versions until purge (Lucene semantics, mirrored by
+    * the oracle's all-versions stats).
+    */
+  def upsertFamilyFor(spark: SparkSession, sfDir: String): String =
+    indexDirs.getOrElseUpdate(s"$sfDir#upfam", {
+      import graft.index.{SegmentFamily, Tombstones}
+      val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = s"/tmp/graft-index/$name-upfam"
+      val live = SegmentFamily.read(root)
+      val ok = live.size == 3 &&
+        live.forall(s => IndexBuilder.readFormatVersion(s.dir) == IndexBuilder.FormatVersion) &&
+        live.take(2).forall(s => Tombstones.count(s.dir) > 0)
+      if (!ok) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val half = spark.read.parquet(s"$sfDir/documents.parquet").count() / 2
+        def idOf(p: Page): Long = p.url.drop(6).toLong
+        IndexBuilder.build(spark,
+          documentsAsPages(spark, sfDir).filter(p => idOf(p) < half), s"$root/half-a", GateConfig)
+        IndexBuilder.build(spark,
+          documentsAsPages(spark, sfDir).filter(p => idOf(p) >= half), s"$root/half-b", GateConfig)
+        SegmentFamily.append(spark, root, s"$root/half-a")
+        SegmentFamily.append(spark, root, s"$root/half-b")
+        SegmentFamily.upsert(spark, root,
+          documentsAsPages(spark, sfDir, t => "updated " + t).filter(p => idOf(p) % 10 == 0),
+          "up-1", GateConfig)
+      }
+      root
+    })
+
   /** Copy of the gate index carrying tombstones (lang='de' deleted) —
     * the delete/purge gate fixture; a separate physical index because
     * tombstones mutate index state and every other gate query expects
@@ -281,6 +315,17 @@ object SparkEntry {
     "q_bm25_msm" -> { (s, dir) =>
       import s.implicits._
       Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, minShouldMatch = 2)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // index upsert (ES _id-keyed indexing): every 10th doc re-indexed
+    // with "updated "-prefixed text — old versions tombstoned, new
+    // segment appended; ranked answers must serve ONLY latest versions,
+    // with stats still counting tombstoned docs (pre-purge Lucene
+    // semantics, mirrored exactly by the all-versions oracle)
+    "q_bm25_upsert" -> { (s, dir) =>
+      import s.implicits._
+      graft.index.SegmentFamily.searcher(s, upsertFamilyFor(s, dir))
+        .topK(QueryOr, "or", 10)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
     // ES fuzzy query: the misspelling 'merg' is ABSENT from the corpus —
@@ -811,6 +856,40 @@ GROUP BY 1""",
     "q_bm25_msm" -> bm25OracleSql(QueryOr, and = false, msm = 2),
     "q_bm25_prefix" -> bm25OracleSql(Nil, and = false, termWhere = "term LIKE 's%'"),
     "q_bm25_fuzzy" -> bm25OracleSql(Nil, and = false, termWhere = "levenshtein(term, 'merg') <= 1"),
+    // upsert oracle: the corpus of ALL versions (old ids + new version of
+    // every 10th doc at id n + doc_id/10, text 'updated '-prefixed);
+    // stats/df over all versions (tombstones don't change stats until
+    // purge), candidates exclude the retired old versions
+    "q_bm25_upsert" -> {
+      val inList = QueryOr.map(t => s"'$t'").mkString(", ")
+      s"""WITH n0 AS (SELECT count(*)::BIGINT AS n FROM documents
+), allver AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT (SELECT n FROM n0) + doc_id // 10 AS doc_id, 'updated ' || text AS text
+  FROM documents WHERE doc_id % 10 = 0
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM allver WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM allver d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks WHERE term IN ($inList) GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN alldocs ad ON ad.doc_id = tf.doc_id CROSS JOIN stats s
+  WHERE tf.doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY score DESC, doc_id LIMIT 10"""
+    },
     "q_bm25_must_not" -> bm25OracleSql(QueryOr, and = false, mustNot = Seq("batch")),
     // tombstoned docs can't match but still count in stats (pre-purge)
     "q_bm25_deleted" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang <> 'de'"),

@@ -71,6 +71,41 @@ object SegmentFamily {
   def searcher(spark: SparkSession, root: String): MultiSearcher =
     new MultiSearcher(spark, read(root).map(_.dir))
 
+  /** ES index-API semantics over the family: docs whose url is already
+    * indexed are REPLACED (last write wins — ≙ the reference's
+    * `_id`-keyed bulk upserts into ES, `ElasticSearchStorage.cs:95-149`).
+    * One call: build `pages` into a new segment, tombstone every OLDER
+    * version of the incoming urls in the EXISTING segments (per-segment
+    * delete jobs — node-local exclusion from then on, no rewrite), then
+    * append the new segment to the manifest. Re-running the same
+    * `segName` is idempotent end-to-end (resumable build, sorted-union
+    * tombstones, idempotent append) — the new segment itself is never
+    * tombstoned.
+    *
+    * Caller contract: urls are unique WITHIN `pages` (pre-collapse a
+    * batch with the J3 last-write-wins operator if not). Stats include
+    * tombstoned docs until segments are purged/compacted — Lucene
+    * semantics, same as [[Tombstones]].
+    */
+  def upsert(
+      spark: SparkSession,
+      root: String,
+      pages: org.apache.spark.sql.Dataset[graft.Page],
+      segName: String,
+      cfg: IndexBuilder.BuildConfig = IndexBuilder.BuildConfig()
+  ): Unit = {
+    import spark.implicits._
+    require(segName.matches("[A-Za-z0-9_-]+"), "segName must be filesystem-safe")
+    val segDir = s"$root/$segName"
+    IndexBuilder.build(spark, pages, segDir, cfg)
+    // urls read back from the BUILT segment (resume-safe: identical on
+    // every retry even if `pages` is a non-deterministic stream source)
+    val urls = spark.read.parquet(s"$segDir/docs").select($"url").as[String]
+    read(root).filterNot(_.dir == segDir) // never tombstone the new segment
+      .foreach(seg => Tombstones.deleteByUrls(spark, seg.dir, urls))
+    append(spark, root, segDir)
+  }
+
   /** Smallest-total adjacent run of `mergeFactor` same-tier segments, or
     * None when the family is already tiered.
     */

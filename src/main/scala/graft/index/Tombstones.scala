@@ -171,6 +171,19 @@ object Tombstones {
     applyDeletes(spark, indexDir, withSlice)
   }
 
+  /** Mark by natural key (url — the reference's event identity): a semi
+    * join against the column-pruned docs scan resolves urls → ids. The
+    * upsert path ([[SegmentFamily.upsert]]) uses this to retire older
+    * versions of re-indexed docs.
+    */
+  def deleteByUrls(spark: SparkSession, indexDir: String, urls: org.apache.spark.sql.Dataset[String]): Long = {
+    import spark.implicits._
+    val withSlice = spark.read.parquet(s"$indexDir/docs")
+      .join(urls.toDF("url"), Seq("url"), "left_semi")
+      .select($"slice".cast("int"), $"doc_id")
+    applyDeletes(spark, indexDir, withSlice)
+  }
+
   private def applyDeletes(spark: SparkSession, indexDir: String, idsDf: DataFrame): Long = {
     import spark.implicits._
     val prev = current(indexDir)

@@ -422,6 +422,60 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotF == expF, "histogram with lang filter context")
   }
 
+  test("family upsert: last write wins by url (ES index-API semantics)") {
+    import graft.index.SegmentFamily
+    val root = Files.createTempDirectory("graft-upsert").toString
+    try {
+      def mkPage(url: String, text: String) =
+        Page(url, new java.sql.Timestamp(1609459200000L),
+          graft.sources.HtmlText.wrap(url, text), text, "en")
+      val ucfg = cfg.copy(nPartitions = 4, nGroups = 1, nSlices = 2)
+      // two base segments: urls a0..a9 (terms alpha+v1), b0..b9 (beta+v1)
+      val segA = (0 until 10).map(i => mkPage(f"u://a$i%02d", "alpha v1 shared"))
+      val segB = (0 until 10).map(i => mkPage(f"u://b$i%02d", "beta v1 shared"))
+      IndexBuilder.build(spark, spark.createDataset(segA), s"$root/seg-a", ucfg)
+      IndexBuilder.build(spark, spark.createDataset(segB), s"$root/seg-b", ucfg)
+      SegmentFamily.append(spark, root, s"$root/seg-a")
+      SegmentFamily.append(spark, root, s"$root/seg-b")
+
+      // upsert: rewrite a3/b7 with v2 content, add fresh c0
+      val batch = Seq(
+        mkPage("u://a03", "alpha v2 shared"),
+        mkPage("u://b07", "beta v2 shared"),
+        mkPage("u://c00", "gamma v2 shared"))
+      SegmentFamily.upsert(spark, root, spark.createDataset(batch), "up-1", ucfg)
+
+      def urlsFor(terms: Seq[String], k: Int): Seq[String] = {
+        val segs = SegmentFamily.read(root)
+        val bases = segs.map(_.n_docs).scanLeft(0L)(_ + _)
+        val hits = SegmentFamily.searcher(spark, root).topK(terms, "and", k)
+          .collect().map(_.getLong(0))
+        hits.map { g =>
+          val si = bases.lastIndexWhere(_ <= g, bases.length - 2)
+          val local = g - bases(si)
+          spark.read.parquet(s"${segs(si).dir}/docs")
+            .where(col("doc_id") === local).select("url").head().getString(0)
+        }.toSeq
+      }
+      // v1 versions of rewritten urls are gone; other v1 docs remain
+      val v1 = urlsFor(Seq("v1"), 50)
+      assert(!v1.contains("u://a03") && !v1.contains("u://b07"), s"stale versions served: $v1")
+      assert(v1.size == 18, s"18 unrewritten docs expected: ${v1.size}")
+      // v2 versions and the fresh doc are served
+      val v2 = urlsFor(Seq("v2"), 50)
+      assert(v2.toSet == Set("u://a03", "u://b07", "u://c00"), s"$v2")
+      // the shared term returns every url exactly ONCE (no duplicates)
+      val shared = urlsFor(Seq("shared"), 50)
+      assert(shared.size == 21 && shared.distinct.size == 21, s"${shared.sorted}")
+      // idempotent re-run: same segName, same result
+      SegmentFamily.upsert(spark, root, spark.createDataset(batch), "up-1", ucfg)
+      assert(urlsFor(Seq("shared"), 50).size == 21, "re-run changed the family")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   test("exclusion iterators skip blocks: PostingSet advances monotonically") {
     // build a tiny posting iter over synthetic blocks and probe it as a set
     val ids = Array(5L, 8L, 13L, 21L, 34L)
