@@ -27,6 +27,7 @@ import graft.query.Search
   *   search-family   <familyRoot> <and|or> <k> term [term ...]
   *   delete     <indexDir> (--lang=xx | --url-prefix=p)      # tombstone marking (Lucene delete semantics)
   *   purge      <indexDir> <outDir> [build flags]            # rewrite without deleted docs
+  *   expire-time <rootDir> <cutoffISO>                       # retention: drop buckets older than cutoff's month
   *   facet-hist <indexDir> <and|or> <hour|day|month> term [term ...]   # date_histogram over the match set
   *   facet-lang <indexDir> <and|or> term [term ...]                    # terms agg over the match set
   * }}}
@@ -178,6 +179,14 @@ object IndexJob {
           .exists(f => args.exists(_.startsWith(s"--$f=")))
         withRetries(args)(graft.index.Tombstones.purge(
           spark, indexDir, outDir, if (hasLayout) cfg(args) else null))
+      case Some("expire-time") =>
+        val Seq(rootDir, cutoff) = positional.take(2)
+        val ms = java.time.Instant.parse(
+          if (cutoff.contains("T")) cutoff
+          else cutoff.trim.replace(' ', 'T') + (if (cutoff.contains(":")) "Z" else "T00:00:00Z")
+        ).toEpochMilli
+        graft.index.TimeBuckets.expire(rootDir, new java.sql.Timestamp(ms))
+          .foreach(b => println(s"dropped\t${b.bucket}\t${b.n_docs}"))
       case Some("facet-hist") =>
         val Seq(indexDir, mode, interval) = positional.take(3)
         graft.query.Facets.dateHistogram(spark, indexDir, positional.drop(3), mode, interval)

@@ -184,6 +184,31 @@ object TimeBuckets {
     all
   }
 
+  /** Retention — the ES ILM delete-phase analog, and the REASON the
+    * reference routes events into `{prefix}-yyyyMM` indices
+    * (`ElasticSearchStorage.cs:293-320`): expiring old data is a cheap
+    * whole-index drop, never a doc-level delete. Drops every bucket
+    * strictly older than `cutoff`'s month: atomic manifest cutover
+    * first (readers see old or new family, never a torn one), then the
+    * dropped segment dirs are reclaimed. Returns the dropped buckets.
+    *
+    * Note the granularity contract: a bucket CONTAINING the cutoff is
+    * kept whole (month precision) — residual intra-month cuts stay
+    * query-side (sidecar ts filter), exactly like ES retention. Global
+    * docIDs (manifest-order bases) COMPACT after an expire; the stable
+    * external identity is the url (≙ ES `_id`), never the family id.
+    */
+  def expire(root: String, cutoff: java.sql.Timestamp): Seq[Bucket] = {
+    val cut = bucketOf(cutoff)
+    val (drop, keep) = readManifest(root).partition(_.bucket < cut)
+    if (drop.nonEmpty) {
+      writeManifest(root, keep)
+      drop.foreach(b =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b.dir)))
+    }
+    drop
+  }
+
   /** Buckets overlapping [from, to) — month-granularity segment pruning. */
   def selectBuckets(
       root: String,

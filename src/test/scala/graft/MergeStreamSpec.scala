@@ -199,6 +199,22 @@ class MergeStreamSpec extends AnyFunSuite {
     assert(viaAll.nonEmpty)
     assert(viaPruned.map(_._1).toSeq == viaAll.map(_._1).toSeq)
     viaAll.zip(viaPruned).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+
+    // retention (ES ILM delete phase): expire everything before Feb —
+    // whole-bucket drop, never doc-level deletes
+    val dropped = TimeBuckets.expire(root, feb1)
+    assert(dropped.map(_.bucket) == Seq("202101"))
+    val left = TimeBuckets.readManifest(root)
+    assert(left.map(_.bucket) == Seq("202102", "202103"))
+    assert(!new java.io.File(dropped.head.dir).exists, "dropped segment dir reclaimed")
+    // remaining family still serves (ids compacted — url is the identity)
+    val hits = new graft.query.MultiSearcher(spark, left.map(_.dir))
+      .topK(Seq("w0", "w1"), "or", 10).collect()
+    assert(hits.nonEmpty)
+    // cutoff inside a month keeps that whole bucket (month granularity)
+    val feb15 = java.sql.Timestamp.valueOf("2021-02-15 00:00:00")
+    assert(TimeBuckets.expire(root, feb15).isEmpty)
+    assert(TimeBuckets.readManifest(root).map(_.bucket) == Seq("202102", "202103"))
   }
 
   test("tiered compaction bounds streaming segment count; queries rank-identical") {
