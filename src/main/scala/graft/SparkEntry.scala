@@ -317,6 +317,15 @@ object SparkEntry {
       Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, minShouldMatch = 2)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
+    // ES _explain: per-(doc, term) score decomposition for docs 0-9 —
+    // tf/dl/df surfaced with the exact contribution; Σ contrib per doc
+    // equals its ranked score (same float pipeline)
+    "q_bm25_explain" -> { (s, dir) =>
+      import s.implicits._
+      Search.explain(s, indexFor(s, dir), QueryOr, (0L until 10L).toSeq)
+        .select($"doc_id", $"term", $"tf", $"doc_len", $"doc_freq",
+          round($"contrib" * 10000).cast("long").as("contrib_e4"))
+    },
     // index upsert (ES _id-keyed indexing): every 10th doc re-indexed
     // with "updated "-prefixed text — old versions tombstoned, new
     // segment appended; ranked answers must serve ONLY latest versions,
@@ -856,6 +865,28 @@ GROUP BY 1""",
     "q_bm25_msm" -> bm25OracleSql(QueryOr, and = false, msm = 2),
     "q_bm25_prefix" -> bm25OracleSql(Nil, and = false, termWhere = "term LIKE 's%'"),
     "q_bm25_fuzzy" -> bm25OracleSql(Nil, and = false, termWhere = "levenshtein(term, 'merg') <= 1"),
+    "q_bm25_explain" -> {
+      val inList = QueryOr.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks WHERE term IN ($inList) GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+)
+SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, ad.doc_len::BIGINT AS doc_len,
+       df.df::BIGINT AS doc_freq,
+       round(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl)) * 10000)::BIGINT AS contrib_e4
+FROM tf JOIN df USING (term) JOIN alldocs ad ON ad.doc_id = tf.doc_id CROSS JOIN stats s
+WHERE tf.doc_id BETWEEN 0 AND 9"""
+    },
     // upsert oracle: the corpus of ALL versions (old ids + new version of
     // every 10th doc at id n + doc_id/10, text 'updated '-prefixed);
     // stats/df over all versions (tombstones don't change stats until

@@ -185,6 +185,54 @@ object Search {
       .limit(k)
   }
 
+  /** ES `_explain`: per-term score decomposition for specific docs —
+    * the relevance-debugging surface (why did doc d rank where it did?).
+    * Returns one row per (doc, matching query term):
+    * (doc_id, term, tf, doc_len, doc_freq, contrib) with
+    * contrib = idf(df) · impact(tf, dl, avgdl); Σ contrib over a doc's
+    * rows = its topK score exactly (same float pipeline).
+    *
+    * Scale shape: posting scan pushdown-filtered to the query terms AND
+    * the docs' id range (doc_id_min/max block metadata prune to the few
+    * touched blocks); decode only blocks overlapping the requested ids.
+    */
+  def explain(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      docIds: Seq[Long]
+  ): DataFrame = {
+    import spark.implicits._
+    require(docIds.nonEmpty, "explain needs at least one doc id")
+    val terms = queryTerms.distinct
+    val stats = IndexBuilder.readStats(spark, indexDir)
+    val n = stats.n_docs
+    val avgDl = if (stats.avg_dl > 0) stats.avg_dl else 1.0
+    val dfs: Map[String, Long] = IndexBuilder.readTerms(spark, indexDir)
+      .where($"term".isin(terms: _*))
+      .collect().map(t => t.term -> t.doc_freq).toMap
+    val bIds = spark.sparkContext.broadcast(docIds.toSet)
+    val bDfs = spark.sparkContext.broadcast(dfs)
+    val lo = docIds.min
+    val hi = docIds.max
+    IndexBuilder.readPostings(spark, indexDir)
+      .where($"term".isin(terms: _*) && $"doc_id_max" >= lo && $"doc_id_min" <= hi)
+      .select($"term", $"count", $"doc_id_min", $"deltas", $"tfs", $"dls")
+      .as[(String, Int, Long, Array[Byte], Array[Byte], Array[Byte])]
+      .flatMap { case (term, cnt, idMin, deltas, tfs, dls) =>
+        val wanted = bIds.value
+        val ids = graft.functions.Codec.decodeGapsFromBase(idMin, deltas, cnt)
+        lazy val tf = graft.functions.Codec.decodeIntsAuto(tfs, cnt)
+        lazy val dl = graft.functions.Codec.decodeIntsAuto(dls, cnt)
+        Iterator.range(0, cnt).filter(i => wanted.contains(ids(i))).map { i =>
+          val df = bDfs.value(term)
+          val contrib = NaiveBm25.idf(n, df) * IndexBuilder.impact(tf(i), dl(i), avgDl)
+          (ids(i), term, tf(i).toLong, dl(i).toLong, df, contrib)
+        }
+      }
+      .toDF("doc_id", "term", "tf", "doc_len", "doc_freq", "contrib")
+  }
+
   /** ES prefix query (`{"prefix": {"text": "..."}}`): expand the prefix
     * against the term dictionary — a RANGE read of the term-sorted
     * parquet (StringStartsWith pushes to the scan; at 10^12-doc vocab

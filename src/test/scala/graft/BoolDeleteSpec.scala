@@ -422,6 +422,27 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotF == expF, "histogram with lang filter context")
   }
 
+  test("explain: per-term contributions sum exactly to the ranked score") {
+    val ts = Seq("w1", "w2", "w3")
+    val top = got(Search.topK(spark, dir.toString, ts, "or", 5))
+    val byDoc = Search.explain(spark, dir.toString, ts, top.map(_._1))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        // sum in query-term order — the scoring contract
+        val contribOf = rows.map(r => r.getString(1) -> r.getDouble(5)).toMap
+        id -> ts.flatMap(contribOf.get).sum
+      }
+    top.foreach { case (id, score) =>
+      assert(math.abs(byDoc(id) - score) < 1e-12, s"explain sum for doc $id")
+    }
+    // tf/df surfaced match the naive analyzer's view
+    val row = Search.explain(spark, dir.toString, ts, Seq(top.head._1)).collect().head
+    val toks = Analyzer.tokenize(corpus(row.getLong(0).toInt)._2)
+    assert(row.getLong(2) == toks.count(_ == row.getString(1)), "tf")
+    assert(row.getLong(3) == toks.length, "doc_len")
+  }
+
   test("family upsert: last write wins by url (ES index-API semantics)") {
     import graft.index.SegmentFamily
     val root = Files.createTempDirectory("graft-upsert").toString
