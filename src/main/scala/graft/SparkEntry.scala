@@ -317,6 +317,19 @@ object SparkEntry {
       Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, minShouldMatch = 2)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
+    // ES search_after deep pagination: page 2 = the 10 hits strictly
+    // after page 1's last (score, doc_id) cursor — per-slice heaps stay
+    // k-sized at any depth (vs from+size's depth-sized heaps)
+    "q_bm25_page2" -> { (s, dir) =>
+      import s.implicits._
+      val idx = indexFor(s, dir)
+      val last = Search.topK(s, idx, QueryOr, "or", 10)
+        .orderBy(desc("score"), asc("doc_id"))
+        .collect().last
+      Search.topK(s, idx, QueryOr, "or", 10,
+        searchAfter = (last.getDouble(1), last.getLong(0)))
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
     // ES _explain: per-(doc, term) score decomposition for docs 0-9 —
     // tf/dl/df surfaced with the exact contribution; Σ contrib per doc
     // equals its ranked score (same float pipeline)
@@ -621,7 +634,7 @@ object SparkEntry {
   private def bm25OracleSql(
       terms: Seq[String], and: Boolean, candWhere: String = "",
       mustNot: Seq[String] = Nil, purgeWhere: String = "", msm: Int = 1,
-      termWhere: String = ""
+      termWhere: String = "", offset: Int = 0
   ): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val having =
@@ -666,7 +679,7 @@ object SparkEntry {
   $cand
   GROUP BY tf.doc_id $having
 )
-SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY score DESC, doc_id LIMIT 10"""
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY score DESC, doc_id LIMIT 10 OFFSET $offset"""
   }
 
   /** Exact-phrase oracle: freq = adjacency-join count, idf summed per
@@ -863,6 +876,7 @@ WHERE doc_id IN (SELECT doc_id FROM toks
                  GROUP BY doc_id HAVING count(DISTINCT term) = ${QueryAnd.distinct.size})
 GROUP BY 1""",
     "q_bm25_msm" -> bm25OracleSql(QueryOr, and = false, msm = 2),
+    "q_bm25_page2" -> bm25OracleSql(QueryOr, and = false, offset = 10),
     "q_bm25_prefix" -> bm25OracleSql(Nil, and = false, termWhere = "term LIKE 's%'"),
     "q_bm25_fuzzy" -> bm25OracleSql(Nil, and = false, termWhere = "levenshtein(term, 'merg') <= 1"),
     "q_bm25_explain" -> {

@@ -205,13 +205,22 @@ object BlockMaxWand {
   /** (score desc, docId asc)-best-k heap: min-heap ordered so the WORST
     * kept hit is at the head. A candidate beats the head iff its score is
     * higher, or equal score with smaller docId.
+    *
+    * `after` (nullable) — ES search_after cursor: only hits ranking
+    * STRICTLY AFTER it in (score desc, docId asc) order are accepted, so
+    * the heap stays k-sized at ANY page depth (from+size would need a
+    * depth-sized heap per slice). Skip bounds stay valid: θ only rises
+    * from accepted hits, an over-estimate never skips a qualifying doc.
     */
-  private final class TopK(k: Int) {
+  private final class TopK(k: Int, after: Hit = null) {
     private val ord = Ordering.by[Hit, (Double, Long)](h => (-h.score, h.docId))
     private val heap = mutable.PriorityQueue.empty[Hit](ord) // head = worst
     def threshold: Double =
       if (heap.size < k) Double.NegativeInfinity else heap.head.score
     def offer(h: Hit): Unit = {
+      if (after != null &&
+        (h.score > after.score || (h.score == after.score && h.docId <= after.docId)))
+        return // at-or-before the cursor — previous pages' territory
       if (heap.size < k) heap.enqueue(h)
       else {
         val w = heap.head
@@ -236,8 +245,8 @@ object BlockMaxWand {
     * identity vs the naive oracle is preserved for every msm.
     */
   def or(iters: Array[PostingIter], k: Int, filter: DocFilter = null,
-      minShouldMatch: Int = 1): Array[Hit] = {
-    val top = new TopK(k)
+      minShouldMatch: Int = 1, after: Hit = null): Array[Hit] = {
+    val top = new TopK(k, after)
     val live = iters.filter(!_.exhausted)
     if (live.isEmpty) return Array.empty
     if (filter != null && filter.exhausted) return Array.empty
@@ -348,9 +357,10 @@ object BlockMaxWand {
       offsets: Array[Array[Int]],
       idfSum: Double,
       k: Int,
-      filter: DocFilter = null
+      filter: DocFilter = null,
+      after: Hit = null
   ): Array[Hit] = {
-    val top = new TopK(k)
+    val top = new TopK(k, after)
     if (iters.isEmpty || iters.exists(_.exhausted)) return Array.empty
     val avgDl = iters(0).avgDocLen
     var target = iters.map(_.doc).max
@@ -563,8 +573,9 @@ object BlockMaxWand {
     * skipping; exact scores summed in query-term order.
     * `filter` (nullable) joins the leapfrog as a non-scoring conjunct.
     */
-  def and(iters: Array[PostingIter], k: Int, filter: DocFilter = null): Array[Hit] = {
-    val top = new TopK(k)
+  def and(iters: Array[PostingIter], k: Int, filter: DocFilter = null,
+      after: Hit = null): Array[Hit] = {
+    val top = new TopK(k, after)
     if (iters.isEmpty || iters.exists(_.exhausted)) return Array.empty
     var target = iters.map(_.doc).max
     var done = false

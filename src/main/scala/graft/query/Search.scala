@@ -64,6 +64,12 @@ object Search {
     * `minShouldMatch` (OR mode only): candidates must match ≥ this many
     * distinct query terms — ES bool.should minimum_should_match. Scores
     * are unchanged (still summed over every matched term).
+    *
+    * `searchAfter` — ES search_after deep pagination: pass the LAST hit
+    * of the previous page as (score, doc_id); only hits ranking strictly
+    * after it return. Unlike from+size, per-slice heaps stay k-sized at
+    * any depth (page 10^5 of a 10^12-doc result set still moves only
+    * nSlices·k rows).
     */
   def topK(
       spark: SparkSession,
@@ -74,7 +80,8 @@ object Search {
       docFilter: Column = null,
       attrFilter: AttrPred = null,
       mustNot: Seq[String] = Nil,
-      minShouldMatch: Int = 1
+      minShouldMatch: Int = 1,
+      searchAfter: (Double, Long) = null
   ): DataFrame = {
     require(docFilter == null || attrFilter == null,
       "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
@@ -117,6 +124,9 @@ object Search {
 
     val isAnd = mode == "and"
     val msm = minShouldMatch
+    val after =
+      if (searchAfter == null) null
+      else BlockMaxWand.Hit(searchAfter._2, searchAfter._1)
     type BlockRow = (Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)
 
     def wand(slice: Int, rows: Iterator[BlockRow], base: DocFilter): Iterator[QueryHit] = {
@@ -139,8 +149,8 @@ object Search {
       val hits =
         if (isAnd) {
           if (iters.length < qTerms.length) Array.empty[BlockMaxWand.Hit]
-          else BlockMaxWand.and(iters, k, filter)
-        } else BlockMaxWand.or(iters, k, filter, msm)
+          else BlockMaxWand.and(iters, k, filter, after)
+        } else BlockMaxWand.or(iters, k, filter, msm, after)
       hits.iterator.map(h => QueryHit(h.docId, h.score))
     }
 

@@ -422,6 +422,30 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotF == expF, "histogram with lang filter context")
   }
 
+  test("search_after pagination walks the exhaustive ranking without gaps or overlaps") {
+    val ts = Seq("w1", "w2")
+    val full = NaiveBm25.topK(corpus, ts, "or", corpus.size) // whole match set, ranked
+    val pages = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var cursor: (Double, Long) = null
+    var page = got(Search.topK(spark, dir.toString, ts, "or", 25))
+    while (page.nonEmpty) {
+      pages ++= page
+      cursor = (page.last._2, page.last._1)
+      page = got(Search.topK(spark, dir.toString, ts, "or", 25, searchAfter = cursor))
+    }
+    assert(pages.map(_._1).toSeq == full.map(_.docId).take(pages.size), "paged ids ≡ ranking prefix")
+    assert(pages.size == full.size, s"walk must exhaust the match set: ${pages.size} vs ${full.size}")
+    assert(pages.map(_._1).distinct.size == pages.size, "no doc served twice")
+    // AND mode pages too
+    val fullAnd = NaiveBm25.topK(corpus, ts, "and", corpus.size)
+    if (fullAnd.size > 5) {
+      val p1 = got(Search.topK(spark, dir.toString, ts, "and", 5))
+      val p2 = got(Search.topK(spark, dir.toString, ts, "and", 5,
+        searchAfter = (p1.last._2, p1.last._1)))
+      assert((p1 ++ p2).map(_._1) == fullAnd.take(p1.size + p2.size).map(_.docId))
+    }
+  }
+
   test("explain: per-term contributions sum exactly to the ranked score") {
     val ts = Seq("w1", "w2", "w3")
     val top = got(Search.topK(spark, dir.toString, ts, "or", 5))
