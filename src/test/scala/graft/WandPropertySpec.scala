@@ -112,4 +112,71 @@ class WandPropertySpec extends AnyFunSuite {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("bool surface (must_not, minimum_should_match, search_after) ≡ naive on random corpora (8 corpora)") {
+    import graft.functions.Analyzer
+    (0 until 8).foreach { trial =>
+      val texts = corpusGen(Gen.Parameters.default, Seed(12000L + trial)).get
+      val dir = Files.createTempDirectory(s"wand-bool-$trial").toString
+      val pages = spark.createDataset(texts.zipWithIndex.map { case (t, i) =>
+        val url = f"p/$i%06d"
+        Page(url, new java.sql.Timestamp(1609459200000L + i), HtmlText.wrap(url, t), t, "en")
+      })
+      IndexBuilder.build(spark, pages, dir,
+        BuildConfig(nPartitions = 4, nGroups = 2, nSlices = 4, blockSize = 4))
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val tokSets = corpus.map { case (_, t) => Analyzer.tokenize(t).toSet }
+
+      // must_not: random 1-2 exclusions (may include query terms / absent terms)
+      (0 until 3).foreach { q =>
+        val (terms, mode) = queryGen(Gen.Parameters.default, Seed(13000L + trial * 17 + q)).get
+        val mn = Gen.listOfN(1 + (trial + q) % 2, Gen.oneOf(vocab :+ "zz"))
+          .apply(Gen.Parameters.default, Seed(13500L + trial * 13 + q)).get
+        val expected = NaiveBm25.topKFiltered(corpus, terms, mode, 5,
+          id => !mn.exists(tokSets(id.toInt).contains))
+        val got = Search.topK(spark, dir, terms, mode, 5, mustNot = mn)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(got.map(_._1).toSeq == expected.map(_.docId),
+          s"trial $trial $terms/$mode NOT $mn: got ${got.toSeq} want $expected")
+        expected.zip(got).foreach { case (e, (_, gs)) => assert(math.abs(gs - e.score) < 1e-9) }
+      }
+
+      // minimum_should_match over 2-3 term OR queries, msm 2..terms
+      (0 until 3).foreach { q =>
+        val nt = 2 + (trial + q) % 2
+        val ts = Gen.listOfN(nt, Gen.oneOf(vocab))
+          .apply(Gen.Parameters.default, Seed(14000L + trial * 19 + q)).get.distinct
+        val msm = 2.min(ts.size)
+        val expected = NaiveBm25.topKFiltered(corpus, ts, "or", 5,
+          id => ts.count(tokSets(id.toInt).contains) >= msm)
+        val got = Search.topK(spark, dir, ts, "or", 5, minShouldMatch = msm)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(got.map(_._1).toSeq == expected.map(_.docId),
+          s"trial $trial msm $ts>=$msm: got ${got.toSeq} want $expected")
+        expected.zip(got).foreach { case (e, (_, gs)) => assert(math.abs(gs - e.score) < 1e-9) }
+      }
+
+      // search_after: page-3 walk over a random OR query reconstructs the
+      // exhaustive ranking exactly (ties + tiny vocab stress the cursor)
+      {
+        val ts = Gen.listOfN(2, Gen.oneOf(vocab))
+          .apply(Gen.Parameters.default, Seed(15000L + trial)).get.distinct
+        val full = NaiveBm25.topK(corpus, ts, "or", corpus.size)
+        val walked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        var page = Search.topK(spark, dir, ts, "or", 3)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        while (page.nonEmpty) {
+          walked ++= page
+          page = Search.topK(spark, dir, ts, "or", 3,
+            searchAfter = (page.last._2, page.last._1))
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        }
+        assert(walked.map(_._1).toSeq == full.map(_.docId),
+          s"trial $trial paging $ts: got ${walked.map(_._1)} want ${full.map(_.docId)}")
+      }
+
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
