@@ -197,7 +197,7 @@ object IndexJob {
           .collect().foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}"))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown command $other; expected build|build-time|ingest-time|merge|fastmerge|compact|search|phrase|search-segments|search-family|delete|purge|facet-hist|facet-lang"
+          s"unknown command $other; expected build|build-time|ingest-time|expire-time|merge|fastmerge|compact|search|phrase|prefix-search|fuzzy-search|search-segments|search-family|delete|purge|facet-hist|facet-lang"
         )
     }
   }
