@@ -30,6 +30,7 @@ import graft.query.Search
   *   expire-time <rootDir> <cutoffISO>                       # retention: drop buckets older than cutoff's month
   *   facet-hist <indexDir> <and|or> <hour|day|month> term [term ...]   # date_histogram over the match set
   *   facet-lang <indexDir> <and|or> term [term ...]                    # terms agg over the match set
+  *   index-stats <indexDir>                                  # ES _stats analog: corpus/layout/deletes/lineage
   * }}}
   *
   * search's --lang/--from/--to are TYPED predicates → evaluated from the
@@ -195,6 +196,24 @@ object IndexJob {
         val Seq(indexDir, mode) = positional.take(2)
         graft.query.Facets.termsAgg(spark, indexDir, positional.drop(2), mode)
           .collect().foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}"))
+      case Some("index-stats") =>
+        // ES _stats analog: corpus + layout + delete state + build
+        // lineage in one look (reads stats/meta/tombstones + the
+        // per-partition build_metrics table)
+        val indexDir = positional.head
+        val st = IndexBuilder.readStats(spark, indexDir)
+        val meta = IndexBuilder.readMeta(indexDir)
+        val deleted = graft.index.Tombstones.count(indexDir)
+        println(s"n_docs\t${st.n_docs}")
+        println(f"avg_dl\t${st.avg_dl}%.4f")
+        println(s"total_tokens\t${st.total_tokens}")
+        println(s"deleted_docs\t$deleted")
+        println(s"format\t${IndexBuilder.readFormatVersion(indexDir)}")
+        println(s"n_groups\t${meta.nGroups}\tn_slices\t${meta.nSlices}\tblock_size\t${meta.blockSize}\tpositions\t${meta.positions}")
+        val m = spark.read.parquet(s"$indexDir/build_metrics")
+        import org.apache.spark.sql.functions.{sum => fsum}
+        val row = m.agg(fsum("terms"), fsum("postings"), fsum("blocks"), fsum("bytes")).head()
+        println(s"terms\t${row.getLong(0)}\tpostings\t${row.getLong(1)}\tblocks\t${row.getLong(2)}\tpayload_bytes\t${row.getLong(3)}")
       case other =>
         throw new IllegalArgumentException(
           s"unknown command $other; expected build|build-time|ingest-time|expire-time|merge|fastmerge|compact|search|phrase|prefix-search|fuzzy-search|search-segments|search-family|delete|purge|facet-hist|facet-lang"

@@ -158,6 +158,24 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(nP == langOf.values.count(_ != "de"), "purged stats count survivors only")
   }
 
+  test("IndexJob CLI: index-stats reports corpus, layout, deletes, lineage") {
+    val base = Files.createTempDirectory("indexjob-stats").toString
+    val pagesPath = s"$base/pages"
+    spark.range(0L, 120L, 1, 2).map(i => PagesGen.pageFor(i)).write.parquet(pagesPath)
+    IndexJob.run(spark, Seq("build", pagesPath, s"$base/idx",
+      "--partitions=4", "--groups=2", "--slices=4", "--block=64"))
+    IndexJob.run(spark, Seq("delete", s"$base/idx", "--lang=de"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      IndexJob.run(spark, Seq("index-stats", s"$base/idx"))
+    }
+    val s = out.toString
+    assert(s.contains("n_docs\t120"), s)
+    assert("deleted_docs\t[1-9]".r.findFirstIn(s).isDefined, s)
+    assert(s.contains("n_groups\t2\tn_slices\t4"), s)
+    assert("postings\t\\d+".r.findFirstIn(s).isDefined, s)
+  }
+
   test("IndexJob CLI: compact + search-family round trip") {
     import graft.index.SegmentFamily
     val base = Files.createTempDirectory("indexjob-fam").toString
