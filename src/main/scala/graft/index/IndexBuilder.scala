@@ -1,7 +1,5 @@
 package graft.index
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
 import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -72,63 +70,54 @@ object IndexBuilder {
     * installs once, `ElasticSearchStorage.cs:187-243`): layout constants a
     * searcher needs without re-deriving them from data.
     */
-  def writeMeta(indexDir: String, cfg: BuildConfig): Unit = {
-    Files.createDirectories(Paths.get(indexDir))
-    Files.write(
-      Paths.get(indexDir, "meta.json"),
-      s"""{"format":$FormatVersion,"n_groups":${cfg.nGroups},"n_slices":${cfg.nSlices},"block_size":${cfg.blockSize},"positions":${cfg.positions}}""".getBytes(StandardCharsets.UTF_8)
+  // Control plane (meta, checkpoints) speaks the same Hadoop FileSystem
+  // API as the data plane, so index + state live on ONE filesystem — the
+  // reference's restart-from-sink invariant (`ElasticSearchStorage.cs:
+  // 56-93`): a build against hdfs://…/idx must be resumable from any node.
+  def writeMeta(indexDir: String, cfg: BuildConfig): Unit =
+    graft.sources.Fsx.writeUtf8(
+      s"$indexDir/meta.json",
+      s"""{"format":$FormatVersion,"n_groups":${cfg.nGroups},"n_slices":${cfg.nSlices},"block_size":${cfg.blockSize},"positions":${cfg.positions}}"""
     )
-  }
 
   /** Stamped format version of an on-disk index (0 when absent/pre-v3). */
-  def readFormatVersion(indexDir: String): Int = {
-    val p = Paths.get(indexDir, "meta.json")
-    if (!Files.exists(p)) return 0
-    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    """"format"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(0)
-  }
+  def readFormatVersion(indexDir: String): Int =
+    graft.sources.Fsx.readUtf8Opt(s"$indexDir/meta.json") match {
+      case None => 0
+      case Some(s) =>
+        """"format"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(0)
+    }
 
-  def readMeta(indexDir: String): BuildConfig = {
-    val p = Paths.get(indexDir, "meta.json")
-    if (!Files.exists(p)) return BuildConfig()
-    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    def num(k: String) = s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
-    BuildConfig(
-      nGroups = num("n_groups").getOrElse(4),
-      nSlices = num("n_slices").getOrElse(16),
-      blockSize = num("block_size").getOrElse(128),
-      positions = s.contains(""""positions":true""")
-    )
-  }
+  def readMeta(indexDir: String): BuildConfig =
+    graft.sources.Fsx.readUtf8Opt(s"$indexDir/meta.json") match {
+      case None => BuildConfig()
+      case Some(s) =>
+        def num(k: String) = s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+        BuildConfig(
+          nGroups = num("n_groups").getOrElse(4),
+          nSlices = num("n_slices").getOrElse(16),
+          blockSize = num("block_size").getOrElse(128),
+          positions = s.contains(""""positions":true""")
+        )
+    }
 
   // ---- checkpoint manifest (JSONL, append-only; ≙ EventLogPosition) ----
-  def ckptPath(indexDir: String) = Paths.get(indexDir, "checkpoints.jsonl")
+  def ckptPath(indexDir: String): String = s"$indexDir/checkpoints.jsonl"
 
-  def completedUnits(indexDir: String): Set[String] = {
-    val p = ckptPath(indexDir)
-    if (!Files.exists(p)) Set.empty
-    else
-      scala.jdk.CollectionConverters
-        .IteratorHasAsScala(Files.lines(p).iterator()).asScala
-        .flatMap { line =>
-          val m = """"unit"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(line)
-          m.map(_.group(1))
-        }
-        .toSet
-  }
+  def completedUnits(indexDir: String): Set[String] =
+    graft.sources.Fsx.readUtf8Opt(ckptPath(indexDir)) match {
+      case None => Set.empty
+      case Some(content) =>
+        content.linesIterator
+          .flatMap(line => """"unit"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(line).map(_.group(1)))
+          .toSet
+    }
 
   private[index] def commitUnitPublic(indexDir: String, unit: String): Unit =
     commitUnit(indexDir, unit)
 
-  private def commitUnit(indexDir: String, unit: String): Unit = {
-    Files.createDirectories(Paths.get(indexDir))
-    Files.write(
-      ckptPath(indexDir),
-      s"""{"unit":"$unit"}\n""".getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE,
-      StandardOpenOption.APPEND
-    )
-  }
+  private def commitUnit(indexDir: String, unit: String): Unit =
+    graft.sources.Fsx.appendLine(ckptPath(indexDir), s"""{"unit":"$unit"}""")
 
   /** BM25 impact of one posting (multiply by idf for the score term). */
   @inline def impact(tf: Int, dl: Int, avgDl: Double): Double =

@@ -1,7 +1,5 @@
 package graft.index
 
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import graft.Page
 import graft.index.IndexBuilder.BuildConfig
@@ -20,19 +18,10 @@ object MultiIndexer {
 
   final case class SyncResult(added: Seq[String], removed: Seq[String], kept: Seq[String])
 
-  private def listDirs(root: String): Set[String] = {
-    val p = Paths.get(root)
-    if (!Files.exists(p)) Set.empty
-    else {
-      val s = Files.list(p) // close the stream — it holds a directory fd
-      try s.iterator().asScala
-        .filter(Files.isDirectory(_))
-        .map(_.getFileName.toString)
-        .filterNot(_.startsWith("."))
-        .toSet
-      finally s.close()
-    }
-  }
+  // FS-API listing so the registry can live on the shared filesystem
+  // (HDFS/S3) right next to the indexes it governs
+  private def listDirs(root: String): Set[String] =
+    graft.sources.Fsx.listDirNames(root).filterNot(_.startsWith(".")).toSet
 
   /** Index-name template expansion (≙ P13): `[IBNAME]` → corpus name. */
   def indexName(template: String, corpus: String): String =
@@ -64,12 +53,11 @@ object MultiIndexer {
       java.util.regex.Pattern.quote(template).replace("[IBNAME]", "\\E.+\\Q")
     val removed = (existing -- wanted).toSeq.sorted.filter { name =>
       name.matches(templateShape) &&
-        Files.exists(Paths.get(indexRoot, name, "checkpoints.jsonl"))
+        graft.sources.Fsx.exists(s"$indexRoot/$name/checkpoints.jsonl")
     }
     removed.foreach { name =>
-      val f = Paths.get(indexRoot, name).toFile
-      if (!org.apache.commons.io.FileUtils.deleteQuietly(f) && f.exists())
-        throw new java.io.IOException(s"failed to retire index dir $f")
+      if (!graft.sources.Fsx.delete(s"$indexRoot/$name"))
+        throw new java.io.IOException(s"failed to retire index dir $indexRoot/$name")
     }
 
     val added = corpora.toSeq.sorted.filter { c =>

@@ -1,9 +1,8 @@
 package graft.index
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.SparkSession
 import graft.query.MultiSearcher
+import graft.sources.Fsx
 
 /** Ordered segment family + tiered compaction — the missing lifecycle
   * piece between streaming ingest (one immutable segment per micro-batch)
@@ -32,30 +31,73 @@ object SegmentFamily {
 
   final case class Seg(dir: String, n_docs: Long)
 
-  private def manifestPath(root: String) = Paths.get(root, "segments.json")
+  private def manifestPath(root: String) = s"$root/segments.json"
 
-  def read(root: String): Seq[Seg] = {
-    val p = manifestPath(root)
-    if (!Files.exists(p)) return Nil
-    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    """\{"dir":"([^"]+)","n_docs":(\d+)\}""".r
-      .findAllMatchIn(s)
-      .map(m => Seg(s"$root/${m.group(1)}", m.group(2).toLong))
-      .toSeq
+  /** SINGLE-WRITER CONTRACT (the one place it's documented — every other
+    * control file inherits it): at most one process mutates a family —
+    * builds, upserts, compactions, expirations are externally serialized,
+    * exactly as one Lucene IndexWriter owns an index. READERS are
+    * unrestricted: every manifest replace is write-tmp + rename, so a
+    * concurrent reader sees the old or the new family, never a torn one.
+    */
+  private def segName(dir: String): String = {
+    val d = if (dir.endsWith("/")) dir.dropRight(1) else dir
+    d.substring(d.lastIndexOf('/') + 1)
   }
 
-  /** Atomic manifest replace (tmp + move): readers see old or new, never
-    * a torn list. Segment dirs are stored relative to the root.
+  private def checksumOf(body: String): String =
+    java.lang.Long.toHexString {
+      val c = new java.util.zip.CRC32()
+      c.update(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      c.getValue
+    }
+
+  /** Parse with a real JSON reader (Jackson, shipped with Spark) and
+    * verify the checksum line — a truncated or hand-mangled manifest
+    * fails loudly instead of silently dropping segments (the r3 regex
+    * parser's failure mode). The legacy bare-array format (no checksum)
+    * still reads for in-place upgrades.
+    */
+  def read(root: String): Seq[Seg] = {
+    val s = Fsx.readUtf8Opt(manifestPath(root)).getOrElse(return Nil)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(s)
+    val arr =
+      if (node.isArray) node // legacy bare array, pre-checksum
+      else {
+        val body = node.get("segments")
+        require(body != null && body.isArray, s"malformed segment manifest: ${manifestPath(root)}")
+        val expect = node.get("checksum")
+        if (expect != null) {
+          val got = checksumOf(mapper.writeValueAsString(body))
+          require(got == expect.asText(),
+            s"segment manifest checksum mismatch (${expect.asText()} vs $got): ${manifestPath(root)}")
+        }
+        body
+      }
+    (0 until arr.size).map { i =>
+      val e = arr.get(i)
+      Seg(s"$root/${e.get("dir").asText()}", e.get("n_docs").asLong())
+    }
+  }
+
+  /** Atomic manifest replace (tmp + rename): readers see old or new,
+    * never a torn list. Segment dirs are stored relative to the root;
+    * the checksum covers the serialized segments array.
     */
   def write(root: String, segs: Seq[Seg]): Unit = {
-    Files.createDirectories(Paths.get(root))
-    val json = segs
-      .map(s => s"""{"dir":"${Paths.get(s.dir).getFileName}","n_docs":${s.n_docs}}""")
-      .mkString("[", ",", "]")
-    val tmp = Paths.get(root, "segments.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    segs.foreach { s =>
+      val e = mapper.createObjectNode()
+      e.put("dir", segName(s.dir))
+      e.put("n_docs", s.n_docs)
+      arr.add(e)
+    }
+    val doc = mapper.createObjectNode()
+    doc.set[com.fasterxml.jackson.databind.JsonNode]("segments", arr)
+    doc.put("checksum", checksumOf(mapper.writeValueAsString(arr)))
+    Fsx.writeUtf8Atomic(manifestPath(root), mapper.writeValueAsString(doc))
   }
 
   /** Register a freshly built segment (idempotent by dir name — a
@@ -156,8 +198,7 @@ object SegmentFamily {
       val merged = Seg(outDir, IndexBuilder.readStats(spark, outDir).n_docs)
       segs = segs.take(from) ++ Seq(merged) ++ segs.drop(until)
       write(root, segs) // atomic cutover, then reclaim the inputs
-      run.foreach(s =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s.dir)))
+      run.foreach(s => graft.sources.Fsx.delete(s.dir))
       gen += 1
       p = planRun(segs.map(_.n_docs), mergeFactor, tierFactor)
     }

@@ -107,6 +107,31 @@ object SegmentMerge {
       IndexBuilder.commitUnitPublic(outDir, "staged")
     }
 
+    // input tombstones SURVIVE the merge (ADVICE r3: dropping them here
+    // resurrected upserted/deleted docs after compaction): ids shift by
+    // B's offset, each id's slice is re-derived with the SAME integral
+    // formula the merged docs table used above, and the union lands as
+    // the output's gen-0 via the standard sorted-union import. Stats stay
+    // Lucene-style (deleted docs still counted until purge) — exactly the
+    // inputs' own contract. Idempotent on resume (sorted-union semantics),
+    // checkpointed to skip the job entirely on replay.
+    if (!IndexBuilder.completedUnits(outDir).contains("tombstones")) {
+      val offsetB = IndexBuilder.readStats(spark, idxA).n_docs
+      val nd = math.max(1L, IndexBuilder.readStats(spark, outDir).n_docs)
+      val tombIns = Seq((idxA, 0L), (idxB, offsetB)).flatMap { case (d, off) =>
+        Tombstones.deletedWithSliceDf(spark, d).map(df =>
+          df.select((col("doc_id") + off).as("doc_id")))
+      }
+      if (tombIns.nonEmpty) {
+        val remapped = tombIns.reduce(_ unionByName _)
+          .withColumn("slice",
+            least(lit(cfg.nSlices - 1), expr(s"CAST(doc_id * ${cfg.nSlices} DIV $nd AS INT)")))
+          .select(col("slice"), col("doc_id"))
+        Tombstones.importInto(spark, outDir, remapped)
+      }
+      IndexBuilder.commitUnitPublic(outDir, "tombstones")
+    }
+
     val groupInput: Int => DataFrame = { g =>
       spark.read.parquet(s"$outDir/staged").where(col("grp") === g)
         .select(col("term"), col("slice"), col("doc_id"), col("tf"), col("doc_len"), col("pos"))
@@ -211,6 +236,21 @@ object SegmentMerge {
     // labels renumbered above, so source sidecars can't be copied verbatim;
     // this is one column-pruned pass — still far cheaper than any decode)
     AttrSidecar.writeAttrs(spark, outDir, metas.map(_.nSlices).sum)
+
+    // input tombstones SURVIVE the concatenation (ADVICE r3): slices map
+    // 1:1 (slice s of segment i → s + sliceOffs(i)), ids shift by
+    // bases(i), so each input's per-slice deleted-id file remaps by pure
+    // column arithmetic — the same shape as the posting remap above. The
+    // union lands as the output's gen-0; deleted docs stay excluded (and
+    // upserted urls stay single-valued) across compaction.
+    val tombIns = segDirs.zipWithIndex.flatMap { case (d, i) =>
+      Tombstones.deletedWithSliceDf(spark, d).map(df =>
+        df.select(
+          (col("slice") + sliceOffs(i)).as("slice"),
+          (col("doc_id") + bases(i)).as("doc_id")))
+    }
+    if (tombIns.nonEmpty)
+      Tombstones.importInto(spark, outDir, tombIns.reduce(_ unionByName _))
 
     IndexBuilder.commitUnitPublic(outDir, "done")
   }

@@ -1,7 +1,5 @@
 package graft.index
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Page
@@ -39,33 +37,37 @@ object TimeBuckets {
       .withZone(java.time.ZoneOffset.UTC)
       .format(ts.toInstant)
 
-  private def manifestPath(root: String) = Paths.get(root, "buckets.json")
+  private def manifestPath(root: String) = s"$root/buckets.json"
 
+  /** FS-API + real JSON parse (same shape/contract as
+    * [[SegmentFamily.read]] — see there for the single-writer contract).
+    * `dir` is explicit since incremental ingest (a merged bucket lives in
+    * a new generation dir); legacy entries without it default to
+    * `seg-<bucket>`.
+    */
   def readManifest(root: String): Seq[Bucket] = {
-    val p = manifestPath(root)
-    if (!Files.exists(p)) return Nil
-    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    // dir is explicit since incremental ingest (a merged bucket lives in a
-    // new generation dir); legacy entries without it default to seg-<bucket>
-    """\{"bucket":"(\d+)"(?:,"dir":"([^"]+)")?,"n_docs":(\d+)\}""".r
-      .findAllMatchIn(s)
-      .map { m =>
-        val dir = Option(m.group(2)).getOrElse(s"seg-${m.group(1)}")
-        Bucket(m.group(1), s"$root/$dir", m.group(3).toLong)
-      }
-      .toSeq
+    val s = graft.sources.Fsx.readUtf8Opt(manifestPath(root)).getOrElse(return Nil)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    require(node.isArray, s"malformed bucket manifest: ${manifestPath(root)}")
+    (0 until node.size).map { i =>
+      val e = node.get(i)
+      val bucket = e.get("bucket").asText()
+      val dir = Option(e.get("dir")).map(_.asText()).getOrElse(s"seg-$bucket")
+      Bucket(bucket, s"$root/$dir", e.get("n_docs").asLong())
+    }
   }
 
   private def writeManifest(root: String, buckets: Seq[Bucket]): Unit = {
-    val json = buckets.sortBy(_.bucket)
-      .map(b => s"""{"bucket":"${b.bucket}","dir":"${java.nio.file.Paths.get(b.dir).getFileName}","n_docs":${b.n_docs}}""")
-      .mkString("[", ",", "]")
-    val tmp = Paths.get(root, "buckets.json.tmp")
-    Files.createDirectories(Paths.get(root))
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(root),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    buckets.sortBy(_.bucket).foreach { b =>
+      val e = mapper.createObjectNode()
+      e.put("bucket", b.bucket)
+      e.put("dir", b.dir.substring(b.dir.lastIndexOf('/') + 1))
+      e.put("n_docs", b.n_docs)
+      arr.add(e)
+    }
+    graft.sources.Fsx.writeUtf8Atomic(manifestPath(root), mapper.writeValueAsString(arr))
   }
 
   /** Build (or resume) one index segment per month(warc_ts). */
@@ -174,12 +176,13 @@ object TimeBuckets {
     val all = (untouched ++ updated).sortBy(_.bucket)
     writeManifest(root, all)
     // reclaim replaced segments + staging after the atomic cutover
+    // (FS-API deletes — java.io.File silently no-ops on HDFS/S3 and would
+    // leak every replaced segment forever)
     touched.foreach { b =>
-      existing.get(b).foreach(old =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old.dir)))
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/seg-$b-$ingestId-delta"))
+      existing.get(b).foreach(old => graft.sources.Fsx.delete(old.dir))
+      graft.sources.Fsx.delete(s"$root/seg-$b-$ingestId-delta")
     }
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staged))
+    graft.sources.Fsx.delete(staged)
     IndexBuilder.commitUnitPublic(root, s"ingest-$ingestId-done")
     all
   }
@@ -203,8 +206,7 @@ object TimeBuckets {
     val (drop, keep) = readManifest(root).partition(_.bucket < cut)
     if (drop.nonEmpty) {
       writeManifest(root, keep)
-      drop.foreach(b =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b.dir)))
+      drop.foreach(b => graft.sources.Fsx.delete(b.dir))
     }
     drop
   }

@@ -184,12 +184,27 @@ object Tombstones {
     applyDeletes(spark, indexDir, withSlice)
   }
 
+  /** Collect another index's live tombstones into `indexDir` (merge
+    * lineage: the caller has already remapped (slice, doc_id) into THIS
+    * index's coordinate space). Same sorted-union semantics as a delete,
+    * so re-importing after a resumed merge is idempotent.
+    */
+  private[index] def importInto(spark: SparkSession, indexDir: String, idsDf: DataFrame): Long =
+    applyDeletes(spark, indexDir, idsDf)
+
   private def applyDeletes(spark: SparkSession, indexDir: String, idsDf: DataFrame): Long = {
     import spark.implicits._
     val prev = current(indexDir)
     val prevGen = prev.map(_._1).getOrElse(-1)
     val nextGen = prevGen + 1
-    val outDir = genDir(indexDir, nextGen)
+    val finalDir = genDir(indexDir, nextGen)
+    // tasks write into a STAGING dir, renamed into place only after the
+    // whole job succeeds: a failed attempt's partial slice files must
+    // never become live in a later generation under a different predicate
+    // (they'd exclude docs without being counted in CURRENT)
+    val outDir = s"$finalDir.tmp"
+    graft.sources.Fsx.delete(outDir)
+    graft.sources.Fsx.mkdirs(outDir) // rename target must exist even if no slice is touched
     val idxDir = indexDir
     val pg = prevGen
 
@@ -233,6 +248,14 @@ object Tombstones {
       }
     }
 
+    // publish the staged generation (delete-then-rename; readers never see
+    // it until CURRENT cuts over below, so the gap is harmless)
+    graft.sources.Fsx.delete(finalDir)
+    locally {
+      val (f, p) = graft.sources.Fsx.fs(outDir)
+      require(f.rename(p, new Path(finalDir)), s"tombstone gen publish failed: $finalDir")
+    }
+
     // atomic CURRENT cutover (tmp + rename)
     val cur = currentPath(indexDir)
     val fs = fsOf(cur)
@@ -268,6 +291,24 @@ object Tombstones {
       .as[Long]
       .mapPartitions(_.flatMap(s => readSlice(idxDir, gen, s.toInt).iterator))
       .toDF("doc_id")
+  }
+
+  /** Live deleted ids WITH their slice, executor-read — the merge lineage
+    * input ([[SegmentMerge]] remaps these into the output's coordinate
+    * space so deletes survive compaction). None when delete-free.
+    */
+  private[index] def deletedWithSliceDf(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    import spark.implicits._
+    current(indexDir).map { case (gen, _) =>
+      val idxDir = indexDir
+      val nSlices = IndexBuilder.readMeta(indexDir).nSlices
+      spark.range(0, nSlices.toLong)
+        .as[Long]
+        .mapPartitions(_.flatMap { s =>
+          readSlice(idxDir, gen, s.toInt).iterator.map(id => (s.toInt, id))
+        })
+        .toDF("slice", "doc_id")
+    }
   }
 
   /** Rewrite the index at `outDir` WITHOUT the deleted docs: survivors
@@ -359,6 +400,7 @@ object Tombstones {
     }
     IndexBuilder.buildGroups(spark, outDir, useCfg, groupInput)
     // remap scaffold only feeds the staged join — reclaim once built
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$outDir/docs_remap"))
+    // (FS-API delete: a java.io.File delete silently no-ops on HDFS/S3)
+    graft.sources.Fsx.delete(s"$outDir/docs_remap")
   }
 }

@@ -218,10 +218,9 @@ object Ann {
     centroids.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(indexDir, "meta.json"),
-      s"""{"format":$IvfFormatVersion,"n_lists":$nLists,"lloyd_passes":$lloydPasses}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.sources.Fsx.writeUtf8(
+      s"$indexDir/meta.json",
+      s"""{"format":$IvfFormatVersion,"n_lists":$nLists,"lloyd_passes":$lloydPasses}""")
   }
 
   /** Bump when centroid training / layout changes — cached indexes from an
@@ -229,12 +228,12 @@ object Ann {
     */
   val IvfFormatVersion = 2
 
-  def ivfFormatVersion(indexDir: String): Int = {
-    val p = java.nio.file.Paths.get(indexDir, "meta.json")
-    if (!java.nio.file.Files.exists(p)) return 0
-    val s = new String(java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
-    """"format"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(0)
-  }
+  def ivfFormatVersion(indexDir: String): Int =
+    graft.sources.Fsx.readUtf8Opt(s"$indexDir/meta.json") match {
+      case None => 0
+      case Some(s) =>
+        """"format"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(0)
+    }
 
   /** Probe a persisted IVF index: nProbe nearest lists per query, scan
     * restricted by partition pruning to the union of probed lists,
@@ -312,7 +311,7 @@ object Ann {
     val dir =
       if (indexDir != null) indexDir
       else java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    if (!new java.io.File(s"$dir/centroids").exists())
+    if (!graft.sources.Fsx.exists(s"$dir/centroids"))
       ivfBuild(corpus, idCol, vecCol, dir, nLists)
     ivfSearch(spark, dir, queries, qidCol, qvecCol, k, nProbe)
   }

@@ -73,7 +73,7 @@ object StreamingIngest {
         val segDir = s"$indexDir/segment-$batchId"
         // idempotent: a replayed batch rebuilds the same segment bytes
         // (and manifest append dedupes by dir name)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(segDir))
+        graft.sources.Fsx.delete(segDir)
         IndexBuilder.build(batch.sparkSession, batch, segDir, cfg)
         graft.index.SegmentFamily.append(batch.sparkSession, indexDir, segDir)
         if (mergeFactor > 0)

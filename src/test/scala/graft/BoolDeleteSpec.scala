@@ -521,6 +521,97 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("upsert + compaction: tombstones survive fastMerge (no resurrection)") {
+    // ADVICE r3 (high): fastMerge used to drop input tombstones — after
+    // maybeCompact over an upserted family, stale doc versions came back
+    // (duplicate urls, broken last-write-wins). This drives exactly that
+    // path: upsert (marks old versions deleted) → compact → re-query.
+    import graft.index.SegmentFamily
+    val root = Files.createTempDirectory("graft-upsert-compact").toString
+    try {
+      def mkPage(url: String, text: String) =
+        Page(url, new java.sql.Timestamp(1609459200000L),
+          graft.sources.HtmlText.wrap(url, text), text, "en")
+      val ucfg = cfg.copy(nPartitions = 4, nGroups = 1, nSlices = 2)
+      val segA = (0 until 10).map(i => mkPage(f"u://a$i%02d", "alpha v1 shared"))
+      val segB = (0 until 10).map(i => mkPage(f"u://b$i%02d", "beta v1 shared"))
+      IndexBuilder.build(spark, spark.createDataset(segA), s"$root/seg-a", ucfg)
+      IndexBuilder.build(spark, spark.createDataset(segB), s"$root/seg-b", ucfg)
+      SegmentFamily.append(spark, root, s"$root/seg-a")
+      SegmentFamily.append(spark, root, s"$root/seg-b")
+      val batch = Seq(
+        mkPage("u://a03", "alpha v2 shared"),
+        mkPage("u://b07", "beta v2 shared"),
+        mkPage("u://c00", "gamma v2 shared"))
+      SegmentFamily.upsert(spark, root, spark.createDataset(batch), "up-1", ucfg)
+
+      def urlsFor(terms: Seq[String], k: Int): Seq[String] = {
+        val segs = SegmentFamily.read(root)
+        val bases = segs.map(_.n_docs).scanLeft(0L)(_ + _)
+        val hits = SegmentFamily.searcher(spark, root).topK(terms, "and", k)
+          .collect().map(_.getLong(0))
+        hits.map { g =>
+          val si = bases.lastIndexWhere(_ <= g, bases.length - 2)
+          val local = g - bases(si)
+          spark.read.parquet(s"${segs(si).dir}/docs")
+            .where(col("doc_id") === local).select("url").head().getString(0)
+        }.toSeq
+      }
+      val before = urlsFor(Seq("shared"), 50).sorted
+
+      // compaction 1: the two 10-doc base segments fold (both hold live
+      // tombstones for the upserted urls)
+      SegmentFamily.maybeCompact(spark, root, mergeFactor = 2, tierFactor = 1.5)
+      assert(SegmentFamily.read(root).size == 2,
+        s"expected [gen(20), up-1(3)]: ${SegmentFamily.read(root)}")
+      assert(urlsFor(Seq("shared"), 50).sorted == before, "compaction changed results")
+      val v1 = urlsFor(Seq("v1"), 50)
+      assert(!v1.contains("u://a03") && !v1.contains("u://b07"),
+        s"stale versions resurrected by fastMerge: $v1")
+      assert(v1.size == 18, s"${v1.size}")
+
+      // compaction 2: fold EVERYTHING (a merged segment that itself
+      // carries imported tombstones merges again — gen-over-gen carry)
+      SegmentFamily.maybeCompact(spark, root, mergeFactor = 2, tierFactor = 10.0)
+      assert(SegmentFamily.read(root).size == 1)
+      assert(urlsFor(Seq("shared"), 50).sorted == before, "second compaction changed results")
+      assert(urlsFor(Seq("v2"), 50).toSet == Set("u://a03", "u://b07", "u://c00"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
+  test("SegmentMerge.merge carries tombstones (rebuild-merge path)") {
+    import graft.index.SegmentMerge
+    val root = Files.createTempDirectory("graft-merge-tomb").toString
+    try {
+      def mkPage(url: String, text: String) =
+        Page(url, new java.sql.Timestamp(1609459200000L),
+          graft.sources.HtmlText.wrap(url, text), text, "en")
+      val ucfg = cfg.copy(nPartitions = 4, nGroups = 1, nSlices = 2)
+      // url ranges disjoint and ordered (a* < b*) so merge ≡ union build
+      val segA = (0 until 8).map(i => mkPage(f"u://a$i%02d", s"alpha shared tok$i"))
+      val segB = (0 until 8).map(i => mkPage(f"u://b$i%02d", s"beta shared tok$i"))
+      IndexBuilder.build(spark, spark.createDataset(segA), s"$root/A", ucfg)
+      IndexBuilder.build(spark, spark.createDataset(segB), s"$root/B", ucfg)
+      Tombstones.deleteByUrls(spark, s"$root/A", Seq("u://a02", "u://a05").toDS())
+      Tombstones.deleteByUrls(spark, s"$root/B", Seq("u://b01").toDS())
+
+      SegmentMerge.merge(spark, s"$root/A", s"$root/B", s"$root/M", ucfg)
+      assert(Tombstones.count(s"$root/M") == 3L, "tombstones lost in merge()")
+      val hits = Search.topK(spark, s"$root/M", Seq("shared"), "or", 50)
+      val urls = Search.hydrate(spark, s"$root/M", hits)
+        .select("url").collect().map(_.getString(0)).toSet
+      assert(!urls.contains("u://a02") && !urls.contains("u://a05") && !urls.contains("u://b01"),
+        s"deleted docs resurrected: $urls")
+      assert(urls.size == 13, s"${urls.size}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   test("exclusion iterators skip blocks: PostingSet advances monotonically") {
     // build a tiny posting iter over synthetic blocks and probe it as a set
     val ids = Array(5L, 8L, 13L, 21L, 34L)

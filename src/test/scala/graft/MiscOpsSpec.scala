@@ -85,9 +85,9 @@ class MiscOpsSpec extends AnyFunSuite {
     IndexJob.run(spark, Seq("build", pagesPath, idxDir, "--partitions=4", "--groups=2", "--slices=4", "--block=32"))
     assert(IndexBuilder.completedUnits(idxDir).contains("done"))
     // re-submitting the same command resumes to an immediate no-op
-    val ckptLines = Files.readAllLines(IndexBuilder.ckptPath(idxDir)).size
+    val ckptLines = graft.sources.Fsx.readUtf8(IndexBuilder.ckptPath(idxDir)).linesIterator.size
     IndexJob.run(spark, Seq("build", pagesPath, idxDir, "--partitions=4", "--groups=2", "--slices=4", "--block=32"))
-    assert(Files.readAllLines(IndexBuilder.ckptPath(idxDir)).size == ckptLines)
+    assert(graft.sources.Fsx.readUtf8(IndexBuilder.ckptPath(idxDir)).linesIterator.size == ckptLines)
 
     // oracle corpus keyed by the engine's docID convention: url sort rank
     val corpus = (0L until 300L).map { i => val p = PagesGen.pageFor(i); (p.url, p.text) }
