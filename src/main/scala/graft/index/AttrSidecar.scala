@@ -4,18 +4,28 @@ import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, Data
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr}
 import graft.query.DocFilter
 
 /** Slice-aligned doc-attribute sidecar — the engine's rendition of
   * Elasticsearch DOC VALUES for filter context: the reference provisions
-  * keyword + date fields NEXT TO the text fields precisely so ranked
-  * queries can be predicated cheaply (`ElasticSearchStorage.cs:208-233`);
-  * ES evaluates those filters node-locally from columnar doc values.
+  * ~10 keyword + date fields NEXT TO the text fields precisely so ranked
+  * queries can be predicated cheaply (`ElasticSearchStorage.cs:208-233`:
+  * User, Computer, Event, Severity, Server, …); ES evaluates those
+  * filters node-locally from columnar doc values.
+  *
+  * SCHEMA-DRIVEN (v2): the sidecar carries a declared [[AttrSpec]] list —
+  * N keyword fields (per-slice dictionary-coded) + M numeric fields
+  * (zigzag delta-coded) — persisted in the index meta and repeated in
+  * each file's footer (self-describing). [[AttrPred.KeyIn]] /
+  * [[AttrPred.NumRange]] on ANY declared field runs this path; only
+  * genuinely ad-hoc predicates fall back to `Search.topK(docFilter)`'s
+  * allow-list shuffle.
   *
   * Layout: one file per doc-range slice, `attrs/slice-<s>.bin`, holding
   * every doc of that slice SORTED BY doc_id as interleaved varint records
-  * `(doc_id gap, lang code, warc_ts millis zigzag delta)`, with the lang
-  * dictionary + doc count in a seekable footer. ~6-10 bytes/doc.
+  * `(doc_id gap, kw codes…, num zigzag deltas…)`, with the schema + kw
+  * dictionaries + doc count in a seekable footer.
   *
   * Scale shape: a filtered search keeps the EXACT plan of an unfiltered
   * one (single exchange of matched posting blocks by slice). The WAND task
@@ -23,19 +33,14 @@ import graft.query.DocFilter
   * [[AttrCursor]] (a [[graft.query.DocFilter]]): no per-query doc-id
   * allow-list ever crosses the network — at 10%-selectivity over 10^12
   * docs the old allow-list cogroup shipped ~10^11 ids (>1 TB) per query;
-  * this ships zero. Memory is O(1): records decode lazily off a buffered
-  * stream, never materialized (the filter cursor is monotone, exactly what
-  * WAND's ascending candidate stream needs).
-  *
-  * Predicates are typed ([[AttrPred]]): keyword-set on lang, range on
-  * warc_ts, boolean combinations — the ES filter-context vocabulary. For
-  * genuinely ad-hoc predicates over columns the sidecar doesn't carry,
-  * `Search.topK(docFilter: Column)` keeps the allow-list path.
+  * this ships zero. Memory is O(1) per record stream plus the kw
+  * dictionaries (per-slice distinct values — bounded-cardinality by the
+  * keyword-field contract, as in ES).
   */
 object AttrSidecar {
 
   private val Magic = 0x47415452 // "GATR"
-  private val Version = 1
+  private val Version = 2 // v2 = declared schema (was: hardcoded lang+ts)
 
   def attrsDir(indexDir: String) = s"$indexDir/attrs"
   def slicePath(indexDir: String, slice: Int) = s"${attrsDir(indexDir)}/slice-$slice.bin"
@@ -69,72 +74,141 @@ object AttrSidecar {
     while ((x & ~0x7fL) != 0L) { l += 1; x >>>= 7 }
     l
   }
+  private def writeStr(out: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    writeVar(out, b.length.toLong); out.write(b)
+  }
+  private def readStr(in: DataInputStream): String = {
+    val l = readVar(in).toInt
+    val b = new Array[Byte](l)
+    in.readFully(b)
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   /** Write the sidecar for a built index: one job, records shuffled once
     * by slice and sorted by doc_id within (the docs scan is column-pruned
-    * to 4 narrow columns). Each task streams its slice runs straight to
-    * the filesystem — nothing slice-sized is ever held in memory.
+    * to doc_id + the schema expressions' inputs). Each task streams its
+    * slice runs straight to the filesystem — nothing slice-sized is ever
+    * held in memory except the kw dictionaries (bounded cardinality by
+    * contract). Null keywords code as ""; null numerics as 0.
     */
-  def writeAttrs(spark: SparkSession, indexDir: String, nSlices: Int): Unit = {
-    import spark.implicits._
+  def writeAttrs(
+      spark: SparkSession,
+      indexDir: String,
+      nSlices: Int,
+      schema: Seq[AttrSpec] = AttrSchema.Default
+  ): Unit = {
     val dir = attrsDir(indexDir)
+    val kwFields = schema.filter(_.kind == AttrSchema.Kw)
+    val numFields = schema.filter(_.kind == AttrSchema.Num)
+    val nKw = kwFields.size
+    val nNum = numFields.size
+    val kwNames = kwFields.map(_.name).toArray
+    val numNames = numFields.map(_.name).toArray
+
+    val cols =
+      Seq(col("slice").cast("int"), col("doc_id")) ++
+        kwFields.map(f => expr(s"coalesce(CAST((${f.sql}) AS STRING), '')").as(s"kw_${f.name}")) ++
+        numFields.map(f => expr(s"coalesce(CAST((${f.sql}) AS BIGINT), 0L)").as(s"num_${f.name}"))
+
     spark.read.parquet(s"$indexDir/docs")
-      .select($"slice".cast("int"), $"doc_id", $"lang", $"warc_ts")
-      .as[(Int, Long, String, java.sql.Timestamp)]
-      .repartition(nSlices, $"slice")
-      .sortWithinPartitions($"slice", $"doc_id")
-      .foreachPartition { (it: Iterator[(Int, Long, String, java.sql.Timestamp)]) =>
+      .select(cols: _*)
+      .repartition(nSlices, col("slice"))
+      .sortWithinPartitions(col("slice"), col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         // executor-side: default Configuration resolves the cluster's
         // defaultFS from the node's classpath config (file:// locally)
         val fs = new Path(dir).getFileSystem(new Configuration())
         var cur = -1
         var out: DataOutputStream = null
-        var dict = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+        var dicts: Array[scala.collection.mutable.LinkedHashMap[String, Int]] = null
         var n = 0L
         var prevId = 0L
-        var prevTs = 0L
+        var prevNum: Array[Long] = null
         var bodyBytes = 0L
         def closeSlice(): Unit = if (out != null) {
-          // footer: lang dict, record count, then a fixed 8-byte pointer
-          // to the footer start (readers seek there first)
+          // footer: schema (kw names + dicts, num names), record count,
+          // then a fixed 8-byte pointer to the footer start
           val footerAt = 8L + bodyBytes // after magic+version header
-          writeVar(out, dict.size.toLong)
-          dict.keysIterator.foreach { l =>
-            val b = l.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            writeVar(out, b.length.toLong); out.write(b)
+          writeVar(out, nKw.toLong)
+          var f = 0
+          while (f < nKw) {
+            writeStr(out, kwNames(f))
+            writeVar(out, dicts(f).size.toLong)
+            dicts(f).keysIterator.foreach(writeStr(out, _))
+            f += 1
           }
+          writeVar(out, nNum.toLong)
+          numNames.foreach(writeStr(out, _))
           writeVar(out, n)
           out.writeLong(footerAt)
           out.close(); out = null
         }
-        it.foreach { case (slice, id, lang, ts) =>
+        it.foreach { row =>
+          val slice = row.getInt(0)
+          val id = row.getLong(1)
           if (slice != cur) {
             closeSlice()
             cur = slice
             val raw = fs.create(new Path(s"$dir/slice-$slice.bin"), true)
             out = new DataOutputStream(new BufferedOutputStream(raw, 1 << 16))
             out.writeInt(Magic); out.writeInt(Version)
-            dict = scala.collection.mutable.LinkedHashMap.empty
-            n = 0L; prevId = 0L; prevTs = 0L; bodyBytes = 0L
+            dicts = Array.fill(nKw)(scala.collection.mutable.LinkedHashMap.empty[String, Int])
+            n = 0L; prevId = 0L; bodyBytes = 0L
+            prevNum = new Array[Long](nNum)
           }
-          val code = dict.getOrElseUpdate(lang, dict.size)
-          val tsMs = ts.getTime
           // byte count tracked Long-side (DataOutputStream.size() is an
           // Int and wraps past 2 GiB — real at 10^8-doc slices)
           val gap = if (n == 0) id else id - prevId
-          val tsd = zigzag(if (n == 0) tsMs else tsMs - prevTs)
           writeVar(out, gap)
-          writeVar(out, code.toLong)
-          writeVar(out, tsd)
-          bodyBytes += varLen(gap) + varLen(code.toLong) + varLen(tsd)
-          prevId = id; prevTs = tsMs; n += 1
+          bodyBytes += varLen(gap)
+          var f = 0
+          while (f < nKw) {
+            val v = row.getString(2 + f)
+            val code = dicts(f).getOrElseUpdate(v, dicts(f).size)
+            writeVar(out, code.toLong)
+            bodyBytes += varLen(code.toLong)
+            f += 1
+          }
+          f = 0
+          while (f < nNum) {
+            val v = row.getLong(2 + nKw + f)
+            val d = zigzag(if (n == 0) v else v - prevNum(f))
+            writeVar(out, d)
+            bodyBytes += varLen(d)
+            prevNum(f) = v
+            f += 1
+          }
+          prevId = id; n += 1
         }
         closeSlice()
       }
   }
 
-  /** One slice's footer: lang dictionary + record count. */
-  private final case class Footer(langs: Array[String], n: Long, bodyEnd: Long)
+  /** One slice's footer: declared schema + kw dictionaries + count. */
+  private final case class Footer(
+      kwNames: Array[String],
+      kwDicts: Array[Array[String]],
+      numNames: Array[String],
+      n: Long
+  ) {
+    def kwIndex(field: String): Int = {
+      val i = kwNames.indexOf(field)
+      require(i >= 0,
+        s"'$field' is not a declared keyword attr (have: ${kwNames.mkString(",")}; " +
+          s"numerics: ${numNames.mkString(",")}) — declare it in the build's AttrSchema " +
+          "or use the ad-hoc docFilter path")
+      i
+    }
+    def numIndex(field: String): Int = {
+      val i = numNames.indexOf(field)
+      require(i >= 0,
+        s"'$field' is not a declared numeric attr (have: ${numNames.mkString(",")}; " +
+          s"keywords: ${kwNames.mkString(",")}) — declare it in the build's AttrSchema " +
+          "or use the ad-hoc docFilter path")
+      i
+    }
+  }
 
   private def readFooter(fs: FileSystem, p: Path): Footer = {
     val len = fs.getFileStatus(p).getLen
@@ -144,46 +218,49 @@ object AttrSidecar {
       val footerAt = in.readLong()
       in.seek(footerAt)
       val buf = new DataInputStream(new BufferedInputStream(in, 1 << 14))
-      val nLangs = readVar(buf).toInt
-      val langs = Array.tabulate(nLangs) { _ =>
-        val l = readVar(buf).toInt
-        val b = new Array[Byte](l)
-        buf.readFully(b)
-        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      val nKw = readVar(buf).toInt
+      val kwNames = new Array[String](nKw)
+      val kwDicts = new Array[Array[String]](nKw)
+      var f = 0
+      while (f < nKw) {
+        kwNames(f) = readStr(buf)
+        kwDicts(f) = Array.fill(readVar(buf).toInt)(readStr(buf))
+        f += 1
       }
+      val nNum = readVar(buf).toInt
+      val numNames = Array.fill(nNum)(readStr(buf))
       val n = readVar(buf)
-      Footer(langs, n, footerAt)
+      Footer(kwNames, kwDicts, numNames, n)
     } finally in.close()
   }
 
-  /** Compile a typed predicate against a slice's lang dictionary → a flat
-    * (langCode, tsMillis) test (set membership becomes a boolean array).
+  /** Compile a typed predicate against a slice's schema + dictionaries →
+    * a flat test over the record's decoded (kw codes, num values). Set
+    * membership becomes a boolean array per referenced kw field.
     */
-  private def compile(pred: AttrPred, langs: Array[String]): (Int, Long) => Boolean =
+  private def compile(
+      pred: AttrPred, footer: Footer
+  ): (Array[Int], Array[Long]) => Boolean =
     pred match {
-      case AttrPred.LangIn(set) =>
-        val ok = langs.map(set.contains)
-        (c, _) => c < ok.length && ok(c)
-      case AttrPred.TsRange(fromMs, untilMs) =>
-        (_, ts) => ts >= fromMs && ts < untilMs
+      case AttrPred.KeyIn(field, set) =>
+        val fi = footer.kwIndex(field)
+        val ok = footer.kwDicts(fi).map(set.contains)
+        (kw, _) => { val c = kw(fi); c < ok.length && ok(c) }
+      case AttrPred.NumRange(field, lo, hi) =>
+        val fi = footer.numIndex(field)
+        (_, num) => { val v = num(fi); v >= lo && v < hi }
       case AttrPred.And(ps) =>
-        val fs = ps.map(compile(_, langs)).toArray
-        (c, ts) => fs.forall(f => f(c, ts))
+        val fs = ps.map(compile(_, footer)).toArray
+        (kw, num) => fs.forall(f => f(kw, num))
       case AttrPred.Or(ps) =>
-        val fs = ps.map(compile(_, langs)).toArray
-        (c, ts) => fs.exists(f => f(c, ts))
+        val fs = ps.map(compile(_, footer)).toArray
+        (kw, num) => fs.exists(f => f(kw, num))
       case AttrPred.Not(p) =>
-        val f = compile(p, langs)
-        (c, ts) => !f(c, ts)
+        val f = compile(p, footer)
+        (kw, num) => !f(kw, num)
     }
 
-  /** Open a streaming filter cursor over one slice's sidecar. The caller
-    * (the WAND task for that slice) MUST close() it. Errors loudly if the
-    * file is missing — a slice with posting blocks always has docs, so a
-    * missing file means the index predates the sidecar (rebuild or use the
-    * Column allow-list path).
-    */
-  def openCursor(indexDir: String, slice: Int, pred: AttrPred): AttrCursor = {
+  private def openRaw(indexDir: String, slice: Int): (FileSystem, Path, Footer, DataInputStream) = {
     val p = new Path(slicePath(indexDir, slice))
     val fs = p.getFileSystem(new Configuration())
     require(fs.exists(p),
@@ -192,7 +269,18 @@ object AttrSidecar {
     val raw = fs.open(p)
     val in = new DataInputStream(new BufferedInputStream(raw, 1 << 16))
     require(in.readInt() == Magic && in.readInt() == Version, s"bad attr sidecar header: $p")
-    new AttrCursor(in, footer.n, compile(pred, footer.langs))
+    (fs, p, footer, in)
+  }
+
+  /** Open a streaming filter cursor over one slice's sidecar. The caller
+    * (the WAND task for that slice) MUST close() it. Errors loudly if the
+    * file is missing — a slice with posting blocks always has docs, so a
+    * missing file means the index predates the sidecar (rebuild or use the
+    * Column allow-list path).
+    */
+  def openCursor(indexDir: String, slice: Int, pred: AttrPred): AttrCursor = {
+    val (_, _, footer, in) = openRaw(indexDir, slice)
+    new AttrCursor(in, footer, compile(pred, footer))
   }
 
   /** Materialized sorted doc-id allow-list for one slice (one streaming
@@ -216,42 +304,41 @@ object AttrSidecar {
     * them). Caller MUST close().
     */
   def openReader(indexDir: String, slice: Int): AttrReader = {
-    val p = new Path(slicePath(indexDir, slice))
-    val fs = p.getFileSystem(new Configuration())
-    require(fs.exists(p),
-      s"attr sidecar missing for slice $slice of $indexDir — index built pre-v${IndexBuilder.FormatVersion}?")
-    val footer = readFooter(fs, p)
-    val raw = fs.open(p)
-    val in = new DataInputStream(new BufferedInputStream(raw, 1 << 16))
-    require(in.readInt() == Magic && in.readInt() == Version, s"bad attr sidecar header: $p")
-    new AttrReader(in, footer.n, footer.langs)
+    val (_, _, footer, in) = openRaw(indexDir, slice)
+    new AttrReader(in, footer)
   }
 
   /** Monotone attribute VALUE cursor: `seek(target)` (ascending targets)
-    * positions on the record of `target` and exposes its lang + warc_ts.
+    * positions on the record of `target` and exposes its field values by
+    * schema position ([[kwIndex]]/[[numIndex]] resolve names once).
     * O(1) memory, strictly-forward decode — same contract as AttrCursor,
     * yielding values instead of a predicate verdict.
     */
-  final class AttrReader(
+  final class AttrReader private[AttrSidecar] (
       in: DataInputStream,
-      n: Long,
-      langs: Array[String]
+      footer: Footer
   ) extends AutoCloseable {
+    private val nKw = footer.kwNames.length
+    private val nNum = footer.numNames.length
+    private val kwCodes = new Array[Int](nKw)
+    private val numVals = new Array[Long](nNum)
     private var i = 0L
     private var curId = 0L
-    private var curTs = 0L
-    private var curCode = 0
     private var open = true
     advanceRecord()
 
     private def advanceRecord(): Unit = {
-      if (i >= n) { curId = Long.MaxValue; closeQuietly(); return }
+      if (i >= footer.n) { curId = Long.MaxValue; closeQuietly(); return }
       val gap = readVar(in)
-      val code = readVar(in).toInt
-      val tsd = unzigzag(readVar(in))
       curId = if (i == 0) gap else curId + gap
-      curTs = if (i == 0) tsd else curTs + tsd
-      curCode = code
+      var f = 0
+      while (f < nKw) { kwCodes(f) = readVar(in).toInt; f += 1 }
+      f = 0
+      while (f < nNum) {
+        val d = unzigzag(readVar(in))
+        numVals(f) = if (i == 0) d else numVals(f) + d
+        f += 1
+      }
       i += 1
     }
 
@@ -262,38 +349,55 @@ object AttrSidecar {
       while (curId < target) advanceRecord()
       curId == target
     }
-    def lang: String = langs(curCode)
-    def tsMillis: Long = curTs
+
+    def kwIndex(field: String): Int = footer.kwIndex(field)
+    def numIndex(field: String): Int = footer.numIndex(field)
+    def kwValue(fieldIdx: Int): String = footer.kwDicts(fieldIdx)(kwCodes(fieldIdx))
+    def numValue(fieldIdx: Int): Long = numVals(fieldIdx)
+
+    // r3-compat conveniences (the two original hardcoded fields)
+    private lazy val langIdx = footer.kwIndex("lang")
+    private lazy val tsIdx = footer.numIndex("warc_ts")
+    def lang: String = kwValue(langIdx)
+    def tsMillis: Long = numValue(tsIdx)
 
     private def closeQuietly(): Unit = if (open) { open = false; in.close() }
     def close(): Unit = closeQuietly()
   }
 
   /** Monotone streaming filter over one slice's attribute records — the
-    * [[graft.query.DocFilter]] WAND consumes. Decodes ~3 varints per doc
-    * strictly forward; O(1) memory. Targets must be ascending (WAND's
+    * [[graft.query.DocFilter]] WAND consumes. Decodes ~(1+N+M) varints per
+    * doc strictly forward; O(1) memory. Targets must be ascending (WAND's
     * candidate stream is).
     */
-  final class AttrCursor(
+  final class AttrCursor private[AttrSidecar] (
       in: DataInputStream,
-      n: Long,
-      pred: (Int, Long) => Boolean
+      footer: Footer,
+      pred: (Array[Int], Array[Long]) => Boolean
   ) extends DocFilter with AutoCloseable {
+    private val nKw = footer.kwNames.length
+    private val nNum = footer.numNames.length
+    private val kwCodes = new Array[Int](nKw)
+    private val numVals = new Array[Long](nNum)
     private var i = 0L
     private var curId = 0L
-    private var curTs = 0L
     private var curOk = false
     private var open = true
     advanceRecord() // position on the first record
 
     private def advanceRecord(): Unit = {
-      if (i >= n) { curId = Long.MaxValue; curOk = false; closeQuietly(); return }
+      if (i >= footer.n) { curId = Long.MaxValue; curOk = false; closeQuietly(); return }
       val gap = readVar(in)
-      val code = readVar(in).toInt
-      val tsd = unzigzag(readVar(in))
       curId = if (i == 0) gap else curId + gap
-      curTs = if (i == 0) tsd else curTs + tsd
-      curOk = pred(code, curTs)
+      var f = 0
+      while (f < nKw) { kwCodes(f) = readVar(in).toInt; f += 1 }
+      f = 0
+      while (f < nNum) {
+        val d = unzigzag(readVar(in))
+        numVals(f) = if (i == 0) d else numVals(f) + d
+        f += 1
+      }
+      curOk = pred(kwCodes, numVals)
       i += 1
     }
 

@@ -45,9 +45,10 @@ object IndexBuilder {
   /** On-disk layout version. Bump whenever the index format changes
     * (columns, codec, sidecars); readers reject stale caches instead of
     * crashing on missing columns. v3 = v2 + slice-aligned attribute
-    * sidecar (`attrs/`).
+    * sidecar (`attrs/`); v4 = schema-driven sidecar (declared keyword +
+    * numeric fields; attrs schema persisted in meta.json).
     */
-  val FormatVersion = 3
+  val FormatVersion = 4
 
   /** `positions`: index token positions (phrase queries) — on by default,
     * matching ES text-field defaults the reference provisions.
@@ -57,13 +58,19 @@ object IndexBuilder {
     * network-shuffled clusters; off by default for local/page-cached
     * shuffle media (see buildGroups).
     */
+  /** `attrs`: the declared doc-value sidecar schema (keyword + numeric
+    * filter fields — ES provisions ~10 such next to the text fields);
+    * persisted in meta.json so merges/purges regenerate the sidecar
+    * without the caller re-declaring it.
+    */
   final case class BuildConfig(
       nPartitions: Int = 32,
       nGroups: Int = 4,
       nSlices: Int = 16,
       blockSize: Int = 128,
       positions: Boolean = true,
-      mapSideCombine: Boolean = false
+      mapSideCombine: Boolean = false,
+      attrs: Seq[AttrSpec] = AttrSchema.Default
   )
 
   /** Persisted index metadata (≙ the ES index-template the reference
@@ -74,11 +81,23 @@ object IndexBuilder {
   // API as the data plane, so index + state live on ONE filesystem — the
   // reference's restart-from-sink invariant (`ElasticSearchStorage.cs:
   // 56-93`): a build against hdfs://…/idx must be resumable from any node.
-  def writeMeta(indexDir: String, cfg: BuildConfig): Unit =
-    graft.sources.Fsx.writeUtf8(
-      s"$indexDir/meta.json",
-      s"""{"format":$FormatVersion,"n_groups":${cfg.nGroups},"n_slices":${cfg.nSlices},"block_size":${cfg.blockSize},"positions":${cfg.positions}}"""
-    )
+  def writeMeta(indexDir: String, cfg: BuildConfig): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = mapper.createObjectNode()
+    doc.put("format", FormatVersion)
+    doc.put("n_groups", cfg.nGroups)
+    doc.put("n_slices", cfg.nSlices)
+    doc.put("block_size", cfg.blockSize)
+    doc.put("positions", cfg.positions)
+    val arr = mapper.createArrayNode()
+    cfg.attrs.foreach { a =>
+      val e = mapper.createObjectNode()
+      e.put("name", a.name); e.put("kind", a.kind); e.put("sql", a.sql)
+      arr.add(e)
+    }
+    doc.set[com.fasterxml.jackson.databind.JsonNode]("attrs", arr)
+    graft.sources.Fsx.writeUtf8(s"$indexDir/meta.json", mapper.writeValueAsString(doc))
+  }
 
   /** Stamped format version of an on-disk index (0 when absent/pre-v3). */
   def readFormatVersion(indexDir: String): Int =
@@ -92,12 +111,22 @@ object IndexBuilder {
     graft.sources.Fsx.readUtf8Opt(s"$indexDir/meta.json") match {
       case None => BuildConfig()
       case Some(s) =>
-        def num(k: String) = s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+        def num(k: String, d: Int) = Option(node.get(k)).map(_.asInt).getOrElse(d)
+        val attrs = Option(node.get("attrs")) match {
+          case Some(a) if a.isArray =>
+            (0 until a.size).map { i =>
+              val e = a.get(i)
+              AttrSpec(e.get("name").asText(), e.get("kind").asText(), e.get("sql").asText())
+            }
+          case _ => AttrSchema.Default
+        }
         BuildConfig(
-          nGroups = num("n_groups").getOrElse(4),
-          nSlices = num("n_slices").getOrElse(16),
-          blockSize = num("block_size").getOrElse(128),
-          positions = s.contains(""""positions":true""")
+          nGroups = num("n_groups", 4),
+          nSlices = num("n_slices", 16),
+          blockSize = num("block_size", 128),
+          positions = Option(node.get("positions")).exists(_.asBoolean),
+          attrs = attrs
         )
     }
 
@@ -378,7 +407,7 @@ object IndexBuilder {
     // slice, read node-locally by the filtered-WAND task — filtered
     // search then never exchanges doc ids (see AttrSidecar).
     if (!completedUnits(indexDir).contains("attrs")) {
-      timed("attrs")(AttrSidecar.writeAttrs(spark, indexDir, cfg.nSlices))
+      timed("attrs")(AttrSidecar.writeAttrs(spark, indexDir, cfg.nSlices, cfg.attrs))
       commitUnit(indexDir, "attrs")
     }
 

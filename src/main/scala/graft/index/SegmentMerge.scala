@@ -39,7 +39,10 @@ object SegmentMerge {
     // that falsely advertises phrase capability crashes phrase queries)
     val mergedCfg = cfg.copy(
       positions = cfg.positions &&
-        Seq(idxA, idxB).map(IndexBuilder.readMeta).forall(_.positions)
+        Seq(idxA, idxB).map(IndexBuilder.readMeta).forall(_.positions),
+      // sidecar schema follows the INPUTS (they own the declared attrs);
+      // the caller's cfg only shapes layout constants
+      attrs = IndexBuilder.readMeta(idxA).attrs
     )
     IndexBuilder.writeMeta(outDir, mergedCfg)
 
@@ -172,13 +175,16 @@ object SegmentMerge {
     val totalTokens = stats.map(_.total_tokens).sum
     val avgDl = if (nDocs > 0 && totalTokens > 0) totalTokens.toDouble / nDocs else 1.0
 
+    require(metas.map(_.attrs).distinct.size == 1,
+      s"fastMerge inputs declare different attr schemas: ${metas.map(_.attrs).distinct}")
     IndexBuilder.writeMeta(
       outDir,
       IndexBuilder.BuildConfig(
         nGroups = metas.map(_.nGroups).sum,
         nSlices = metas.map(_.nSlices).sum,
         blockSize = metas.map(_.blockSize).max,
-        positions = metas.forall(_.positions)
+        positions = metas.forall(_.positions),
+        attrs = metas.head.attrs
       )
     )
 
@@ -235,7 +241,7 @@ object SegmentMerge {
     // attribute sidecar regenerated from the merged docs table (slice
     // labels renumbered above, so source sidecars can't be copied verbatim;
     // this is one column-pruned pass — still far cheaper than any decode)
-    AttrSidecar.writeAttrs(spark, outDir, metas.map(_.nSlices).sum)
+    AttrSidecar.writeAttrs(spark, outDir, metas.map(_.nSlices).sum, metas.head.attrs)
 
     // input tombstones SURVIVE the concatenation (ADVICE r3): slices map
     // 1:1 (slice s of segment i → s + sliceOffs(i)), ids shift by

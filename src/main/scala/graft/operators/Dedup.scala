@@ -59,11 +59,22 @@ object Dedup {
     val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
     // exact-dup groups: gid = lowest member id. All-rows shapes (no
     // collect_set — a hot group must never become one giant array row):
-    // members is an equi-join of (ghash, id) with the per-group min.
-    val hashed = base.select(xxhash64($"txt").as("ghash"), $"id", $"txt")
-    val gmin = hashed.groupBy($"ghash").agg(min($"id").as("gid"))
-    val members = hashed.join(gmin, "ghash").select($"gid", $"id")
-    val reps = hashed.join(gmin, "ghash")
+    // members is an equi-join of (group key, id) with the per-group min.
+    // Group key = TWO independent 64-bit hashes (different seed via the
+    // extra literal) + text length: a single xxhash64 has ~10^4 expected
+    // birthday collisions at the 10^12-doc target (ADVICE r3), each of
+    // which would emit a false jaccard-1.0 pair AND suppress the victim
+    // from banding; a 128-bit+length key pushes that below 10^-13 —
+    // byte-compare-grade without shipping texts through the shuffle.
+    val gkey = Seq($"h1", $"h2", $"len")
+    val hashed = base.select(
+      xxhash64($"txt").as("h1"),
+      xxhash64(lit(0x9e3779b9L), $"txt").as("h2"),
+      length($"txt").as("len"),
+      $"id", $"txt")
+    val gmin = hashed.groupBy(gkey: _*).agg(min($"id").as("gid"))
+    val members = hashed.join(gmin, Seq("h1", "h2", "len")).select($"gid", $"id")
+    val reps = hashed.join(gmin, Seq("h1", "h2", "len"))
       .where($"id" === $"gid")
       .select($"gid", $"txt")
 

@@ -70,13 +70,15 @@ object Facets {
       case other   => throw new IllegalArgumentException(s"unknown interval $other")
     }
     aggregate(spark, segmentDirs, queryTerms, mode, attrFilter, mustNot, minShouldMatch,
-      keyPattern = pattern)
+      keyPattern = pattern, kwField = null)
       .toDF("bucket", "n_docs")
       .orderBy("bucket")
   }
 
-  /** (lang, n_docs) per language of the matching docs, descending count
-    * (ES terms-agg order; ties by value for determinism).
+  /** (<field>, n_docs) per value of a DECLARED keyword field of the
+    * matching docs, descending count (ES terms-agg order; ties by value
+    * for determinism). `kwField` defaults to lang; ANY keyword field of
+    * the index's attr schema works (ES terms agg on any keyword field).
     */
   def termsAgg(
       spark: SparkSession,
@@ -85,9 +87,11 @@ object Facets {
       mode: String,
       attrFilter: AttrPred = null,
       mustNot: Seq[String] = Nil,
-      minShouldMatch: Int = 1
+      minShouldMatch: Int = 1,
+      kwField: String = "lang"
   ): DataFrame =
-    termsAggMulti(spark, Seq(indexDir), queryTerms, mode, attrFilter, mustNot, minShouldMatch)
+    termsAggMulti(spark, Seq(indexDir), queryTerms, mode, attrFilter, mustNot,
+      minShouldMatch, kwField)
 
   /** [[termsAgg]] over a segment family. */
   def termsAggMulti(
@@ -97,12 +101,13 @@ object Facets {
       mode: String,
       attrFilter: AttrPred = null,
       mustNot: Seq[String] = Nil,
-      minShouldMatch: Int = 1
+      minShouldMatch: Int = 1,
+      kwField: String = "lang"
   ): DataFrame = {
     aggregate(spark, segmentDirs, queryTerms, mode, attrFilter, mustNot, minShouldMatch,
-      keyPattern = null)
-      .toDF("lang", "n_docs")
-      .orderBy(desc("n_docs"), asc("lang"))
+      keyPattern = null, kwField = kwField)
+      .toDF(kwField, "n_docs")
+      .orderBy(desc("n_docs"), asc(kwField))
   }
 
   /** Shared (segment, slice)-local walk. `keyPattern` null → key by
@@ -123,7 +128,8 @@ object Facets {
       attrFilter: AttrPred,
       mustNot: Seq[String],
       minShouldMatch: Int,
-      keyPattern: String
+      keyPattern: String,
+      kwField: String
   ): DataFrame = {
     import spark.implicits._
     require(segmentDirs.nonEmpty, "no segments")
@@ -139,6 +145,7 @@ object Facets {
       segmentDirs.map(graft.index.Tombstones.handle).toArray)
     val msm = minShouldMatch
     val pat = keyPattern
+    val kwF = kwField
     val pred = attrFilter
 
     val blocks = segmentDirs.zipWithIndex
@@ -182,12 +189,14 @@ object Facets {
             else java.time.format.DateTimeFormatter.ofPattern(pat)
               .withZone(java.time.ZoneOffset.UTC)
           val reader = AttrSidecar.openReader(segDir, slice)
+          // resolve the keyword field once per slice (loud on undeclared)
+          val kwIdx = if (fmt == null) reader.kwIndex(kwF) else -1
           try {
             val counts = scala.collection.mutable.HashMap.empty[String, Long]
             BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
               if (reader.seek(id)) {
                 val k =
-                  if (fmt == null) reader.lang
+                  if (fmt == null) reader.kwValue(kwIdx)
                   else fmt.format(java.time.Instant.ofEpochMilli(reader.tsMillis))
                 counts.update(k, counts.getOrElse(k, 0L) + 1L)
               }

@@ -154,6 +154,13 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       (Seq("w0"), "or", AttrPred.LangIn(Set("de", "fr")),
         id => langOf(id.toInt) == "de" || langOf(id.toInt) == "fr"),
       (Seq("w0"), "or", AttrPred.Not(AttrPred.lang("en")), id => langOf(id.toInt) != "en"),
+      // schema-driven numeric field beyond warc_ts (declared default
+      // doc_len): ES numeric-range filter via the same sidecar path
+      (Seq("w1", "w2"), "or", AttrPred.NumRange("doc_len", 50, 150),
+        id => {
+          val dl = graft.functions.Analyzer.tokenCount(corpus(id.toInt)._2)
+          dl >= 50 && dl < 150
+        }),
       // BROAD filter (the regime the old allow-list shipped TBs for):
       // ~all docs pass — sidecar must stay correct, not just fast
       (Seq("w1", "w2"), "or", AttrPred.TsRange(0L, Long.MaxValue), _ => true),

@@ -27,6 +27,37 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(render(P(Nil)) == "")
   }
 
+  test("build + delete + search through an explicit file:// URI (FS-API control plane)") {
+    // The control plane (meta, checkpoints, manifests, tombstones) speaks
+    // the Hadoop FileSystem API — same code path a hdfs:///s3a:// index
+    // takes. A java.nio control plane fails on the scheme'd path at the
+    // first manifest write; this drives build → upsert-family → delete →
+    // search end-to-end through the URI form.
+    import org.apache.spark.sql.functions.col
+    val local = Files.createTempDirectory("graft-uri").toString
+    val root = s"file://$local"
+    val cfg = BuildConfig(nPartitions = 4, nGroups = 1, nSlices = 2, blockSize = 32)
+    val idx = s"$root/idx"
+    IndexBuilder.build(spark, PagesGen.pages(spark, 300, 4), idx, cfg)
+    assert(IndexBuilder.completedUnits(idx).contains("done"))
+    assert(IndexBuilder.readFormatVersion(idx) == IndexBuilder.FormatVersion)
+
+    val before = graft.query.Search.topK(spark, idx, Seq("w1", "w2"), "or", 5).collect()
+    assert(before.length == 5)
+    // tombstone one of the current top hits through the URI path too
+    val victim = before.head.getLong(0)
+    assert(graft.index.Tombstones.delete(spark, idx, col("doc_id") === victim) == 1L)
+    val after = graft.query.Search.topK(spark, idx, Seq("w1", "w2"), "or", 5).collect()
+    assert(!after.map(_.getLong(0)).contains(victim), "tombstone ignored via file:// URI")
+
+    // family manifest + compaction lifecycle on the URI form
+    import graft.index.SegmentFamily
+    SegmentFamily.append(spark, root, idx)
+    assert(SegmentFamily.read(root).map(_.n_docs) == Seq(300L))
+    graft.sources.Fsx.delete(local)
+    assert(!graft.sources.Fsx.exists(idx))
+  }
+
   test("multi-indexer: registry diff builds added, retires removed (S6/T9)") {
     val corpora = Files.createTempDirectory("mi-corpora").toString
     val indexes = Files.createTempDirectory("mi-indexes").toString

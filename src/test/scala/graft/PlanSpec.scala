@@ -26,7 +26,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     dir = Files.createTempDirectory("graft-plan").toString
     IndexBuilder.build(
       spark, PagesGen.pages(spark, 300L, 4), dir,
-      BuildConfig(nPartitions = 4, nGroups = 2, nSlices = 4, blockSize = 32)
+      BuildConfig(nPartitions = 4, nGroups = 2, nSlices = 4, blockSize = 32,
+        // a custom keyword field beyond the defaults: filtering on it must
+        // keep the zero-exchange contract (schema-driven sidecar)
+        attrs = graft.index.AttrSchema.Default :+
+          graft.index.AttrSpec("host", graft.index.AttrSchema.Kw,
+            "regexp_extract(url, '^[a-z]+://([^/?]+)', 1)"))
     )
   }
 
@@ -93,18 +98,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ZERO plan surface — no docs scan, no extra exchange; the predicate
     // is evaluated inside the WAND task from the slice's sidecar file
     val unfiltered = graft.query.Search.topK(spark, dir, Seq("w0", "w1"), "or", 10)
-    val filtered = graft.query.Search.topK(
-      spark, dir, Seq("w0", "w1"), "or", 10,
-      attrFilter = graft.index.AttrPred.lang("ru"))
     val pu = executedPlan(unfiltered)
-    val pf = executedPlan(filtered)
     def exchanges(p: String) = "Exchange".r.findAllIn(p).size
     def scans(p: String) = "Scan parquet".r.findAllIn(p).size
-    assert(!pf.contains("/docs"), s"filtered plan scans the docs table:\n$pf")
-    assert(exchanges(pf) == exchanges(pu),
-      s"filtered plan has extra exchanges: ${exchanges(pf)} vs ${exchanges(pu)}")
-    assert(scans(pf) == scans(pu),
-      s"filtered plan has extra scans: ${scans(pf)} vs ${scans(pu)}")
+    // every DECLARED field — default (lang) or custom keyword (host) or
+    // numeric range (doc_len) or a bool combination — keeps plan identity
+    val preds = Seq(
+      "lang kw" -> graft.index.AttrPred.lang("ru"),
+      "custom kw (host)" -> graft.index.AttrPred.KeyIn("host", Set("site3.example", "site7.example")),
+      "num range (doc_len)" -> graft.index.AttrPred.NumRange("doc_len", 10, 120),
+      "bool combo" -> graft.index.AttrPred.And(Seq(
+        graft.index.AttrPred.KeyIn("host", Set("site3.example")),
+        graft.index.AttrPred.NumRange("warc_ts", 0L, Long.MaxValue))))
+    preds.foreach { case (label, pred) =>
+      val pf = executedPlan(graft.query.Search.topK(
+        spark, dir, Seq("w0", "w1"), "or", 10, attrFilter = pred))
+      assert(!pf.contains("/docs"), s"[$label] filtered plan scans the docs table:\n$pf")
+      assert(exchanges(pf) == exchanges(pu),
+        s"[$label] filtered plan has extra exchanges: ${exchanges(pf)} vs ${exchanges(pu)}")
+      assert(scans(pf) == scans(pu),
+        s"[$label] filtered plan has extra scans: ${scans(pf)} vs ${scans(pu)}")
+    }
   }
 
   test("facet aggregation: postings-only scan, doc values from the sidecar, one tiny agg exchange") {
