@@ -35,6 +35,7 @@ object DenseId {
       df: DataFrame, orderCol: String, idCol: String, numPartitions: Int
   ): (DataFrame, Long) = {
     val spark = df.sparkSession
+    val n = df.schema.size
     val sortedRdd = df
       .repartitionByRange(numPartitions, col(orderCol))
       .sortWithinPartitions(orderCol)
@@ -47,15 +48,58 @@ object DenseId {
       .sortBy(_._1)
     val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
     val bOffsets = spark.sparkContext.broadcast(offsets)
-    // pass 2: zip local rank + broadcast offset
+    // pass 2: zip local rank + broadcast offset. Rows rebuilt via one
+    // preallocated array (the old `row.toSeq :+ id` built two Seqs per
+    // row — measurable at 10^6-rows-per-second rates)
     val schema = df.schema.add(idCol, org.apache.spark.sql.types.LongType, nullable = false)
     val rdd = sortedRdd.mapPartitionsWithIndex { case (pid, it) =>
       val base = bOffsets.value(pid)
-      it.zipWithIndex.map { case (row, i) =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (base + i))
+      var i = 0L
+      it.map { row =>
+        val arr = new Array[Any](n + 1)
+        var j = 0
+        while (j < n) { arr(j) = row.get(j); j += 1 }
+        arr(n) = base + i
+        i += 1
+        org.apache.spark.sql.Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
       }
     }
     (spark.createDataFrame(rdd, schema), offsets.last)
+  }
+
+  /** TYPED fast path for the build pipeline's page staging: same two-pass
+    * scheme over a tuple Dataset — the data stays JVM tuples end to end
+    * (no generic `Row` rebuild and, crucially, no `createDataFrame`
+    * converter pass over every field of every row; `createDataset` plans
+    * an ExternalRDD + codegen'd SerializeFromObject instead). Returns
+    * (doc_id, url, warc_ts, lang, text) with the count.
+    */
+  def assignPages(
+      ds: org.apache.spark.sql.Dataset[(String, java.sql.Timestamp, String, String)],
+      numPartitions: Int
+  ): (org.apache.spark.sql.Dataset[(Long, String, java.sql.Timestamp, String, String)], Long) = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val sortedRdd = ds
+      .repartitionByRange(numPartitions, col("_1"))
+      .sortWithinPartitions("_1")
+      .rdd // one lineage: the zip job reuses the count job's shuffle files
+    val counts = sortedRdd
+      .mapPartitionsWithIndex { case (pid, it) => Iterator((pid, it.size.toLong)) }
+      .collect()
+      .sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val rdd = sortedRdd.mapPartitionsWithIndex { case (pid, it) =>
+      val base = bOffsets.value(pid)
+      var i = 0L
+      it.map { case (url, ts, lang, text) =>
+        val r = (base + i, url, ts, lang, text)
+        i += 1
+        r
+      }
+    }
+    (spark.createDataset(rdd), offsets.last)
   }
 
   /** Small-data variant (≤ a few million rows, e.g. test fixtures and the

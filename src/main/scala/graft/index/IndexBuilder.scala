@@ -213,10 +213,13 @@ object IndexBuilder {
           require(extracted == p.text, s"extract invariant violated for ${p.url}")
           (p.url, p.warc_ts, p.lang, extracted)
         }
-      }.toDF("url", "warc_ts", "lang", "text")
+      }
 
+      // typed two-pass dense-id: rows stay JVM tuples through the zip
+      // pass (no Row rebuild / converter pass — the r3 bench's second-
+      // largest stage was this read)
       val (withIds, total) =
-        timed("dense-id")(DenseId.assignWithCount(prepared, "url", "doc_id", cfg.nPartitions))
+        timed("dense-id")(DenseId.assignPages(prepared, cfg.nPartitions))
       val nDocs = math.max(1L, total)
 
       // corpus token total rides the write job as an accumulator instead
@@ -227,8 +230,6 @@ object IndexBuilder {
       // state machine as tokenize() but no token-string allocations.
       val tokenAcc = spark.sparkContext.longAccumulator("graft.total_tokens")
       timed("docs-write")(withIds
-        .select($"doc_id", $"url", $"warc_ts", $"lang", $"text")
-        .as[(Long, String, java.sql.Timestamp, String, String)]
         .map { case (id, url, ts, lang, text) =>
           val dl = Analyzer.tokenCount(text)
           tokenAcc.add(dl.toLong)
@@ -353,8 +354,9 @@ object IndexBuilder {
         // Two exchange shapes, identical output bytes (tested):
         //  - row shuffle (default): one row per posting through Spark's
         //    spillable sort — lowest CPU; right when the shuffle medium is
-        //    page-cached local disk (this box: measured 50.3k vs 37.8k
-        //    docs/s over the combine at 32 pinned cores).
+        //    page-cached local disk (this box, paired quiet-window A/B at
+        //    3.84M docs: 64.5k vs 53.9k docs/s over the combine at 32
+        //    pinned cores; the combine only wins at 8 cores, +11.5%).
         //  - mapSideCombine: each map task pre-aggregates postings per
         //    (term, slice) into packed varbyte chunk rows (~6-9 B/posting
         //    vs ~50 B row-wise; term string once per task instead of per
