@@ -66,6 +66,7 @@ object BlockMaxWand {
         tfs = Codec.decodeIntsAuto(b.tfs, b.count)
         dls = Codec.decodeIntsAuto(b.dls, b.count)
         poscache = null
+        BlockMaxWand.blockDecodes.add(1L)
       }
     }
 
@@ -140,6 +141,20 @@ object BlockMaxWand {
     def skipBlock(): Unit = {
       if (!exhausted) { bi += 1; i = 0; ids = null; decodeIfNeeded() }
     }
+
+    /** METADATA-ONLY advance: move past every block ending before
+      * `target` without decoding any payload — the skip-gate loop bounds
+      * successive blocks purely from (docIdMax, maxImpact) columns and
+      * only the block that finally beats θ gets decoded (by the next
+      * doc/advance access). This is what makes the gate cheap: a decode
+      * per skipped block would erase most of the win.
+      */
+    def shallowAdvance(target: Long): Unit = {
+      if (bi < blocks.length && blocks(bi).docIdMax >= target) return
+      while (bi < blocks.length && blocks(bi).docIdMax < target) {
+        bi += 1; i = 0; ids = null
+      }
+    }
   }
 
   private val Bound = 1.0 + 1e-9
@@ -149,6 +164,12 @@ object BlockMaxWand {
     * local-mode task threads can bump it contention-free. Test-facing.
     */
   private[graft] val posBlockDecodes = new java.util.concurrent.atomic.LongAdder
+
+  /** Count of posting-block payload decodes — observability for the
+    * block-max skip gates (a gated AND/OR must leave most blocks of a
+    * common term undecoded once top-k is full). Test-facing.
+    */
+  private[graft] val blockDecodes = new java.util.concurrent.atomic.LongAdder
 
   /** `maxImpact` is whatever bound the READER chose for its avgdl: the
     * stored exact `max_impact` when querying with the index's own avgdl,
@@ -389,22 +410,34 @@ object BlockMaxWand {
         val theta = top.threshold
         var gated = false
         if (theta != Double.NegativeInfinity) {
-          var minImp = Double.MaxValue
-          var minLast = Long.MaxValue
-          var j = 0
-          while (j < iters.length) {
-            val imp = iters(j).blockMaxImpact
-            if (imp < minImp) minImp = imp
-            val bl = iters(j).blockLastDoc
-            if (bl < minLast) minLast = bl
-            j += 1
-          }
-          if (idfSum * minImp * Bound <= theta) {
-            target = minLast + 1
-            gated = true
+          // metadata-only skip loop (same shape as and()): runs of
+          // hopeless blocks are crossed with zero payload/position decodes
+          var loop = true
+          while (loop && !done) {
+            var minImp = Double.MaxValue
+            var minLast = Long.MaxValue
+            var j = 0
+            while (j < iters.length && !done) {
+              if (iters(j).exhausted) done = true
+              else {
+                val imp = iters(j).blockMaxImpact
+                if (imp < minImp) minImp = imp
+                val bl = iters(j).blockLastDoc
+                if (bl < minLast) minLast = bl
+              }
+              j += 1
+            }
+            if (!done) {
+              if (idfSum * minImp * Bound <= theta) {
+                target = minLast + 1
+                var a = 0
+                while (a < iters.length) { iters(a).shallowAdvance(target); a += 1 }
+                gated = true
+              } else loop = false
+            }
           }
         }
-        if (!gated) {
+        if (!done && !gated) {
           val poss = iters.map(_.positions)
           val freq = phraseFreq(poss, offsets)
           if (freq > 0) {
@@ -572,6 +605,14 @@ object BlockMaxWand {
   /** Top-k conjunctive (AND) retrieval: leapfrog intersection with block
     * skipping; exact scores summed in query-term order.
     * `filter` (nullable) joins the leapfrog as a non-scoring conjunct.
+    *
+    * Block-max skip gate (same shape phrase mode carries): once top-k is
+    * full, any aligned doc d inside the current blocks scores at most
+    * Σ_t idf_t · maxImpact(t's current block); while that sum can't beat
+    * θ, EVERY doc covered by all current blocks is hopeless — jump past
+    * the tightest block end without scoring (for two common terms the
+    * intersection is corpus-sized, and the ungated loop decoded and
+    * scored all of it). Bounds only gate skips, so rank identity holds.
     */
   def and(iters: Array[PostingIter], k: Int, filter: DocFilter = null,
       after: Hit = null): Array[Hit] = {
@@ -594,11 +635,45 @@ object BlockMaxWand {
         t += 1
       }
       if (!done && aligned) {
-        var s = 0.0
-        var u = 0
-        while (u < iters.length) { s += iters(u).score; u += 1 }
-        top.offer(Hit(target, s))
-        target += 1
+        val theta = top.threshold
+        var gated = false
+        if (theta != Double.NegativeInfinity) {
+          // Σ per-iter current-block score bound vs θ (blockMaxScore
+          // already carries the float-safety inflation). The skip loop is
+          // METADATA-ONLY: while the bound can't beat θ, shallow-advance
+          // past the tightest block end and re-bound the next blocks —
+          // a long run of hopeless blocks costs zero payload decodes.
+          var loop = true
+          while (loop && !done) {
+            var bacc = 0.0
+            var minLast = Long.MaxValue
+            var j = 0
+            while (j < iters.length && !done) {
+              if (iters(j).exhausted) done = true
+              else {
+                bacc += iters(j).blockMaxScore
+                val bl = iters(j).blockLastDoc
+                if (bl < minLast) minLast = bl
+              }
+              j += 1
+            }
+            if (!done) {
+              if (bacc <= theta) {
+                target = minLast + 1
+                var a = 0
+                while (a < iters.length) { iters(a).shallowAdvance(target); a += 1 }
+                gated = true
+              } else loop = false
+            }
+          }
+        }
+        if (!done && !gated) {
+          var s = 0.0
+          var u = 0
+          while (u < iters.length) { s += iters(u).score; u += 1 }
+          top.offer(Hit(target, s))
+          target += 1
+        }
       }
     }
     top.result

@@ -75,6 +75,21 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(not.contains(2L) && !not.contains(3L) && !not.contains(5L) && not.contains(6L))
     assert(not.ceil(7L) == 7L && !not.contains(9L) && not.ceil(9L) == 10L)
 
+    // run-aware hop: a million-id consecutive tombstone run is crossed in
+    // O(log run) binary-search probes, not a million matches() calls —
+    // correctness checked here, the complexity by the run finishing fast
+    val runStart = 10L
+    val runLen = 1 << 20
+    val bigRun = Array.tabulate(runLen)(j => runStart + j) ++ Array(5000000L, 5000002L)
+    val runSet = new SortedIdsSet(bigRun)
+    assert(runSet.nextAbsent(5L) == 5L) // before the run: absent immediately
+    assert(runSet.nextAbsent(runStart + 17) == runStart + runLen, "hop to run end")
+    assert(runSet.matches(5000000L) && runSet.nextAbsent(5000002L) == 5000003L)
+    val notBig = new NotFilter(new SortedIdsSet(bigRun))
+    assert(notBig.ceil(runStart) == runStart + runLen)
+    assert(notBig.ceil(runStart + runLen) == runStart + runLen) // idempotent re-probe
+    assert(notBig.ceil(5000001L) == 5000001L)
+
     // AND of two allow-lists via complement arithmetic: allowed = evens ∧ not {4,6}
     val evens = new BlockMaxWand.FilterIter(Array(0L, 2L, 4L, 6L, 8L, 10L))
     val excl = new NotFilter(new SortedIdsSet(Array(4L, 6L)))

@@ -67,6 +67,46 @@ class WandPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("AND block-max gate: common-term intersection skips block decodes, rank-safe") {
+    // two corpus-wide terms (intersection = corpus-sized): the ungated
+    // leapfrog decoded and scored every posting; with the skip gate, once
+    // top-k holds the high-impact docs every uniform block's Σ bound is
+    // below θ and is jumped without decoding. Pure unit shape — synthetic
+    // blocks, no Spark.
+    import graft.query.BlockMaxWand
+    import graft.query.BlockMaxWand.{BlockRef, PostingIter}
+    import graft.functions.Codec
+    import graft.index.IndexBuilder.impact
+    val n = 10000
+    val blockSize = 128
+    val avgDl = 100.0
+    val special = Set(100L, 150L) // early high-impact docs → θ rises fast
+    def blocksOf(): Array[BlockRef] =
+      (0 until n by blockSize).map { start =>
+        val ids = (start until math.min(n, start + blockSize)).map(_.toLong).toArray
+        val tfs = ids.map(i => if (special(i)) 50 else 1)
+        val dls = ids.map(i => if (special(i)) 10 else 100)
+        val maxImp = ids.indices.map(j => impact(tfs(j), dls(j), avgDl)).max
+        BlockRef(ids.head, ids.last, ids.length,
+          Codec.encodeGapsFromBase(ids), Codec.encodeIntsAuto(tfs),
+          Codec.encodeIntsAuto(dls), Array.empty[Byte], maxImp)
+      }.toArray
+    val idf = 0.5
+    val nBlocks = blocksOf().length
+    BlockMaxWand.blockDecodes.reset()
+    val hits = BlockMaxWand.and(
+      Array(new PostingIter(0, idf, blocksOf(), avgDl),
+            new PostingIter(1, idf, blocksOf(), avgDl)), 2)
+    val decodes = BlockMaxWand.blockDecodes.sum()
+    // rank + score identity: the two special docs, exact BM25 sum
+    assert(hits.map(_.docId).toSeq == Seq(100L, 150L), hits.mkString(","))
+    hits.foreach(h =>
+      assert(math.abs(h.score - 2 * idf * impact(50, 10, avgDl)) < 1e-12))
+    // the gate must leave the overwhelming majority of the 2×79 blocks
+    // undecoded (ungated this is exactly 2×79)
+    assert(decodes <= 8, s"AND gate decoded $decodes of ${2 * nBlocks} blocks")
+  }
+
   test("filtered WAND and phrase ≡ naive oracles on random corpora (8 corpora)") {
     import org.apache.spark.sql.functions.col
     (0 until 8).foreach { trial =>
