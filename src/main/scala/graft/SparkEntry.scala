@@ -410,6 +410,14 @@ object SparkEntry {
       Search.prefixTopK(s, indexFor(s, dir), "s", 10)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
+    // ES wildcard query (term-level family completed): s?a* expands via
+    // the anchored-regex dictionary scan (literal-prefix pushdown cut) to
+    // {scan, small, spark}; exhaustive LIKE oracle mirrors s_a%
+    "q_bm25_wildcard" -> { (s, dir) =>
+      import s.implicits._
+      Search.wildcardTopK(s, indexFor(s, dir), "s?a*", 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
     // bool.must_not: docs containing the excluded term can't match; scores
     // stay corpus-global (exclusion is non-scoring — ES bool semantics).
     // The excluded term's blocks ride the same exchange; each slice task
@@ -457,6 +465,21 @@ object SparkEntry {
         FieldedSearch.Field("body", indexFor(s, dir), 1.0)
       )
       FieldedSearch.topK(s, fields, QueryOr, 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // fielded term-level rewrite (ES multi_match + prefix): the prefix
+    // expands against EACH field dictionary; per-(field, term) masks keep
+    // a rewrite inside the field whose dictionary produced it; the
+    // uncapped exhaustive LIKE oracle is exact because both vocabularies
+    // expand below the cap
+    "q_bm25_fielded_prefix" -> { (s, dir) =>
+      import s.implicits._
+      import graft.query.FieldedSearch
+      val fields = Seq(
+        FieldedSearch.Field("title", titleIndexFor(s, dir), 2.0),
+        FieldedSearch.Field("body", indexFor(s, dir), 1.0)
+      )
+      FieldedSearch.prefixTopK(s, fields, "s", 10)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
     // exact-phrase top-k (≙ ES match_phrase over an analyzed text field;
@@ -768,8 +791,9 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY sco
     * = full text (boost 1.0); per-field tf/df/dl/avgdl; score = Σ_f
     * boost·idf·impact; candidates = any field matches.
     */
-  private def fieldedOracleSql(terms: Seq[String]): String = {
+  private def fieldedOracleSql(terms: Seq[String], termPred: String = ""): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
+    val tp = if (termPred.isEmpty) s"term IN ($inList)" else termPred
     s"""WITH tdoc AS (
   SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS text FROM documents
 ), btoks AS (
@@ -782,8 +806,8 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY sco
 ), tall AS (SELECT d.doc_id, coalesce(tdl.dl, 0) AS dl FROM documents d LEFT JOIN tdl USING (doc_id)
 ), bstats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM ball
 ), tstats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM tall
-), btf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM btoks WHERE term IN ($inList) GROUP BY 1, 2
-), ttf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ttoks WHERE term IN ($inList) GROUP BY 1, 2
+), btf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM btoks WHERE $tp GROUP BY 1, 2
+), ttf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ttoks WHERE $tp GROUP BY 1, 2
 ), bdf AS (SELECT term, count(*)::DOUBLE AS df FROM btf GROUP BY 1
 ), tdf AS (SELECT term, count(*)::DOUBLE AS df FROM ttf GROUP BY 1
 ), bscore AS (
@@ -935,6 +959,7 @@ GROUP BY 1""",
     "q_bm25_msm" -> bm25OracleSql(QueryOr, and = false, msm = 2),
     "q_bm25_page2" -> bm25OracleSql(QueryOr, and = false, offset = 10),
     "q_bm25_prefix" -> bm25OracleSql(Nil, and = false, termWhere = "term LIKE 's%'"),
+    "q_bm25_wildcard" -> bm25OracleSql(Nil, and = false, termWhere = "term LIKE 's_a%'"),
     "q_bm25_fuzzy" -> bm25OracleSql(Nil, and = false, termWhere = "levenshtein(term, 'merg') <= 1"),
     "q_bm25_explain" -> {
       val inList = QueryOr.map(t => s"'$t'").mkString(", ")
@@ -999,6 +1024,7 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY sco
     "q_bm25_purged" -> bm25OracleSql(QueryOr, and = false, purgeWhere = "lang = 'de'"),
     "q_bm25_phrase" -> phraseOracleSql(QueryPhrase),
     "q_bm25_fielded" -> fieldedOracleSql(QueryOr),
+    "q_bm25_fielded_prefix" -> fieldedOracleSql(Nil, termPred = "term LIKE 's%'"),
     // fielded over 2-segment families must equal the single-index fielded
     // answer — same oracle
     "q_bm25_fielded_multiseg" -> fieldedOracleSql(QueryOr),

@@ -298,6 +298,26 @@ object AttrSidecar {
     } finally c.close()
   }
 
+  /** [[matchingDocIds]] with a memory cap: null once more than `cap` ids
+    * match — the batch path then serves that predicate with per-query
+    * streaming cursors (O(1) memory) instead of a materialized list. A
+    * BROAD filter must never cost matches-sized task memory per distinct
+    * predicate (r3 verdict: batch-path filter memory discipline).
+    */
+  def matchingDocIdsCapped(indexDir: String, slice: Int, pred: AttrPred, cap: Int): Array[Long] = {
+    val c = openCursor(indexDir, slice, pred)
+    try {
+      val out = new scala.collection.mutable.ArrayBuffer[Long]
+      var id = c.ceil(0L)
+      while (id != Long.MaxValue) {
+        out += id
+        if (out.size > cap) return null
+        id = c.ceil(id + 1)
+      }
+      out.toArray
+    } finally c.close()
+  }
+
   /** Open a VALUE reader over one slice's sidecar (aggregations: the
     * caller walks ascending matched doc ids and reads each one's
     * attributes — ES doc-values exactly as its aggregation phase uses

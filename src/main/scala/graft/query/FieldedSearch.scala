@@ -38,18 +38,27 @@ object FieldedSearch {
     * field's slice sidecar node-locally (no doc-id exchange); `docFilter`
     * (nullable Column) is the ad-hoc allow-list path.
     */
+  /** `perFieldTerms` (nullable): per-field allowed term subset — the
+    * fielded prefix/fuzzy rewrites expand PER FIELD dictionary (ES
+    * multi_match rewrites each field against its own terms), so a term
+    * may participate in one field and not another; masked-out (field,
+    * term) pairs neither score nor make docs candidates.
+    */
   def topK(
       spark: SparkSession,
       fields: Seq[Field],
       queryTerms: Seq[String],
       k: Int,
       docFilter: Column = null,
-      attrFilter: AttrPred = null
+      attrFilter: AttrPred = null,
+      perFieldTerms: Seq[Set[String]] = null
   ): DataFrame = {
     import spark.implicits._
     require(fields.nonEmpty)
     require(docFilter == null || attrFilter == null,
       "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
+    require(perFieldTerms == null || perFieldTerms.size == fields.size,
+      "perFieldTerms must align with fields")
     val terms = queryTerms.distinct
 
     val stats = fields.map(f => IndexBuilder.readStats(spark, f.indexDir))
@@ -76,12 +85,19 @@ object FieldedSearch {
     val weights: Array[Array[Double]] = Array.tabulate(fields.size) { fi =>
       qTerms.map(t => boosts(fi) * NaiveBm25.idf(n, dfs(fi).getOrElse(t, 0L)))
     }
-    val bCtx = spark.sparkContext.broadcast((qTerms, weights, avgDls))
+    // per-(field, term) participation mask (all-true without a rewrite)
+    val mask: Array[Array[Boolean]] = Array.tabulate(fields.size) { fi =>
+      qTerms.map(t => perFieldTerms == null || perFieldTerms(fi).contains(t))
+    }
+    val bCtx = spark.sparkContext.broadcast((qTerms, weights, avgDls, mask))
 
     val blocks = fields.zipWithIndex
       .map { case (f, fi) =>
+        // per-field pushdown follows the field's own rewrite set: blocks
+        // of masked-out (field, term) pairs never leave the scan
+        val fTerms = if (perFieldTerms == null) terms else terms.filter(perFieldTerms(fi))
         IndexBuilder.readPostings(spark, f.indexDir)
-          .where($"term".isin(terms: _*))
+          .where($"term".isin(fTerms: _*))
           .select(
             lit(fi).as("fld"), $"slice", $"term", $"block_id", $"doc_id_min",
             $"doc_id_max", $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
@@ -96,12 +112,13 @@ object FieldedSearch {
     def wand(slice: Int,
              rows: Iterator[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)],
              base: DocFilter): Iterator[Search.QueryHit] = {
-      val (ts, ws, avgs) = bCtx.value
+      val (ts, ws, avgs, msk) = bCtx.value
       val byFieldTerm = rows.toArray.groupBy(r => (r._1, r._3))
       // iterator order: fields outer × terms inner (the scoring contract)
       val iters = (for {
         fi <- avgs.indices.iterator
         ti <- ts.indices.iterator
+        if msk(fi)(ti)
         rs <- byFieldTerm.get((fi, ts(ti))).iterator
       } yield {
         val refs = rs
@@ -147,6 +164,69 @@ object FieldedSearch {
       }
 
     localTopK.toDF().orderBy(desc("score"), asc("doc_id")).limit(k)
+  }
+
+  /** Fielded ES prefix query (`multi_match` carries term-level rewrites):
+    * the prefix expands against EACH field's own dictionary (range read,
+    * df-desc cap per field — a term hot in the title need not be in the
+    * body's cap and vice versa), then one most_fields WAND over the union
+    * with per-(field, term) masks: a rewrite participates only in the
+    * field whose dictionary produced it. Scoring stays scoring_boolean
+    * (per-expansion per-field idf), composing with filter context.
+    */
+  def prefixTopK(
+      spark: SparkSession,
+      fields: Seq[Field],
+      prefix: String,
+      k: Int,
+      maxExpansions: Int = 128,
+      docFilter: Column = null,
+      attrFilter: AttrPred = null
+  ): DataFrame = {
+    import spark.implicits._
+    require(prefix.nonEmpty, "empty prefix")
+    val perField = fields.map { f =>
+      IndexBuilder.readTerms(spark, f.indexDir)
+        .where($"term".startsWith(prefix))
+        .orderBy(desc("doc_freq"), asc("term"))
+        .limit(maxExpansions)
+        .collect().map(_.term).toSet
+    }
+    val union = perField.reduce(_ ++ _).toSeq.sorted
+    if (union.isEmpty) return spark.emptyDataset[Search.QueryHit].toDF()
+    topK(spark, fields, union, k, docFilter, attrFilter, perFieldTerms = perField)
+  }
+
+  /** Fielded ES fuzzy query — `multi_match` accepts `fuzziness`
+    * (`ElasticSearchStorage.cs` fields are queried together in practice):
+    * per-field dictionary edit-distance expansion (codegen levenshtein +
+    * length pre-cut, df-desc cap per field), then the same masked
+    * most_fields WAND as [[prefixTopK]].
+    */
+  def fuzzyTopK(
+      spark: SparkSession,
+      fields: Seq[Field],
+      term: String,
+      k: Int,
+      maxEdits: Int = 1,
+      maxExpansions: Int = 64,
+      docFilter: Column = null,
+      attrFilter: AttrPred = null
+  ): DataFrame = {
+    import spark.implicits._
+    require(term.nonEmpty, "empty term")
+    require(maxEdits >= 0 && maxEdits <= 2, "ES caps fuzziness at 2 edits")
+    val perField = fields.map { f =>
+      IndexBuilder.readTerms(spark, f.indexDir)
+        .where(abs(length($"term") - lit(term.length)) <= maxEdits)
+        .where(levenshtein($"term", lit(term)) <= maxEdits)
+        .orderBy(desc("doc_freq"), asc("term"))
+        .limit(maxExpansions)
+        .collect().map(_.term).toSet
+    }
+    val union = perField.reduce(_ ++ _).toSeq.sorted
+    if (union.isEmpty) return spark.emptyDataset[Search.QueryHit].toDF()
+    topK(spark, fields, union, k, docFilter, attrFilter, perFieldTerms = perField)
   }
 
   /** Fielded EXACT-PHRASE top-k (ES `most_fields` over `match_phrase`

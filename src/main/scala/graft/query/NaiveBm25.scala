@@ -93,7 +93,8 @@ object NaiveBm25 {
       fieldCorpora: Seq[(Seq[(Long, String)], Double)], // (docId→fieldText, boost)
       terms: Seq[String],
       k: Int,
-      allowed: Long => Boolean = null
+      allowed: Long => Boolean = null,
+      perFieldTerms: Seq[Set[String]] = null // per-field rewrite mask (fielded prefix/fuzzy)
   ): Seq[Scored] = {
     val ts = terms.distinct
     val perField = fieldCorpora.map { case (corpus, boost) =>
@@ -116,12 +117,14 @@ object NaiveBm25 {
     val scored = ids.flatMap { id =>
       var s = 0.0
       var any = false
-      perField.foreach { case (docs, avgDl, idfs, boost) =>
+      perField.zipWithIndex.foreach { case ((docs, avgDl, idfs, boost), fi) =>
         val (dl, tfs) = docs(id)
         ts.foreach { t =>
-          tfs.get(t).foreach { tf =>
-            any = true
-            s += boost * idfs(t) * (tf / (tf + K1 * (1 - B + B * dl / avgDl)))
+          if (perFieldTerms == null || perFieldTerms(fi).contains(t)) {
+            tfs.get(t).foreach { tf =>
+              any = true
+              s += boost * idfs(t) * (tf / (tf + K1 * (1 - B + B * dl / avgDl)))
+            }
           }
         }
       }

@@ -309,6 +309,68 @@ object Search {
     topK(spark, indexDir, expansions, "or", k, docFilter, attrFilter, mustNot)
   }
 
+  /** ES wildcard query (`{"wildcard": {"text": "s?a*"}}`): `*` = any run,
+    * `?` = one char, anything else literal. Compiles to an anchored regex
+    * and rides [[regexpTopK]]'s dictionary expansion; a literal prefix
+    * before the first wildcard becomes a parquet `StringStartsWith`
+    * pre-cut so the dictionary scan stays a range read (a LEADING
+    * wildcard scans the full terms table — orders smaller than postings,
+    * but worth knowing, exactly as in ES).
+    */
+  def wildcardTopK(
+      spark: SparkSession,
+      indexDir: String,
+      pattern: String,
+      k: Int,
+      maxExpansions: Int = 128,
+      docFilter: Column = null,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil
+  ): DataFrame = {
+    require(pattern.nonEmpty, "empty wildcard pattern")
+    val sb = new StringBuilder
+    pattern.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    val prefix = pattern.takeWhile(c => c != '*' && c != '?')
+    regexpTopK(spark, indexDir, sb.toString(), k, maxExpansions,
+      docFilter, attrFilter, mustNot, prefixHint = prefix)
+  }
+
+  /** ES regexp query: expand the ANCHORED regex (Java syntax) against the
+    * term dictionary — a distributed column-pruned scan with the codegen
+    * `rlike` expression, `prefixHint` as a pushdown range pre-cut — then
+    * the standard OR WAND over the ≤ `maxExpansions` rewrites (df-desc
+    * cap, per-expansion idf: scoring_boolean, the same contract as
+    * prefix/fuzzy). The whole bool vocabulary composes because the
+    * rewrite IS a bool query.
+    */
+  def regexpTopK(
+      spark: SparkSession,
+      indexDir: String,
+      regex: String,
+      k: Int,
+      maxExpansions: Int = 128,
+      docFilter: Column = null,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      prefixHint: String = ""
+  ): DataFrame = {
+    import spark.implicits._
+    require(regex.nonEmpty, "empty regex")
+    val base = IndexBuilder.readTerms(spark, indexDir)
+    val cut = if (prefixHint.isEmpty) base else base.where($"term".startsWith(prefixHint))
+    val expansions = cut
+      .where($"term".rlike(s"^(?:$regex)$$"))
+      .orderBy(desc("doc_freq"), asc("term"))
+      .limit(maxExpansions)
+      .collect().map(_.term).toSeq
+    if (expansions.isEmpty) return spark.emptyDataset[QueryHit].toDF()
+    topK(spark, indexDir, expansions, "or", k, docFilter, attrFilter, mustNot)
+  }
+
   /** ES "fetch phase": join top-k hits back to their stored doc fields
     * (url, warc_ts, lang, doc_len — never `text` unless asked: the docs
     * scan is column-pruned). Hits are ≤ k rows → broadcast side of the

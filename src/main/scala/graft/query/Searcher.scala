@@ -24,7 +24,15 @@ import graft.query.BlockMaxWand.{BlockRef, PostingIter}
   * north rule's "query set" is measured on. [[Search.topK]] remains the
   * single-ad-hoc-query path.
   */
-final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boolean = false) {
+final class Searcher(
+    spark: SparkSession, indexDir: String, cachePostings: Boolean = false,
+    // per-slice-task memory cap on MATERIALIZED filter allow-lists, in ids
+    // (8 B each) per distinct predicate: selective predicates share one
+    // decoded array across the batch's queries; a predicate broader than
+    // the cap falls back to per-query STREAMING sidecar cursors (O(1)
+    // memory, one extra file decode per query) — task memory stays bounded
+    // at any selectivity × any number of distinct predicates
+    attrAllowListCap: Int = 1 << 20) {
   import spark.implicits._
 
   val stats = IndexBuilder.readStats(spark, indexDir)
@@ -81,6 +89,7 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
     // locals only — the task closure must not capture `this` (it holds the
     // SparkSession and cached DataFrames, none serializable)
     val avg = avgDl
+    val cap = attrAllowListCap
     val localTopK = postings
       .where($"term".isin(presentTerms: _*))
       .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
@@ -90,10 +99,14 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
           t -> rs.sortBy(r => (r._4, r._3))
             .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
         }
-        // distinct predicates resolved once per slice task
+        // distinct predicates resolved once per slice task — materialized
+        // only while ≤ cap matches (null marker = too broad: those preds
+        // get a fresh streaming cursor per query instead, so task memory
+        // never scales with selectivity × distinct predicates)
         val allowLists = scala.collection.mutable.HashMap.empty[graft.index.AttrPred, Array[Long]]
         def allowOf(p: graft.index.AttrPred): Array[Long] =
-          allowLists.getOrElseUpdate(p, graft.index.AttrSidecar.matchingDocIds(idxDir, slice, p))
+          allowLists.getOrElseUpdate(
+            p, graft.index.AttrSidecar.matchingDocIdsCapped(idxDir, slice, p, cap))
         // slice tombstones read once, shared read-only across queries
         // (each query wraps them in its own cursor)
         val tombIds: Array[Long] =
@@ -103,8 +116,16 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
           val iters = qTerms.iterator.zipWithIndex.flatMap { case (t, ti) =>
             byTerm.get(t).map(refs => new PostingIter(ti, idfs(ti), refs, avg))
           }.toArray
+          var streaming: AutoCloseable = null
           var filter: DocFilter =
-            if (attr == null) null else new BlockMaxWand.FilterIter(allowOf(attr))
+            if (attr == null) null
+            else allowOf(attr) match {
+              case null =>
+                val cur = graft.index.AttrSidecar.openCursor(idxDir, slice, attr)
+                streaming = cur
+                cur
+              case arr => new BlockMaxWand.FilterIter(arr)
+            }
           val exIters = exT.iterator.flatMap(t =>
             byTerm.get(t).map(refs => new PostingIter(0, 0.0, refs, avg))).toArray
           if (exIters.nonEmpty)
@@ -112,10 +133,12 @@ final class Searcher(spark: SparkSession, indexDir: String, cachePostings: Boole
           if (tombIds.nonEmpty)
             filter = Filters.and(filter, new NotFilter(new SortedIdsSet(tombIds)))
           val hits =
-            if (isAnd) {
-              if (iters.length < qTerms.length) Array.empty[BlockMaxWand.Hit]
-              else BlockMaxWand.and(iters, k, filter)
-            } else BlockMaxWand.or(iters, k, filter, msm)
+            try {
+              if (isAnd) {
+                if (iters.length < qTerms.length) Array.empty[BlockMaxWand.Hit]
+                else BlockMaxWand.and(iters, k, filter)
+              } else BlockMaxWand.or(iters, k, filter, msm)
+            } finally if (streaming != null) streaming.close() // WAND is eager
           hits.iterator.map(h => (qid, h.docId, h.score))
         }
       }

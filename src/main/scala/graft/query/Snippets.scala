@@ -59,6 +59,92 @@ object Snippets {
     hits.join(broadcast(snippets), Seq("doc_id"), "left")
   }
 
+  /** Highlight for PHRASE hits (ES unified highlighter on match_phrase):
+    * the exact phrase is wrapped as ONE `pre`…`post` unit — a lone
+    * occurrence of an individual phrase term is NOT highlighted, and the
+    * winning fragment is the window containing the most complete phrase
+    * occurrences (leftmost tie). Same hydrate shape as [[highlight]].
+    */
+  def highlightPhrase(
+      spark: SparkSession,
+      indexDir: String,
+      hits: DataFrame,
+      phraseTerms: Seq[String],
+      window: Int = 20,
+      pre: String = "<em>",
+      post: String = "</em>"
+  ): DataFrame = {
+    import spark.implicits._
+    require(window > 0, "window must be positive")
+    require(phraseTerms.nonEmpty, "empty phrase")
+    val bCtx = spark.sparkContext.broadcast((phraseTerms, window, pre, post))
+    val snippets = Search.hydrate(spark, indexDir, hits, withText = true)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (ph, win, p0, p1) = bCtx.value
+        (id, phraseSnippetOf(text, ph, win, p0, p1))
+      }
+      .toDF("doc_id", "snippet")
+    hits.join(broadcast(snippets), Seq("doc_id"), "left")
+  }
+
+  /** Pure phrase-fragment builder (driver/test-callable). Occurrences are
+    * matched greedily left-to-right without overlap; a window shorter
+    * than the phrase is widened to fit it.
+    */
+  def phraseSnippetOf(
+      text: String,
+      phrase: Seq[String],
+      window: Int,
+      pre: String,
+      post: String
+  ): String = {
+    val (toks, starts, ends) = Analyzer.tokenizeWithOffsets(text)
+    if (toks.isEmpty) return ""
+    val L = phrase.size
+    val w = math.min(math.max(window, L), toks.length)
+    // phrase occurrence start positions (greedy, non-overlapping)
+    val occ = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var p = 0
+    while (p + L <= toks.length) {
+      var ok = true
+      var j = 0
+      while (ok && j < L) { if (toks(p + j) != phrase(j)) ok = false; j += 1 }
+      if (ok) { occ += p; p += L } else p += 1
+    }
+    // best window = most complete occurrences inside [s, s+w), leftmost tie
+    var best = 0
+    var bestCount = -1
+    var s = 0
+    while (s + w <= toks.length || s == 0) {
+      val cw = math.min(w, toks.length - s)
+      val c = occ.count(o => o >= s && o + L <= s + cw)
+      if (c > bestCount) { bestCount = c; best = s }
+      s += 1
+    }
+    val inWin = occ.filter(o => o >= best && o + L <= best + w).toSet
+    val sb = new StringBuilder
+    var i = best
+    var pos = starts(best)
+    val until = math.min(best + w, toks.length)
+    while (i < until) {
+      sb.append(text.substring(pos, starts(i)))
+      if (inWin(i)) {
+        // the WHOLE phrase occurrence is one highlight unit, inner
+        // separators preserved from the original text
+        sb.append(pre).append(text.substring(starts(i), ends(i + L - 1))).append(post)
+        pos = ends(i + L - 1)
+        i += L
+      } else {
+        sb.append(text.substring(starts(i), ends(i)))
+        pos = ends(i)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** Pure fragment builder (driver/test-callable). */
   def snippetOf(
       text: String,

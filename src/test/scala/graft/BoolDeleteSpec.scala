@@ -343,6 +343,31 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(Search.prefixTopK(spark, dir.toString, "zzzz", 10)).isEmpty)
   }
 
+  test("wildcard/regexp query ≡ OR over the anchored-pattern expansion") {
+    val vocab = corpus.flatMap { case (_, t) => Analyzer.tokenize(t) }.distinct
+    // trailing wildcard + single-char: w12? → w120..w129 (not w12 itself)
+    val exps = vocab.filter(_.matches("w12.")).sorted
+    assume(exps.size > 2 && exps.size < 128, s"moderate expansion wanted: $exps")
+    val exp = NaiveBm25.topK(corpus, exps, "or", 10)
+    val gotD = got(Search.wildcardTopK(spark, dir.toString, "w12?", 10))
+    assert(gotD.map(_._1) == exp.map(_.docId), s"wildcard ids (exps=$exps)")
+    gotD.zip(exp).foreach { case ((_, s), e) => assert(math.abs(s - e.score) < 1e-9) }
+    // LEADING wildcard (full dictionary scan, no prefix cut): *42 ≡ terms
+    // ending in 42; raw regexp path gives the same answer
+    val exps2 = vocab.filter(_.matches(".*42")).sorted
+    assume(exps2.nonEmpty && exps2.size < 128)
+    val exp2 = NaiveBm25.topK(corpus, exps2, "or", 10)
+    val gotW = got(Search.wildcardTopK(spark, dir.toString, "*42", 10))
+    val gotR = got(Search.regexpTopK(spark, dir.toString, ".*42", 10))
+    assert(gotW.map(_._1) == exp2.map(_.docId), s"leading-wildcard ids (exps=$exps2)")
+    assert(gotR == gotW, "regexp and wildcard paths agree")
+    // regex metachar in a literal is escaped, not interpreted: 'w.' has no
+    // dictionary match (no literal 'w.' term) even though /w./ would
+    assert(got(Search.wildcardTopK(spark, dir.toString, "w.", 10)).isEmpty)
+    // no expansion → empty
+    assert(got(Search.wildcardTopK(spark, dir.toString, "zz*qq", 10)).isEmpty)
+  }
+
   test("fuzzy query: misspelling reaches its dictionary neighbors, nothing else") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)

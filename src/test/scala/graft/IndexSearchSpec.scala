@@ -217,6 +217,40 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("batched Searcher: many distinct BROAD predicates stream under a tiny allow-list cap") {
+    // r3 verdict task 6: a batch of Q broad filters must not materialize
+    // Q × matches-per-slice ids. Cap forced to 16 ids → every predicate
+    // here (thousands of matches) takes the per-query streaming-cursor
+    // path; results must be identical to the materialized path.
+    import graft.index.AttrPred
+    val byUrl = (0L until NDocs).map(i => PagesGen.pageFor(i)).sortBy(_.url)
+    val tsOf = byUrl.map(_.warc_ts.getTime).toArray
+    val tsSorted = tsOf.sorted
+    val capped = new graft.query.Searcher(spark, dir.toString, attrAllowListCap = 16)
+    // 12 DISTINCT broad ts-range predicates (distinct bounds defeat the
+    // per-predicate dedup cache) + one selective predicate (≤ cap) that
+    // still takes the materialized path
+    val batch = (0 until 12).map { i =>
+      val lo = tsSorted(i * 7) // broad: nearly the whole corpus
+      graft.query.Searcher.BatchQuery(i.toLong, Seq("w1", "w2"), "or",
+        attr = AttrPred.TsRange(lo, Long.MaxValue))
+    } :+ graft.query.Searcher.BatchQuery(12L, Seq("w0"), "or",
+      attr = AttrPred.TsRange(tsSorted(0), tsSorted(8))) // selective
+    val got = capped.topKBatch(batch, 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .groupBy(_._1)
+    batch.foreach { q =>
+      val pred = q.attr.asInstanceOf[AttrPred.NumRange]
+      val expected = NaiveBm25.topKFiltered(corpus, q.terms, q.mode, 10,
+        id => tsOf(id.toInt) >= pred.lo && tsOf(id.toInt) < pred.hi)
+      val rows = got.getOrElse(q.qid, Array.empty).sortBy(_._2)
+      assert(rows.length == expected.length, s"broad-batch q${q.qid} size")
+      expected.zip(rows).foreach { case (e, (_, _, gid, gs)) =>
+        assert(gid == e.docId && math.abs(gs - e.score) < 1e-9, s"broad-batch q${q.qid}")
+      }
+    }
+  }
+
   test("phrase top-k: rank-identical to naive phrase oracle (incl. dup terms, filters)") {
     import org.apache.spark.sql.functions.col
     val byUrl = (0L until NDocs).map(i => PagesGen.pageFor(i)).sortBy(_.url)
@@ -279,6 +313,77 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(gotF.map(_._1).toSeq == expF.map(_.docId), "fielded+filtered ids")
     expF.zip(gotF).foreach { case (e, (_, gs)) => assert(math.abs(gs - e.score) < 1e-9) }
+  }
+
+  test("fielded prefix/fuzzy: per-field dictionary expansion with participation masks") {
+    import graft.query.FieldedSearch
+    val fields = Seq(
+      FieldedSearch.Field("title", titleDir.toString, 2.0),
+      FieldedSearch.Field("body", dir.toString, 1.0))
+    val titleVocab = titleCorpus.flatMap { case (_, t) => Analyzer.tokenize(t) }.toSet
+    val bodyVocab = corpus.flatMap { case (_, t) => Analyzer.tokenize(t) }.toSet
+
+    // prefix: title vocab (first-5-token field) is a strict subset of the
+    // body's, so the per-field expansions genuinely differ — the mask must
+    // keep body-only rewrites out of the title's scoring
+    val pre = "w123"
+    val expT = titleVocab.filter(_.startsWith(pre))
+    val expB = bodyVocab.filter(_.startsWith(pre))
+    assume(expT != expB && expB.nonEmpty, s"fixture: $expT vs $expB")
+    val union = (expT ++ expB).toSeq.sorted
+    val expected = NaiveBm25.fieldedTopK(
+      Seq((titleCorpus, 2.0), (corpus, 1.0)), union, 10,
+      perFieldTerms = Seq(expT, expB))
+    val got = FieldedSearch.prefixTopK(spark, fields, pre, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == expected.map(_.docId), s"fielded prefix ids (union=$union)")
+    expected.zip(got).foreach { case (e, (_, gs)) =>
+      assert(math.abs(gs - e.score) < 1e-9, "fielded prefix score")
+    }
+
+    // fuzzy: per-field 1-edit neighborhoods of an absent term
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val q = "w1x"
+    val fzT = titleVocab.filter(lev(_, q) <= 1)
+    val fzB = bodyVocab.filter(lev(_, q) <= 1)
+    assume(fzB.nonEmpty)
+    val unionF = (fzT ++ fzB).toSeq.sorted
+    val expectedF = NaiveBm25.fieldedTopK(
+      Seq((titleCorpus, 2.0), (corpus, 1.0)), unionF, 10,
+      perFieldTerms = Seq(fzT, fzB))
+    val gotF = FieldedSearch.fuzzyTopK(spark, fields, q, 10, maxEdits = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(gotF.map(_._1).toSeq == expectedF.map(_.docId), s"fielded fuzzy ids (union=$unionF)")
+  }
+
+  test("fielded facets: union-of-fields match set, counted once per doc") {
+    import graft.query.{Facets, FieldedSearch}
+    val fields = Seq(
+      FieldedSearch.Field("title", titleDir.toString, 2.0),
+      FieldedSearch.Field("body", dir.toString, 1.0))
+    val byUrl = (0L until NDocs).map(i => PagesGen.pageFor(i)).sortBy(_.url)
+    val langOf = byUrl.map(_.lang).toArray
+    val terms = Seq("w1", "w2")
+    // exhaustive: a doc matches iff ANY field contains ANY query term
+    def docMatches(id: Long, and: Boolean): Boolean = {
+      val t = Analyzer.tokenize(titleCorpus(id.toInt)._2).toSet
+      val b = Analyzer.tokenize(corpus(id.toInt)._2).toSet
+      if (and) terms.forall(t.contains) || terms.forall(b.contains)
+      else terms.exists(x => t.contains(x) || b.contains(x))
+    }
+    Seq(false, true).foreach { and =>
+      val expected = (0L until NDocs).filter(docMatches(_, and))
+        .groupBy(id => langOf(id.toInt)).view.mapValues(_.size.toLong).toMap
+      val got = Facets.termsAggFielded(spark, fields, terms, if (and) "and" else "or")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"fielded terms agg (and=$and): $got vs $expected")
+    }
   }
 
   test("fielded × multi-segment: 2-segment families rank-identical to single-index fielded oracle") {

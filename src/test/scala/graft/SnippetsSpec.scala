@@ -50,6 +50,54 @@ class SnippetsSpec extends AnyFunSuite {
     assert(s4 == "Big, [RARE] news today", s4)
   }
 
+  test("phraseSnippetOf wraps the exact phrase as ONE unit; lone terms stay bare") {
+    // golden: the phrase occurs once; 'spark' and 'merge' also occur alone
+    val text = "merge alone here spark merge wins then spark alone ends"
+    val s = Snippets.phraseSnippetOf(text, Seq("spark", "merge"), window = 6, "[", "]")
+    assert(s.contains("[spark merge]"), s)
+    assert(!s.contains("[spark]") && !s.contains("[merge]"), s"lone terms wrapped: $s")
+    // window with MORE occurrences wins over an earlier sparse one
+    val t2 = "a b filler filler filler filler filler filler a b x a b"
+    val s2 = Snippets.phraseSnippetOf(t2, Seq("a", "b"), window = 5, "[", "]")
+    assert(s2 == "[a b] x [a b]", s2)
+    // original punctuation inside the occurrence is preserved in the unit
+    val t3 = "noise Spark, Merge! noise noise"
+    val s3 = Snippets.phraseSnippetOf(t3, Seq("spark", "merge"), window = 4, "[", "]")
+    assert(s3.contains("[Spark, Merge]"), s3)
+    // no occurrence → plain leading window, nothing wrapped
+    val s4 = Snippets.phraseSnippetOf("just plain words here", Seq("no", "match"), 3, "[", "]")
+    assert(s4 == "just plain words", s4)
+    // greedy non-overlap: 'a a a' with phrase 'a a' wraps the first pair
+    val s5 = Snippets.phraseSnippetOf("a a a", Seq("a", "a"), 3, "[", "]")
+    assert(s5 == "[a a] a", s5)
+  }
+
+  test("highlightPhrase: phrase hits gain one-unit fragments end to end") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-snip-phrase").toString
+    val texts = Seq(
+      "alpha beta gamma spark merge delta",
+      "spark alone and merge alone never together",
+      "x spark merge y spark merge z")
+    val pages = spark.createDataset(texts.zipWithIndex.map { case (t, i) =>
+      val url = f"p/$i%06d"
+      Page(url, new java.sql.Timestamp(1609459200000L + i), graft.sources.HtmlText.wrap(url, t), t, "en")
+    })(org.apache.spark.sql.Encoders.product[Page])
+    IndexBuilder.build(spark, pages, dir,
+      BuildConfig(nPartitions = 2, nGroups = 1, nSlices = 2, blockSize = 8))
+    val hits = Search.phraseTopK(spark, dir, Seq("spark", "merge"), 5)
+    val out = Snippets.highlightPhrase(spark, dir, hits, Seq("spark", "merge"), window = 6)
+      .select(col("doc_id"), col("snippet"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 2, s"phrase hits: $out") // doc 1 has no phrase
+    out.values.foreach { s =>
+      assert(s.contains("<em>spark merge</em>"), s)
+      assert(!s.contains("<em>spark</em>"), s)
+    }
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("highlight: top-k hits gain fragments quoting the stored text") {
     val dir = Files.createTempDirectory("graft-snip")
     try {
