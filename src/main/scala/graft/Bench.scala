@@ -162,11 +162,25 @@ object Bench {
       def ctlEff: Double = c32 / (4.0 * c8)
       def effVsCtl: Double = eff / ctlEff
     }
+    // Each probe leaves ~5 GB (staged corpus + index) in its temp root;
+    // 8 probes per bench run filled the shared disk once (observed: the
+    // 4th probe died on ENOSPC and the whole bench aborted). Reap each
+    // round's scratch as soon as it can't be needed again: 8-core dirs
+    // immediately, 32-core dirs unless they are the best-so-far (part 3
+    // runs the query bench against the best 32-core index).
+    def probeRoot(idxDir: String) = new java.io.File(idxDir).getParent
+    var keptDir: String = null
+    var keptTp = Double.NegativeInfinity
     val rounds = (1 to probeRuns).map { _ =>
       val p8 = probeRun(8)
       val c8 = controlRun(8)
       val p32 = probeRun(32)
       val c32 = controlRun(32)
+      rmrf(probeRoot(p8.dir))
+      if (p32.tp > keptTp) {
+        if (keptDir != null) rmrf(probeRoot(keptDir))
+        keptDir = p32.dir; keptTp = p32.tp
+      } else rmrf(probeRoot(p32.dir))
       Round(p8, p32, c8, c32)
     }
     def median(xs: Seq[Double]): Double = {

@@ -23,13 +23,15 @@ import graft.query.Search
   *   phrase     <indexDir> <k> term [term ...]
   *   prefix-search <indexDir> <k> <prefix> [--max-expansions=N]
   *   fuzzy-search  <indexDir> <k> <term> [--max-edits=N] [--max-expansions=N]
+  *   wildcard-search <indexDir> <k> <pattern>  # * = any run, ? = one char
+  *   regexp-search   <indexDir> <k> <regex>    # anchored Java regex
   *   search-segments <k> <and|or> <terms,comma-sep> <segDir> [<segDir> ...]
   *   search-family   <familyRoot> <and|or> <k> term [term ...]
   *   delete     <indexDir> (--lang=xx | --url-prefix=p)      # tombstone marking (Lucene delete semantics)
   *   purge      <indexDir> <outDir> [build flags]            # rewrite without deleted docs
   *   expire-time <rootDir> <cutoffISO>                       # retention: drop buckets older than cutoff's month
   *   facet-hist <indexDir> <and|or> <hour|day|month> term [term ...]   # date_histogram over the match set
-  *   facet-lang <indexDir> <and|or> term [term ...]                    # terms agg over the match set
+  *   facet-lang <indexDir> <and|or> term [term ...] [--field=kw]       # terms agg over the match set (any declared keyword attr)
   *   index-stats <indexDir>                                  # ES _stats analog: corpus/layout/deletes/lineage
   * }}}
   *
@@ -155,6 +157,14 @@ object IndexJob {
         printHits(Search.fuzzyTopK(spark, indexDir, term, k.toInt,
           maxEdits = flag(args, "max-edits", 1),
           maxExpansions = flag(args, "max-expansions", 64)))
+      case Some("wildcard-search") =>
+        val Seq(indexDir, k, pattern) = positional.take(3)
+        printHits(Search.wildcardTopK(spark, indexDir, pattern, k.toInt,
+          maxExpansions = flag(args, "max-expansions", 128)))
+      case Some("regexp-search") =>
+        val Seq(indexDir, k, regex) = positional.take(3)
+        printHits(Search.regexpTopK(spark, indexDir, regex, k.toInt,
+          maxExpansions = flag(args, "max-expansions", 128)))
       case Some("search-segments") =>
         val Seq(k, mode, termsCsv) = positional.take(3)
         val segs = positional.drop(3)
@@ -193,8 +203,10 @@ object IndexJob {
         graft.query.Facets.dateHistogram(spark, indexDir, positional.drop(3), mode, interval)
           .collect().foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}"))
       case Some("facet-lang") =>
+        // --field= aggregates any DECLARED keyword attr (default lang)
         val Seq(indexDir, mode) = positional.take(2)
-        graft.query.Facets.termsAgg(spark, indexDir, positional.drop(2), mode)
+        graft.query.Facets.termsAgg(spark, indexDir, positional.drop(2), mode,
+          kwField = strFlag(args, "field").getOrElse("lang"))
           .collect().foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}"))
       case Some("index-stats") =>
         // ES _stats analog: corpus + layout + delete state + build

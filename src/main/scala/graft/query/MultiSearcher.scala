@@ -201,6 +201,84 @@ final class MultiSearcher(
     localTopK.toDF().orderBy(desc("score"), asc("doc_id")).limit(k)
   }
 
+  /** Dictionary expansion over the whole family: candidates come from
+    * each segment's term-sorted parquet (pushdown range/regex cut),
+    * global df = Σ per-segment df, cap by (global df desc, term) —
+    * exactly the expansion the physically MERGED index would produce, so
+    * family answers stay rank-identical to merged-index answers.
+    */
+  private def expand(where: Column, maxExpansions: Int): Seq[String] =
+    familyDirs
+      .map(d => IndexBuilder.readTerms(spark, d).where(where).toDF())
+      .reduce(_ unionByName _)
+      .groupBy($"term").agg(sum($"doc_freq").as("doc_freq"))
+      .orderBy(desc("doc_freq"), asc("term"))
+      .limit(maxExpansions)
+      .collect().map(_.getString(0)).toSeq
+
+  /** ES prefix query over the segment family (Search.prefixTopK's
+    * multi-segment rendition — streaming-ingest families get the full
+    * term-level query surface without a physical merge).
+    */
+  def prefixTopK(
+      prefix: String, k: Int, maxExpansions: Int = 128,
+      docFilter: Column = null, attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil
+  ): DataFrame = {
+    require(prefix.nonEmpty, "empty prefix")
+    val exps = expand($"term".startsWith(prefix), maxExpansions)
+    if (exps.isEmpty) spark.emptyDataset[Search.QueryHit].toDF()
+    else topK(exps, "or", k, docFilter, attrFilter, mustNot)
+  }
+
+  /** ES fuzzy query over the family (per-family global-df cap). */
+  def fuzzyTopK(
+      term: String, k: Int, maxEdits: Int = 1, maxExpansions: Int = 64,
+      docFilter: Column = null, attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil
+  ): DataFrame = {
+    require(term.nonEmpty, "empty term")
+    require(maxEdits >= 0 && maxEdits <= 2, "ES caps fuzziness at 2 edits")
+    val exps = expand(
+      abs(length($"term") - lit(term.length)) <= maxEdits &&
+        levenshtein($"term", lit(term)) <= maxEdits,
+      maxExpansions)
+    if (exps.isEmpty) spark.emptyDataset[Search.QueryHit].toDF()
+    else topK(exps, "or", k, docFilter, attrFilter, mustNot)
+  }
+
+  /** ES wildcard query over the family (`*`/`?`; literal-prefix cut). */
+  def wildcardTopK(
+      pattern: String, k: Int, maxExpansions: Int = 128,
+      docFilter: Column = null, attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil
+  ): DataFrame = {
+    require(pattern.nonEmpty, "empty wildcard pattern")
+    val sb = new StringBuilder
+    pattern.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    val prefix = pattern.takeWhile(c => c != '*' && c != '?')
+    regexpTopK(sb.toString(), k, maxExpansions, docFilter, attrFilter, mustNot, prefix)
+  }
+
+  /** ES regexp query over the family (anchored Java regex). */
+  def regexpTopK(
+      regex: String, k: Int, maxExpansions: Int = 128,
+      docFilter: Column = null, attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil, prefixHint: String = ""
+  ): DataFrame = {
+    require(regex.nonEmpty, "empty regex")
+    val base = $"term".rlike(s"^(?:$regex)$$")
+    val exps = expand(
+      if (prefixHint.isEmpty) base else $"term".startsWith(prefixHint) && base,
+      maxExpansions)
+    if (exps.isEmpty) spark.emptyDataset[Search.QueryHit].toDF()
+    else topK(exps, "or", k, docFilter, attrFilter, mustNot)
+  }
+
   /** Exact-phrase top-k across segments (BlockMaxWand.phrase contract). */
   def phraseTopK(
       phraseTerms: Seq[String],

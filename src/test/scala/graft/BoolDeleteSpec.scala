@@ -368,6 +368,35 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(Search.wildcardTopK(spark, dir.toString, "zz*qq", 10)).isEmpty)
   }
 
+  test("multi-segment term-level rewrites: family ≡ single index (prefix/fuzzy/wildcard)") {
+    // global-df-capped expansion over the family must equal the merged
+    // index's expansion, so every rewrite query is rank-identical between
+    // a 2-segment family and the single full index (ids align: bases are
+    // url-rank cumulative)
+    val root = Files.createTempDirectory("graft-ms-rewrite").toString
+    try {
+      val byUrl = (0L until NDocs).map(PagesGen.pageFor(_)).sortBy(_.url)
+      val aUrls = byUrl.take(NDocs.toInt / 2).map(_.url).toSet
+      val segCfg = cfg.copy(nPartitions = 4, nGroups = 1, nSlices = 2)
+      IndexBuilder.build(spark, PagesGen.pages(spark, NDocs, 8).filter(p => aUrls(p.url)),
+        s"$root/A", segCfg)
+      IndexBuilder.build(spark, PagesGen.pages(spark, NDocs, 8).filter(p => !aUrls(p.url)),
+        s"$root/B", segCfg)
+      val ms = new graft.query.MultiSearcher(spark, Seq(s"$root/A", s"$root/B"))
+      assert(got(ms.prefixTopK("w123", 10)) == got(Search.prefixTopK(spark, dir.toString, "w123", 10)),
+        "family prefix ≠ single-index prefix")
+      assert(got(ms.fuzzyTopK("w1x", 10, maxEdits = 1)) == got(Search.fuzzyTopK(spark, dir.toString, "w1x", 10, maxEdits = 1)),
+        "family fuzzy ≠ single-index fuzzy")
+      assert(got(ms.wildcardTopK("w12?", 10)) == got(Search.wildcardTopK(spark, dir.toString, "w12?", 10)),
+        "family wildcard ≠ single-index wildcard")
+      assert(got(ms.regexpTopK(".*42", 10)) == got(Search.regexpTopK(spark, dir.toString, ".*42", 10)),
+        "family regexp ≠ single-index regexp")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   test("fuzzy query: misspelling reaches its dictionary neighbors, nothing else") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
