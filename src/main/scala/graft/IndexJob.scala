@@ -23,6 +23,8 @@ import graft.query.Search
   *   phrase     <indexDir> <k> term [term ...]
   *   prefix-search <indexDir> <k> <prefix> [--max-expansions=N]
   *   fuzzy-search  <indexDir> <k> <term> [--max-edits=N] [--max-expansions=N]
+  *   sort-search <indexDir> <and|or> <k> <numField> term [term ...] [--asc=1]  # ES sort-by-field (newest-first reads)
+  *   count       <indexDir> <and|or> term [term ...]                # ES _count over the match set
   *   wildcard-search <indexDir> <k> <pattern>  # * = any run, ? = one char
   *   regexp-search   <indexDir> <k> <regex>    # anchored Java regex
   *   search-segments <k> <and|or> <terms,comma-sep> <segDir> [<segDir> ...]
@@ -157,6 +159,16 @@ object IndexJob {
         printHits(Search.fuzzyTopK(spark, indexDir, term, k.toInt,
           maxEdits = flag(args, "max-edits", 1),
           maxExpansions = flag(args, "max-expansions", 64)))
+      case Some("sort-search") =>
+        // ES sort-by-field: the newest-first event-log read (sort on any
+        // declared numeric attr; --asc=1 flips the order)
+        val Seq(indexDir, mode, k, field) = positional.take(4)
+        graft.query.SortBy.topKByAttr(spark, indexDir, positional.drop(4), mode,
+          field, k.toInt, ascending = flag(args, "asc", 0) != 0)
+          .collect().foreach(r => println(s"${r.getLong(0)}\t${r.getLong(1)}"))
+      case Some("count") =>
+        val Seq(indexDir, mode) = positional.take(2)
+        println(s"count\t${graft.query.Facets.matchCount(spark, indexDir, positional.drop(2), mode)}")
       case Some("wildcard-search") =>
         val Seq(indexDir, k, pattern) = positional.take(3)
         printHits(Search.wildcardTopK(spark, indexDir, pattern, k.toInt,

@@ -353,6 +353,25 @@ object SparkEntry {
       graft.query.Facets.termsAgg(s, indexFor(s, dir), QueryAnd, "and", kwField = "source")
         .select($"source", $"n_docs")
     },
+    // sort-by-field (THE event-log read: filter + sort by timestamp desc +
+    // page — ES sort API on a doc-values field): top-k matching docs
+    // ordered by the declared warc_ts numeric attr, no scoring anywhere
+    "q_sort_ts" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.SortBy.topKByAttr(s, indexFor(s, dir), QueryOr, "or", "warc_ts", 10)
+        .select($"doc_id", $"sort_value".as("ts_ms"))
+    },
+    // ES histogram agg on a declared numeric field (doc_len, width 20)
+    "q_facet_len" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.numericHistogram(s, indexFor(s, dir), QueryOr, "or", "doc_len", 20L)
+        .select($"bucket_lo", $"n_docs")
+    },
+    // ES _count: total matching docs, no scoring/ranking
+    "q_match_count" -> { (s, dir) =>
+      import s.implicits._
+      Seq(graft.query.Facets.matchCount(s, indexFor(s, dir), QueryOr, "or")).toDF("n_docs")
+    },
     // bool.should minimum_should_match: candidates must match ≥2 of the 3
     // query terms; scores unchanged (still summed over matched terms)
     "q_bm25_msm" -> { (s, dir) =>
@@ -956,6 +975,33 @@ WHERE doc_id IN (SELECT doc_id FROM toks
                  WHERE term IN (${QueryAnd.map(t => s"'$t'").mkString(", ")})
                  GROUP BY doc_id HAVING count(DISTINCT term) = ${QueryAnd.distinct.size})
 GROUP BY 1""",
+    "q_sort_ts" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+)
+SELECT doc_id, (1609459200000 + doc_id * 60000)::BIGINT AS ts_ms
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
+                 WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+ORDER BY ts_ms DESC, doc_id LIMIT 10""",
+    "q_facet_len" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS doc_len
+  FROM documents
+)
+SELECT ((dl.doc_len // 20) * 20)::BIGINT AS bucket_lo, count(*)::BIGINT AS n_docs
+FROM dl
+WHERE dl.doc_id IN (SELECT DISTINCT doc_id FROM toks
+                    WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+GROUP BY 1""",
+    "q_match_count" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+)
+SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM toks
+WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")})""",
     "q_bm25_msm" -> bm25OracleSql(QueryOr, and = false, msm = 2),
     "q_bm25_page2" -> bm25OracleSql(QueryOr, and = false, offset = 10),
     "q_bm25_prefix" -> bm25OracleSql(Nil, and = false, termWhere = "term LIKE 's%'"),

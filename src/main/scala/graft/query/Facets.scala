@@ -70,7 +70,7 @@ object Facets {
       case other   => throw new IllegalArgumentException(s"unknown interval $other")
     }
     aggregate(spark, segmentDirs, queryTerms, mode, attrFilter, mustNot, minShouldMatch,
-      keyPattern = pattern, kwField = null)
+      keyPattern = pattern, kwField = null, numField = null, numWidth = 0L)
       .toDF("bucket", "n_docs")
       .orderBy("bucket")
   }
@@ -105,9 +105,97 @@ object Facets {
       kwField: String = "lang"
   ): DataFrame = {
     aggregate(spark, segmentDirs, queryTerms, mode, attrFilter, mustNot, minShouldMatch,
-      keyPattern = null, kwField = kwField)
+      keyPattern = null, kwField = kwField, numField = null, numWidth = 0L)
       .toDF(kwField, "n_docs")
       .orderBy(desc("n_docs"), asc(kwField))
+  }
+
+  /** ES `histogram` aggregation on a DECLARED numeric field: matching-doc
+    * counts per fixed-width bucket (`bucket_lo` = floor(value/width)·width
+    * — floorDiv, so negative values bucket correctly). Works on any
+    * numeric attr of the index's schema (doc_len, warc_ts millis, …).
+    */
+  def numericHistogram(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      numField: String,
+      bucketWidth: Long,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    aggregate(spark, Seq(indexDir), queryTerms, mode, attrFilter, mustNot, minShouldMatch,
+      keyPattern = null, kwField = null, numField = numField, numWidth = bucketWidth)
+      .toDF("bucket_lo", "n_docs")
+      .withColumn("bucket_lo", col("bucket_lo").cast("long"))
+      .orderBy("bucket_lo")
+  }
+
+  /** ES `_count`: total matching docs — no scoring, no ranking, no doc
+    * values; only per-slice partial counts reach the driver. Composes
+    * with filter context / must_not / tombstones / msm like retrieval.
+    */
+  def matchCount(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): Long = {
+    import spark.implicits._
+    val terms = queryTerms.distinct
+    val isAnd = mode == "and"
+    if (terms.isEmpty || terms.size < minShouldMatch) return 0L
+    val exTerms = mustNot.distinct
+    val bCtx = spark.sparkContext.broadcast((terms.toArray, exTerms.toArray))
+    val idxDir = indexDir
+    val tomb = graft.index.Tombstones.handle(indexDir)
+    val pred = attrFilter
+    val msm = minShouldMatch
+    val counts = IndexBuilder
+      .readPostings(spark, indexDir)
+      .where($"term".isin(terms ++ exTerms: _*))
+      .select(
+        $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"poss")
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (slice, rows) =>
+        val (qTerms, exT) = bCtx.value
+        val byTerm = rows.toArray.groupBy(_._2)
+        def iterOf(t: String): Option[PostingIter] =
+          byTerm.get(t).map { rs =>
+            val refs = rs.sortBy(r => (r._4, r._3))
+              .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, 0.0))
+            new PostingIter(0, 0.0, refs, 1.0)
+          }
+        val iters = qTerms.iterator.flatMap(iterOf).toArray
+        if (iters.isEmpty || (isAnd && iters.length < qTerms.length)) 0L
+        else {
+          var filter: DocFilter =
+            if (pred == null) null else AttrSidecar.openCursor(idxDir, slice, pred)
+          val cursor = filter
+          val exIters = exT.iterator.flatMap(iterOf).toArray
+          if (exIters.nonEmpty)
+            filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+          if (tomb != null) filter = tomb.compose(slice, filter)
+          try {
+            var n = 0L
+            BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach(_ => n += 1)
+            n
+          } finally cursor match {
+            case c: AutoCloseable => c.close()
+            case _ =>
+          }
+        }
+      }
+    val row = counts.agg(sum("value")).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0) // no matched blocks → 0
   }
 
   /** [[dateHistogram]] over a FIELDED query (ES: aggs next to a
@@ -274,7 +362,9 @@ object Facets {
       mustNot: Seq[String],
       minShouldMatch: Int,
       keyPattern: String,
-      kwField: String
+      kwField: String,
+      numField: String,
+      numWidth: Long
   ): DataFrame = {
     import spark.implicits._
     require(segmentDirs.nonEmpty, "no segments")
@@ -291,6 +381,8 @@ object Facets {
     val msm = minShouldMatch
     val pat = keyPattern
     val kwF = kwField
+    val numF = numField
+    val numW = numWidth
     val pred = attrFilter
 
     val blocks = segmentDirs.zipWithIndex
@@ -334,14 +426,17 @@ object Facets {
             else java.time.format.DateTimeFormatter.ofPattern(pat)
               .withZone(java.time.ZoneOffset.UTC)
           val reader = AttrSidecar.openReader(segDir, slice)
-          // resolve the keyword field once per slice (loud on undeclared)
-          val kwIdx = if (fmt == null) reader.kwIndex(kwF) else -1
+          // resolve the field once per slice (loud on undeclared)
+          val numIdx = if (numF != null) reader.numIndex(numF) else -1
+          val kwIdx = if (numF == null && fmt == null) reader.kwIndex(kwF) else -1
           try {
             val counts = scala.collection.mutable.HashMap.empty[String, Long]
             BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
               if (reader.seek(id)) {
                 val k =
-                  if (fmt == null) reader.kwValue(kwIdx)
+                  if (numF != null)
+                    (java.lang.Math.floorDiv(reader.numValue(numIdx), numW) * numW).toString
+                  else if (fmt == null) reader.kwValue(kwIdx)
                   else fmt.format(java.time.Instant.ofEpochMilli(reader.tsMillis))
                 counts.update(k, counts.getOrElse(k, 0L) + 1L)
               }

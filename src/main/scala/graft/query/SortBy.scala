@@ -1,0 +1,127 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.{AttrPred, AttrSidecar, IndexBuilder}
+import graft.query.BlockMaxWand.{BlockRef, PostingIter}
+
+/** Sort-by-field retrieval — THE canonical event-log read the reference
+  * serves through Kibana: `bool` filter + `sort: [{warc_ts: desc}]` +
+  * page (an event log is read newest-first far more often than
+  * by-relevance; ES sorts on any doc-values field,
+  * `ElasticSearchStorage.cs:208-233` provisions the date/keyword fields
+  * for exactly this). Engine rendition: top-k matching docs ordered by a
+  * DECLARED numeric sidecar attribute instead of `_score`.
+  *
+  * Scale shape (same discipline as ranked retrieval): one exchange of
+  * matched posting blocks by slice; each slice task enumerates its
+  * matches with NO scoring ([[BlockMaxWand.matchingDocIds]] — leapfrog
+  * AND / counted OR), streams each match's sort value from its OWN
+  * slice's sidecar ([[AttrSidecar.AttrReader]], monotone O(1)-memory),
+  * and keeps a k-sized heap by (value, docId); the global merge is
+  * nSlices·k rows. Filter context, must_not, tombstones, and
+  * minimum_should_match compose exactly as in ranked retrieval.
+  *
+  * `searchAfter` — deep pagination in sort order: pass the previous
+  * page's last (sortValue, docId); only docs strictly after it in
+  * (value asc/desc, docId asc) order return, heaps stay k-sized at any
+  * depth (the ES search_after contract on a sort field).
+  */
+object SortBy {
+
+  def topKByAttr(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      field: String,
+      k: Int,
+      ascending: Boolean = false,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1,
+      searchAfter: (Long, Long) = null // (sortValue, docId) of the last hit served
+  ): DataFrame = {
+    import spark.implicits._
+    val terms = queryTerms.distinct
+    val isAnd = mode == "and"
+    if (terms.isEmpty) return spark.emptyDataset[(Long, Long)].toDF("doc_id", "sort_value")
+    val exTerms = mustNot.distinct
+    val bCtx = spark.sparkContext.broadcast((terms.toArray, exTerms.toArray))
+    val idxDir = indexDir
+    val tomb = graft.index.Tombstones.handle(indexDir)
+    val pred = attrFilter
+    val msm = minShouldMatch
+    val asc0 = ascending
+    val fld = field
+    val after = searchAfter
+
+    val blocks = IndexBuilder
+      .readPostings(spark, indexDir)
+      .where($"term".isin(terms ++ exTerms: _*))
+      .select(
+        $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"poss"
+      )
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+
+    val localTopK = blocks
+      .groupByKey(_._1)
+      .flatMapGroups { (slice, rows) =>
+        val (qTerms, exT) = bCtx.value
+        val byTerm = rows.toArray.groupBy(_._2)
+        def iterOf(t: String): Option[PostingIter] =
+          byTerm.get(t).map { rs =>
+            val refs = rs.sortBy(r => (r._4, r._3))
+              .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, 0.0))
+            new PostingIter(0, 0.0, refs, 1.0) // no scoring: bounds/avgdl moot
+          }
+        val iters = qTerms.iterator.flatMap(iterOf).toArray
+        if (iters.isEmpty || (isAnd && iters.length < qTerms.length)) Iterator.empty
+        else {
+          var filter: DocFilter =
+            if (pred == null) null else AttrSidecar.openCursor(idxDir, slice, pred)
+          val predCursor = filter
+          val exIters = exT.iterator.flatMap(iterOf).toArray
+          if (exIters.nonEmpty)
+            filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+          if (tomb != null) filter = tomb.compose(slice, filter)
+          val reader = AttrSidecar.openReader(idxDir, slice)
+          val numIdx = reader.numIndex(fld)
+          try {
+            // rank = position tuple in the requested order (smaller ranks
+            // first): (value asc|desc, docId asc). The priority queue
+            // dequeues its MAX, i.e. head = worst kept hit.
+            val rankOrd: Ordering[(Long, Long)] =
+              if (asc0) Ordering.by[(Long, Long), (Long, Long)] { case (v, id) => (v, id) }
+              else Ordering.by[(Long, Long), (Long, Long)] { case (v, id) => (-v, id) }
+            val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](rankOrd)
+            def beats(a: (Long, Long), b: (Long, Long)): Boolean =
+              rankOrd.compare(a, b) < 0 // a ranks strictly before b
+            BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
+              if (reader.seek(id)) {
+                val cand = (reader.numValue(numIdx), id)
+                // search_after: only hits strictly after the cursor
+                if (after == null || beats(after, cand)) {
+                  if (heap.size < k) heap.enqueue(cand)
+                  else if (beats(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+                }
+              }
+            }
+            heap.toArray.iterator.map { case (v, id) => (id, v) }
+          } finally {
+            reader.close()
+            predCursor match {
+              case c: AutoCloseable => c.close()
+              case _ =>
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "sort_value")
+
+    localTopK
+      .orderBy(if (ascending) asc("sort_value") else desc("sort_value"), asc("doc_id"))
+      .limit(k)
+  }
+}

@@ -491,6 +491,55 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotF == expF, "histogram with lang filter context")
   }
 
+  test("sort-by-attribute: match set ordered by ts/doc_len; search_after pages in sort order") {
+    import graft.query.SortBy
+    val terms = Seq("w1", "w2")
+    val ids = matchedIds(terms, and = false)
+    // descending warc_ts (the newest-first event-log read)
+    val expDesc = ids.sortBy(id => (-tsOf(id), id))
+    val got = SortBy.topKByAttr(spark, dir.toString, terms, "or", "warc_ts", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq == expDesc.take(10), "ts desc ids")
+    got.foreach { case (id, v) => assert(v == tsOf(id), s"sort value of $id") }
+    // search_after: page 2 continues the same order with no gaps/overlaps
+    val last = got.last
+    val page2 = SortBy.topKByAttr(spark, dir.toString, terms, "or", "warc_ts", 10,
+      searchAfter = (last._2, last._1))
+      .collect().map(_.getLong(0))
+    assert(page2.toSeq == expDesc.slice(10, 20), "ts desc page 2")
+    // ascending doc_len: tie-heavy (many equal lengths) → docId tiebreak
+    val dlOf = corpus.map { case (id, t) => id -> Analyzer.tokenCount(t).toLong }.toMap
+    val expAsc = ids.sortBy(id => (dlOf(id), id)).take(10)
+    val gotAsc = SortBy.topKByAttr(spark, dir.toString, terms, "or", "doc_len", 10, ascending = true)
+      .collect().map(_.getLong(0))
+    assert(gotAsc.toSeq == expAsc, "doc_len asc ids (tie-break)")
+    // composes with filter context (sidecar predicate)
+    val ruIds = matchedIds(terms, and = false).filter(id => langOf(id) == "ru")
+    val gotRu = SortBy.topKByAttr(spark, dir.toString, terms, "or", "warc_ts", 10,
+      attrFilter = graft.index.AttrPred.lang("ru"))
+      .collect().map(_.getLong(0))
+    assert(gotRu.toSeq == ruIds.sortBy(id => (-tsOf(id), id)).take(10), "filtered sort")
+  }
+
+  test("numeric histogram + match count ≡ exhaustive") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val ids = matchedIds(terms, and = false)
+    val dlOf = corpus.map { case (id, t) => id -> Analyzer.tokenCount(t).toLong }.toMap
+    val expHist = ids.groupBy(id => (dlOf(id) / 25) * 25).view.mapValues(_.size.toLong).toMap
+    val gotHist = Facets.numericHistogram(spark, dir.toString, terms, "or", "doc_len", 25L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotHist == expHist, s"histogram: $gotHist vs $expHist")
+    assert(Facets.matchCount(spark, dir.toString, terms, "or") == ids.size.toLong)
+    assert(Facets.matchCount(spark, dir.toString, Seq("w1", "w2"), "and") ==
+      matchedIds(terms, and = true).size.toLong)
+    assert(Facets.matchCount(spark, dir.toString, Seq("nosuchterm"), "or") == 0L)
+    // count composes with must_not
+    val exCount = matchedIds(terms, and = false)
+      .count(id => !containsTerm(corpus(id.toInt)._2, Seq("w0")))
+    assert(Facets.matchCount(spark, dir.toString, terms, "or", mustNot = Seq("w0")) == exCount.toLong)
+  }
+
   test("search_after pagination walks the exhaustive ranking without gaps or overlaps") {
     val ts = Seq("w1", "w2")
     val full = NaiveBm25.topK(corpus, ts, "or", corpus.size) // whole match set, ranked
