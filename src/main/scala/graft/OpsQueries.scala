@@ -99,6 +99,14 @@ object OpsQueries {
       Dedup.embeddingCosine(dup, "vec_id", "embedding", threshold = 0.9999)
         .select(col("id_a"), col("id_b"))
     },
+    // scalar int8 quantization round trip (FAISS SQ8 / ES int8 analog):
+    // per-dim (lo, hi) fit + encode/decode in fixed double arithmetic —
+    // the DuckDB oracle recomputes the whole pipeline and the per-vector
+    // max abs error must hash-match at e4 scale
+    "q_quantize_roundtrip" -> { (s, dir) =>
+      graft.operators.Quantize.roundTripError(embs(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("err_e4"))
+    },
     // brute-force cosine top-10 for query vectors 0..4 (exact baseline)
     "q_ann_bruteforce" -> { (s, dir) =>
       val e = embs(s, dir)
@@ -303,6 +311,24 @@ object OpsQueries {
                 round((i::DOUBLE / (za.n + zb.n - i)) * 10000)::BIGINT AS jaccard_e4
          FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
          WHERE i::DOUBLE / (za.n + zb.n - i) >= 0.8""",
+    "q_quantize_roundtrip" ->
+      """WITH u AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+           FROM embeddings
+         ), dims AS (
+           SELECT dim, min(v) AS lo, max(v) AS hi FROM u GROUP BY 1
+         ), recon AS (
+           SELECT u.vec_id,
+                  CASE WHEN d.hi = d.lo THEN CAST(d.lo AS DOUBLE)
+                       ELSE CAST(d.lo AS DOUBLE)
+                            + round((CAST(u.v AS DOUBLE) - CAST(d.lo AS DOUBLE)) * 255.0
+                                    / (CAST(d.hi AS DOUBLE) - CAST(d.lo AS DOUBLE)))
+                              * (CAST(d.hi AS DOUBLE) - CAST(d.lo AS DOUBLE)) / 255.0 END AS r,
+                  CAST(u.v AS DOUBLE) AS v
+           FROM u JOIN dims d USING (dim)
+         )
+         SELECT vec_id, round(max(abs(r - v)) * 10000)::BIGINT AS err_e4
+         FROM recon GROUP BY 1""",
     "q_ann_bruteforce" -> {
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
          scored AS (

@@ -41,52 +41,87 @@ object SortBy {
       mustNot: Seq[String] = Nil,
       minShouldMatch: Int = 1,
       searchAfter: (Long, Long) = null // (sortValue, docId) of the last hit served
+  ): DataFrame =
+    topKByAttrMulti(spark, Seq(indexDir), queryTerms, mode, field, k,
+      ascending, attrFilter, mustNot, minShouldMatch, searchAfter)
+
+  /** [[topKByAttr]] over a SEGMENT FAMILY — the streaming-ingest shape:
+    * new segments commit continuously and users read newest-first across
+    * all of them, no merge (ES sorting across its `{prefix}-*` indices).
+    * Output docIDs are family-global (manifest-order base offsets, same
+    * convention as [[MultiSearcher]]); each (segment, slice) task reads
+    * its own segment's sidecar.
+    */
+  def topKByAttrMulti(
+      spark: SparkSession,
+      segmentDirs: Seq[String],
+      queryTerms: Seq[String],
+      mode: String,
+      field: String,
+      k: Int,
+      ascending: Boolean = false,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1,
+      searchAfter: (Long, Long) = null
   ): DataFrame = {
     import spark.implicits._
+    require(segmentDirs.nonEmpty, "no segments")
     val terms = queryTerms.distinct
     val isAnd = mode == "and"
     if (terms.isEmpty) return spark.emptyDataset[(Long, Long)].toDF("doc_id", "sort_value")
     val exTerms = mustNot.distinct
     val bCtx = spark.sparkContext.broadcast((terms.toArray, exTerms.toArray))
-    val idxDir = indexDir
-    val tomb = graft.index.Tombstones.handle(indexDir)
+    val bDirs = spark.sparkContext.broadcast(segmentDirs.toArray)
+    val bases = segmentDirs.map(IndexBuilder.readStats(spark, _).n_docs)
+      .scanLeft(0L)(_ + _).init
+    val bBases = spark.sparkContext.broadcast(bases.toArray)
+    val bTombs = spark.sparkContext.broadcast(
+      segmentDirs.map(graft.index.Tombstones.handle).toArray)
     val pred = attrFilter
     val msm = minShouldMatch
     val asc0 = ascending
     val fld = field
     val after = searchAfter
 
-    val blocks = IndexBuilder
-      .readPostings(spark, indexDir)
-      .where($"term".isin(terms ++ exTerms: _*))
-      .select(
-        $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
-        $"count", $"deltas", $"tfs", $"dls", $"poss"
-      )
-      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+    val blocks = segmentDirs.zipWithIndex
+      .map { case (d, i) =>
+        IndexBuilder.readPostings(spark, d)
+          .where($"term".isin(terms ++ exTerms: _*))
+          .select(
+            lit(i).as("seg"), $"slice", $"term", $"block_id", $"doc_id_min",
+            $"doc_id_max", $"count", $"deltas", $"tfs", $"dls", $"poss"
+          )
+      }
+      .reduce(_ unionByName _)
+      .as[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
 
     val localTopK = blocks
-      .groupByKey(_._1)
-      .flatMapGroups { (slice, rows) =>
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key, rows) =>
+        val (seg, slice) = key
+        val segDir = bDirs.value(seg)
+        val docBase = bBases.value(seg)
         val (qTerms, exT) = bCtx.value
-        val byTerm = rows.toArray.groupBy(_._2)
+        val byTerm = rows.toArray.groupBy(_._3)
         def iterOf(t: String): Option[PostingIter] =
           byTerm.get(t).map { rs =>
-            val refs = rs.sortBy(r => (r._4, r._3))
-              .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, 0.0))
+            val refs = rs.sortBy(r => (r._5, r._4))
+              .map(r => BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11, 0.0))
             new PostingIter(0, 0.0, refs, 1.0) // no scoring: bounds/avgdl moot
           }
         val iters = qTerms.iterator.flatMap(iterOf).toArray
         if (iters.isEmpty || (isAnd && iters.length < qTerms.length)) Iterator.empty
         else {
           var filter: DocFilter =
-            if (pred == null) null else AttrSidecar.openCursor(idxDir, slice, pred)
+            if (pred == null) null else AttrSidecar.openCursor(segDir, slice, pred)
           val predCursor = filter
           val exIters = exT.iterator.flatMap(iterOf).toArray
           if (exIters.nonEmpty)
             filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+          val tomb = bTombs.value(seg)
           if (tomb != null) filter = tomb.compose(slice, filter)
-          val reader = AttrSidecar.openReader(idxDir, slice)
+          val reader = AttrSidecar.openReader(segDir, slice)
           val numIdx = reader.numIndex(fld)
           try {
             // rank = position tuple in the requested order (smaller ranks
@@ -100,7 +135,8 @@ object SortBy {
               rankOrd.compare(a, b) < 0 // a ranks strictly before b
             BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
               if (reader.seek(id)) {
-                val cand = (reader.numValue(numIdx), id)
+                // heap keys carry the FAMILY-GLOBAL id (base offset)
+                val cand = (reader.numValue(numIdx), docBase + id)
                 // search_after: only hits strictly after the cursor
                 if (after == null || beats(after, cand)) {
                   if (heap.size < k) heap.enqueue(cand)

@@ -391,6 +391,15 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
         "family wildcard ≠ single-index wildcard")
       assert(got(ms.regexpTopK(".*42", 10)) == got(Search.regexpTopK(spark, dir.toString, ".*42", 10)),
         "family regexp ≠ single-index regexp")
+      // family sort-by-field ≡ single-index sort (global ids align)
+      def gotL(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(
+        gotL(graft.query.SortBy.topKByAttrMulti(spark, Seq(s"$root/A", s"$root/B"),
+          Seq("w1", "w2"), "or", "warc_ts", 10)) ==
+          gotL(graft.query.SortBy.topKByAttr(spark, dir.toString,
+            Seq("w1", "w2"), "or", "warc_ts", 10)),
+        "family sort ≠ single-index sort")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(root)).deleteRecursively()

@@ -189,6 +189,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: tight round trip; quantized search + exact rerank recalls brute force") {
+    import graft.operators.Quantize
+    val data = synthEmbeddings(300, 16)
+    val corpus = spark.createDataFrame(data).toDF("id", "vec")
+    val p = Quantize.fit(corpus, "vec")
+    // round-trip error bounded by half a quantization step per dimension
+    val errs = Quantize.roundTripError(corpus, "id", "vec")
+      .select($"err_e4").as[Long].collect()
+    val maxStepE4 = p.lo.indices
+      .map(i => (p.hi(i).toDouble - p.lo(i).toDouble) / 255.0 / 2.0 * 10000.0).max
+    assert(errs.max <= math.ceil(maxStepE4).toLong + 1, s"err ${errs.max} vs step $maxStepE4")
+    // decode(encode(v)) ≈ v element-wise for a sample row
+    val q = Quantize.encode(corpus, "id", "vec", p)
+    val sample = q.where($"id" === 7L).select($"codes").as[Array[Byte]].head()
+    val recon = Quantize.decodeVec(sample, p)
+    val orig = data(7)._2
+    recon.zip(orig).zipWithIndex.foreach { case ((r, o), i) =>
+      assert(math.abs(r - o) <= (p.hi(i) - p.lo(i)) / 255.0 / 2.0 + 1e-6, s"dim $i")
+    }
+    // quantized-space search + exact rerank: recall vs exact brute force
+    val queries = spark.createDataFrame(data.take(4)).toDF("qid", "qvec")
+    val exact = Ann.bruteForceTopK(queries, corpus, "qid", "qvec", "id", "vec", 10)
+      .select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val gotQ = Quantize.bruteForceTopKQuantized(
+      queries, q, p, corpus, "qid", "qvec", "id", "vec", 10, rerankFactor = 4)
+      .select($"qid", $"id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Long)].collect()
+    val byQ = gotQ.groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    data.take(4).foreach { case (qid, qv) =>
+      val hits = byQ(qid)
+      val recall = hits.map(_._2).count(exact(qid).contains) / 10.0
+      assert(recall >= 0.9, s"query $qid recall $recall")
+      // reranked cosines are EXACT (full-vector math, not quantized)
+      hits.foreach { case (_, id, c, _) =>
+        val ev = Ann.cosine(qv, data(id.toInt)._2)
+        assert(math.abs(c - ev) < 1e-12, s"rerank cosine of $id")
+      }
+    }
+  }
+
   test("IVF ANN: self is rank 1, recall@10 ≥ 0.6 vs brute force; full probe is exact") {
     val data = synthEmbeddings(400, 16)
     val corpus = spark.createDataFrame(data).toDF("id", "vec")
