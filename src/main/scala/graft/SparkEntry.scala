@@ -353,6 +353,17 @@ object SparkEntry {
       graft.query.Facets.termsAgg(s, indexFor(s, dir), QueryAnd, "and", kwField = "source")
         .select($"source", $"n_docs")
     },
+    // ES rescore + function_score exp decay on warc_ts (multiply mode,
+    // explicit origin — deterministic): top-50 BM25 window re-ranked by
+    // bm25 · recency; the decisive read when relevance and freshness both
+    // matter. The BM25 factor is e4-quantized before the multiply so the
+    // oracle reproduces combined scores exactly.
+    "q_bm25_rescore" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Rescore.recencyTopK(s, indexFor(s, dir), QueryOr, "or", 10,
+        window = 50, originMs = 1609459200000L + 500L * 60000L, halfLifeMs = 3600000L)
+        .select($"doc_id", $"combined_e4")
+    },
     // sort-by-field (THE event-log read: filter + sort by timestamp desc +
     // page — ES sort API on a doc-values field): top-k matching docs
     // ordered by the declared warc_ts numeric attr, no scoring anywhere
@@ -719,7 +730,7 @@ object SparkEntry {
   private def bm25OracleSql(
       terms: Seq[String], and: Boolean, candWhere: String = "",
       mustNot: Seq[String] = Nil, purgeWhere: String = "", msm: Int = 1,
-      termWhere: String = "", offset: Int = 0
+      termWhere: String = "", offset: Int = 0, limit: Int = 10
   ): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val having =
@@ -764,7 +775,7 @@ object SparkEntry {
   $cand
   GROUP BY tf.doc_id $having
 )
-SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY score DESC, doc_id LIMIT 10 OFFSET $offset"""
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY score DESC, doc_id LIMIT $limit OFFSET $offset"""
   }
 
   /** Exact-phrase oracle: freq = adjacency-join count, idf summed per
@@ -975,6 +986,13 @@ WHERE doc_id IN (SELECT doc_id FROM toks
                  WHERE term IN (${QueryAnd.map(t => s"'$t'").mkString(", ")})
                  GROUP BY doc_id HAVING count(DISTINCT term) = ${QueryAnd.distinct.size})
 GROUP BY 1""",
+    "q_bm25_rescore" ->
+      s"""SELECT doc_id,
+       round((score_e4 / 10000.0)
+             * exp(-abs(${1609459200000L + 500L * 60000L} - (1609459200000 + doc_id * 60000)) * ln(2) / 3600000.0)
+             * 10000)::BIGINT AS combined_e4
+FROM (${bm25OracleSql(QueryOr, and = false, limit = 50)}) b
+ORDER BY combined_e4 DESC, doc_id LIMIT 10""",
     "q_sort_ts" ->
       s"""WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''

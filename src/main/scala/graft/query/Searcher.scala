@@ -160,7 +160,9 @@ final class Searcher(
     */
   def topKLocal(
       queryTerms: Seq[String], mode: String, k: Int, maxBlocks: Int = 4096,
-      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1
+      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1,
+      attr: graft.index.AttrPred = null // filter context: the driver opens
+      // the slice sidecar cursors itself (same FS API the tasks use)
   ): Seq[(Long, Double)] = {
     val terms = queryTerms.distinct
     val dfs = dfOf((terms ++ mustNot).distinct)
@@ -185,7 +187,7 @@ final class Searcher(
       .collect()
     if (rows.length > maxBlocks) {
       // hot query — stay distributed
-      return topK(queryTerms, mode, k, mustNot, minShouldMatch)
+      return topK(queryTerms, mode, k, mustNot, minShouldMatch, attr)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     }
     val tomb = graft.index.Tombstones.handle(indexDir)
@@ -201,23 +203,32 @@ final class Searcher(
       val exIters = exTerms.iterator.flatMap(t =>
         byTerm.get(t).map(rs => new PostingIter(0, 0.0, refsOf(rs), avgDl))).toArray
       var filter: DocFilter = null
-      if (exIters.nonEmpty) filter = new NotFilter(new PostingSet(exIters))
+      var cursor: AutoCloseable = null
+      if (attr != null) {
+        val c = graft.index.AttrSidecar.openCursor(indexDir, slice, attr)
+        filter = c; cursor = c
+      }
+      if (exIters.nonEmpty)
+        filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
       if (tomb != null) filter = tomb.compose(slice, filter)
-      if (mode == "and") {
-        if (iters.length < terms.length) Iterator.empty
-        else BlockMaxWand.and(iters, k, filter).iterator
-      } else BlockMaxWand.or(iters, k, filter, minShouldMatch).iterator
+      try {
+        if (mode == "and") {
+          if (iters.length < terms.length) Iterator.empty
+          else BlockMaxWand.and(iters, k, filter).iterator
+        } else BlockMaxWand.or(iters, k, filter, minShouldMatch).iterator
+      } finally if (cursor != null) cursor.close() // WAND is eager
     }.toSeq
     hits.sortBy(h => (-h.score, h.docId)).take(k).map(h => (h.docId, h.score))
   }
 
   def topK(queryTerms: Seq[String], mode: String, k: Int,
-      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1): DataFrame = {
+      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1,
+      attr: graft.index.AttrPred = null): DataFrame = {
     // AND with a missing term can short-circuit to empty without a job
     val dfs = dfOf(queryTerms)
     if (mode == "and" && queryTerms.distinct.exists(t => !dfs.contains(t)))
       return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
-    topKBatch(Seq(Searcher.BatchQuery(0L, queryTerms, mode,
+    topKBatch(Seq(Searcher.BatchQuery(0L, queryTerms, mode, attr = attr,
       mustNot = mustNot, minShouldMatch = minShouldMatch)), k)
       .orderBy($"rank")
       .select($"doc_id", $"score")

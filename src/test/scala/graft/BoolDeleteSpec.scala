@@ -500,6 +500,30 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotF == expF, "histogram with lang filter context")
   }
 
+  test("rescore: exp-decay rerank of the BM25 window; outside-window docs can't re-enter") {
+    import graft.query.Rescore
+    val terms = Seq("w1", "w2")
+    val window = 20
+    val origin = tsOf.values.max + 60000L
+    val halfLife = 3600000L // 1h: strong recency pull within the window
+    val windowHits = NaiveBm25.topK(corpus, terms, "or", window)
+    def combined(id: Long, score: Double): Long = {
+      val q = math.round(score * 10000.0) / 10000.0
+      math.round(q * math.exp(-math.abs(origin - tsOf(id)).toDouble * math.log(2.0) / halfLife) * 10000.0)
+    }
+    val expected = windowHits.map(h => (h.docId, combined(h.docId, h.score)))
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    val got = Rescore.recencyTopK(spark, dir.toString, terms, "or", 10,
+      window, origin, halfLife)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"rescore: $got vs $expected")
+    // non-vacuous: the recency rerank actually changed the order
+    assert(got.map(_._1) != windowHits.take(10).map(_.docId), "decay changed nothing")
+    // window contract: every result came from the BM25 top-window
+    val windowIds = windowHits.map(_.docId).toSet
+    assert(got.forall { case (id, _) => windowIds(id) }, "doc outside window re-entered")
+  }
+
   test("sort-by-attribute: match set ordered by ts/doc_len; search_after pages in sort order") {
     import graft.query.SortBy
     val terms = Seq("w1", "w2")

@@ -539,6 +539,19 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaFallback = searcher.topKLocal(Seq("w0"), "or", 10, maxBlocks = 1)
     val expected = NaiveBm25.topK(corpus, Seq("w0"), "or", 10)
     assert(viaFallback.map(_._1) == expected.map(_.docId))
+    // filter context on the driver-local path: the driver streams the
+    // slice sidecars itself — same answers as the distributed filtered run
+    val byUrlL = (0L until NDocs).map(i => PagesGen.pageFor(i)).sortBy(_.url)
+    val langOfL = byUrlL.map(_.lang).toArray
+    val expF = NaiveBm25.topKFiltered(corpus, Seq("w1", "w2"), "or", 10,
+      id => langOfL(id.toInt) == "ru")
+    val gotF = searcher.topKLocal(Seq("w1", "w2"), "or", 10,
+      attr = graft.index.AttrPred.lang("ru"))
+    assert(gotF.map(_._1) == expF.map(_.docId), "filtered local ids")
+    // and through the hot-query fallback with the filter attached
+    val gotFb = searcher.topKLocal(Seq("w1", "w2"), "or", 10, maxBlocks = 1,
+      attr = graft.index.AttrPred.lang("ru"))
+    assert(gotFb.map(_._1) == expF.map(_.docId), "filtered local fallback ids")
   }
 
   test("task retry does not double-count accumulator-carried metrics") {
