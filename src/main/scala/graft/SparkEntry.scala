@@ -383,6 +383,15 @@ object SparkEntry {
       import s.implicits._
       Seq(graft.query.Facets.matchCount(s, indexFor(s, dir), QueryOr, "or")).toDF("n_docs")
     },
+    // ES significant_terms (JLH) on the custom keyword: which sources are
+    // OVERREPRESENTED among docs matching the query vs the whole corpus —
+    // the diagnostic agg of the event-log read path
+    "q_significant_src" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.significantTerms(s, indexFor(s, dir), QueryAnd, "and",
+        kwField = "source", size = 10)
+        .select($"source", $"fg_count", $"bg_count", $"score_e4")
+    },
     // bool.should minimum_should_match: candidates must match ≥2 of the 3
     // query terms; scores unchanged (still summed over matched terms)
     "q_bm25_msm" -> { (s, dir) =>
@@ -1020,6 +1029,25 @@ GROUP BY 1""",
 )
 SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM toks
 WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")})""",
+    "q_significant_src" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), m AS (
+  SELECT doc_id FROM toks
+  WHERE term IN (${QueryAnd.map(t => s"'$t'").mkString(", ")})
+  GROUP BY doc_id HAVING count(DISTINCT term) = ${QueryAnd.distinct.size}
+), fg AS (
+  SELECT source AS v, count(*) AS f FROM documents WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY 1
+), bg AS (
+  SELECT source AS v, count(*) AS b FROM documents GROUP BY 1
+), tot AS (
+  SELECT (SELECT count(*) FROM m)::DOUBLE AS fgt, (SELECT count(*) FROM documents)::DOUBLE AS bgt
+)
+SELECT fg.v AS source, fg.f::BIGINT AS fg_count, bg.b::BIGINT AS bg_count,
+       round(((fg.f / t.fgt) - (bg.b / t.bgt)) * ((fg.f / t.fgt) / (bg.b / t.bgt)) * 10000)::BIGINT AS score_e4
+FROM fg JOIN bg USING (v) CROSS JOIN tot t
+WHERE fg.f / t.fgt > bg.b / t.bgt
+ORDER BY score_e4 DESC, source LIMIT 10""",
     "q_bm25_msm" -> bm25OracleSql(QueryOr, and = false, msm = 2),
     "q_bm25_page2" -> bm25OracleSql(QueryOr, and = false, offset = 10),
     "q_bm25_prefix" -> bm25OracleSql(Nil, and = false, termWhere = "term LIKE 's%'"),

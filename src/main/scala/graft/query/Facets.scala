@@ -110,6 +110,63 @@ object Facets {
       .orderBy(desc("n_docs"), asc(kwField))
   }
 
+  /** ES `significant_terms` on a declared keyword field: values
+    * OVERREPRESENTED in the match set relative to the whole corpus —
+    * "what is unusual about these matching events" (the diagnostic agg of
+    * the event-log read path). Scoring = ES's JLH heuristic:
+    *
+    *   score = (fgPct − bgPct) · (fgPct / bgPct)
+    *
+    * with fgPct = fg/|match set| and bgPct = bg/|corpus|; only values
+    * with fgPct > bgPct qualify (JLH's positive side). Foreground counts
+    * come from the sidecar-backed match walk ([[termsAgg]]'s machinery);
+    * background counts are ONE column-pruned aggregation of the docs
+    * table through the field's declared SQL expression — no extra state,
+    * the schema is the contract. Returns (value, fg_count, bg_count,
+    * score_e4) ordered by score desc.
+    */
+  def significantTerms(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      kwField: String = "lang",
+      size: Int = 10,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    val spec = IndexBuilder.readMeta(indexDir).attrs
+      .find(a => a.name == kwField && a.kind == graft.index.AttrSchema.Kw)
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$kwField' is not a declared keyword attr of $indexDir"))
+    val fg = termsAgg(spark, indexDir, queryTerms, mode, attrFilter, mustNot,
+      minShouldMatch, kwField)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (fg.isEmpty)
+      return spark.emptyDataset[(String, Long, Long, Long)]
+        .toDF(kwField, "fg_count", "bg_count", "score_e4")
+    val fgTotal = fg.values.sum.toDouble
+    val bgTotal = IndexBuilder.readStats(spark, indexDir).n_docs.toDouble
+    // background: one column-pruned pass through the declared expression
+    val bg = spark.read.parquet(s"$indexDir/docs")
+      .groupBy(expr(s"coalesce(CAST((${spec.sql}) AS STRING), '')").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = fg.toSeq.flatMap { case (v, f) =>
+      val b = bg.getOrElse(v, f) // defensive: fg ⊆ bg by construction
+      val fgPct = f.toDouble / fgTotal
+      val bgPct = b.toDouble / bgTotal
+      if (fgPct > bgPct) {
+        val score = (fgPct - bgPct) * (fgPct / bgPct)
+        Some((v, f, b, math.round(score * 10000.0)))
+      } else None
+    }
+    rows.sortBy { case (v, _, _, s) => (-s, v) }.take(size)
+      .toDF(kwField, "fg_count", "bg_count", "score_e4")
+  }
+
   /** ES `histogram` aggregation on a DECLARED numeric field: matching-doc
     * counts per fixed-width bucket (`bucket_lo` = floor(value/width)·width
     * — floorDiv, so negative values bucket correctly). Works on any
