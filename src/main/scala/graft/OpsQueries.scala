@@ -67,6 +67,16 @@ object OpsQueries {
           round(col("jaccard") * 10000).cast("long").as("jaccard_e4")
         )
     },
+    // near-dup CLUSTERS: connected components over the (oracled) ngram
+    // pair set — transitive duplicates collapse to one canonical id;
+    // pairless docs are their own singletons. The oracle recomputes the
+    // same pair set in SQL and closes it with a recursive CTE.
+    "q_dedup_components" -> { (s, dir) =>
+      val corpus = dupCorpus(s, dir)
+      val pairs = Dedup.ngramJaccard(corpus, "doc_id", "text", n = 3, threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b", corpus, "doc_id")
+        .select(col("id"), col("cluster_id"))
+    },
     // SimHash near-dup, oracled as a recall check: hamming-0 pairs
     // restricted to exact text equality must equal ALL exact-dup pairs
     // (identical text ⇒ identical simhash ⇒ same chunk buckets ⇒ found);
@@ -311,6 +321,36 @@ object OpsQueries {
                 round((i::DOUBLE / (za.n + zb.n - i)) * 10000)::BIGINT AS jaccard_e4
          FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
          WHERE i::DOUBLE / (za.n + zb.n - i) >= 0.8""",
+    "q_dedup_components" ->
+      """WITH RECURSIVE u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 100000, text FROM documents),
+         toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM u WHERE text <> ''),
+         sh AS (
+           SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+           FROM toks a
+           JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+           JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+           FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+           WHERE i::DOUBLE / (za.n + zb.n - i) >= 0.8),
+         und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, d.b FROM reach r JOIN und d ON r.b = d.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+         SELECT n.doc_id AS id, coalesce(c.cluster_id, n.doc_id) AS cluster_id
+         FROM (SELECT doc_id FROM u) n LEFT JOIN comp c ON c.id = n.doc_id""",
     "q_quantize_roundtrip" ->
       """WITH u AS (
            SELECT vec_id, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v

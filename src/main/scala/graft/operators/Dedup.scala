@@ -128,6 +128,63 @@ object Dedup {
     within.unionByName(cross)
   }
 
+  /** Connected components over a near-dup PAIR set → one canonical doc
+    * per duplicate cluster (cluster_id = min member id) — the step a real
+    * training pipeline runs after pair generation: transitive duplicates
+    * (A≈B, B≈C) must collapse to ONE kept doc even when A≉C directly.
+    *
+    * Algorithm: distributed min-label propagation — every node starts as
+    * its own label; each round a node takes the min of its own and its
+    * neighbors' labels (one equi-join + min-aggregate per round, lineage
+    * cut by localCheckpoint so plans don't snowball); converged when no
+    * label moves. Rounds = graph diameter, which for near-dup graphs is
+    * SMALL by construction (duplicate clusters are dense — every member
+    * pairs with most others), so the O(log n)-rounds alternating-star
+    * algorithm's extra machinery buys little here; at adversarial
+    * diameters swap this loop for large-star/small-star, the interface
+    * is unchanged. Errors loudly if maxIter rounds don't converge.
+    *
+    * `nodes` supplies the full id universe: pairless docs come out as
+    * their own singleton clusters (the common case — most of a corpus is
+    * unique).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      nodes: DataFrame,
+      nodeCol: String,
+      maxIter: Int = 30
+  ): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where($"u" =!= $"v")
+      .distinct()
+    val und = edges
+      .union(edges.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint()
+    var labels = nodes.select(col(nodeCol).cast("long").as("id")).distinct()
+      .withColumn("label", $"id")
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val viaNbr = und.join(labels, und("v") === labels("id"))
+        .select(und("u").as("id"), col("label"))
+      val next = labels.select($"id", $"label").unionByName(viaNbr)
+        .groupBy($"id").agg(min($"label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .where($"label" =!= $"prev").count()
+      labels = next
+      it += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select($"id", $"label".as("cluster_id"))
+  }
+
   /** SimHash near-dedup: 64-bit signature, 16-bit-chunk LSH (hamming ≤ 3
     * collides on ≥1 of 4 chunks), verify by exact hamming distance.
     */

@@ -173,6 +173,28 @@ class OperatorsSpec extends AnyFunSuite {
       (i.toLong, v)
     }
 
+  test("connected components: transitive chains collapse, singletons stand alone") {
+    import graft.operators.Dedup
+    // chain 1-2-3-4 (no direct 1-4 edge), pair {10,11}, singleton 20,
+    // plus a cycle 30-31-32-30
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (30L, 31L), (31L, 32L), (32L, 30L))
+    val nodes = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 30L, 31L, 32L))
+    val got = Dedup.connectedComponents(
+      spark.createDataFrame(pairs).toDF("id_a", "id_b"), "id_a", "id_b",
+      spark.createDataFrame(nodes.map(Tuple1(_))).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L), got.toString)
+    // long path exercises multi-round convergence (diameter > 2)
+    val path = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got2 = Dedup.connectedComponents(
+      spark.createDataFrame(path).toDF("a", "b"), "a", "b",
+      spark.createDataFrame((0L until 12L).map(Tuple1(_))).toDF("id"), "id")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got2.toSeq == Seq(0L), s"path graph should be one component: ${got2.toSeq}")
+  }
+
   test("brute-force ANN matches exhaustive cosine top-k") {
     val data = synthEmbeddings(300, 16)
     val corpus = spark.createDataFrame(data).toDF("id", "vec")
