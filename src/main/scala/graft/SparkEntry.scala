@@ -383,6 +383,14 @@ object SparkEntry {
       import s.implicits._
       Seq(graft.query.Facets.matchCount(s, indexFor(s, dir), QueryOr, "or")).toDF("n_docs")
     },
+    // composite terms × date_histogram (Kibana split-series: events per
+    // source per day) — one match walk, composite doc-value keys
+    "q_facet_src_day" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.termsDateHistogram(s, indexFor(s, dir), QueryAnd, "and",
+        kwField = "source", interval = "day")
+        .select($"source", $"bucket", $"n_docs")
+    },
     // ES significant_terms (JLH) on the custom keyword: which sources are
     // OVERREPRESENTED among docs matching the query vs the whole corpus —
     // the diagnostic agg of the event-log read path
@@ -1029,6 +1037,17 @@ GROUP BY 1""",
 )
 SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM toks
 WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")})""",
+    "q_facet_src_day" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+)
+SELECT source, strftime(epoch_ms(1609459200000 + doc_id * 60000), '%Y%m%d') AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM toks
+                 WHERE term IN (${QueryAnd.map(t => s"'$t'").mkString(", ")})
+                 GROUP BY doc_id HAVING count(DISTINCT term) = ${QueryAnd.distinct.size})
+GROUP BY 1, 2""",
     "q_significant_src" ->
       s"""WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''

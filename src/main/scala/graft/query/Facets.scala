@@ -110,6 +110,38 @@ object Facets {
       .orderBy(desc("n_docs"), asc(kwField))
   }
 
+  /** COMPOSITE terms × date_histogram — Kibana's split-series chart
+    * ("events per <keyword> per <interval>", e.g. per server per day):
+    * one match walk, keys = (keyword value, UTC bucket), counts shuffle
+    * bounded by |values| × |buckets|. Returns (<kwField>, bucket,
+    * n_docs) ordered by (kwField, bucket).
+    */
+  def termsDateHistogram(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      kwField: String = "lang",
+      interval: String = "day",
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    val pattern = interval match {
+      case "hour"  => "yyyyMMddHH"
+      case "day"   => "yyyyMMdd"
+      case "month" => "yyyyMM"
+      case other   => throw new IllegalArgumentException(s"unknown interval $other")
+    }
+    aggregate(spark, Seq(indexDir), queryTerms, mode, attrFilter, mustNot, minShouldMatch,
+      keyPattern = pattern, kwField = kwField, numField = null, numWidth = 0L)
+      .select(
+        split(col("key"), "\t").getItem(0).as(kwField),
+        split(col("key"), "\t").getItem(1).as("bucket"),
+        col("n").as("n_docs"))
+      .orderBy(kwField, "bucket")
+  }
+
   /** ES `significant_terms` on a declared keyword field: values
     * OVERREPRESENTED in the match set relative to the whole corpus —
     * "what is unusual about these matching events" (the diagnostic agg of
@@ -483,9 +515,10 @@ object Facets {
             else java.time.format.DateTimeFormatter.ofPattern(pat)
               .withZone(java.time.ZoneOffset.UTC)
           val reader = AttrSidecar.openReader(segDir, slice)
-          // resolve the field once per slice (loud on undeclared)
+          // resolve the field once per slice (loud on undeclared);
+          // kwField + pattern together = composite (terms × date) keys
           val numIdx = if (numF != null) reader.numIndex(numF) else -1
-          val kwIdx = if (numF == null && fmt == null) reader.kwIndex(kwF) else -1
+          val kwIdx = if (numF == null && kwF != null) reader.kwIndex(kwF) else -1
           try {
             val counts = scala.collection.mutable.HashMap.empty[String, Long]
             BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
@@ -493,6 +526,9 @@ object Facets {
                 val k =
                   if (numF != null)
                     (java.lang.Math.floorDiv(reader.numValue(numIdx), numW) * numW).toString
+                  else if (fmt != null && kwF != null)
+                    reader.kwValue(kwIdx) + "\t" +
+                      fmt.format(java.time.Instant.ofEpochMilli(reader.tsMillis))
                   else if (fmt == null) reader.kwValue(kwIdx)
                   else fmt.format(java.time.Instant.ofEpochMilli(reader.tsMillis))
                 counts.update(k, counts.getOrElse(k, 0L) + 1L)
