@@ -383,6 +383,14 @@ object SparkEntry {
       import s.implicits._
       Seq(graft.query.Facets.matchCount(s, indexFor(s, dir), QueryOr, "or")).toDF("n_docs")
     },
+    // ES field collapsing: top-10 hits, at most ONE per source ("one
+    // event per server") — exact: every group's best is found even when
+    // it ranks below k in the flat ranking
+    "q_bm25_collapse" -> { (s, dir) =>
+      import s.implicits._
+      Search.collapseTopK(s, indexFor(s, dir), QueryOr, "or", "source", 10)
+        .select($"source", $"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
     // composite terms × date_histogram (Kibana split-series: events per
     // source per day) — one match walk, composite doc-value keys
     "q_facet_src_day" -> { (s, dir) =>
@@ -1037,6 +1045,33 @@ GROUP BY 1""",
 )
 SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM toks
 WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")})""",
+    "q_bm25_collapse" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN alldocs ad ON ad.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+), best AS (
+  SELECT d.source, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.source ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, round(score * 10000)::BIGINT AS score_e4
+FROM best WHERE rn = 1 ORDER BY score DESC, doc_id LIMIT 10""",
     "q_facet_src_day" ->
       s"""WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''

@@ -602,6 +602,97 @@ object BlockMaxWand {
     }
   }
 
+  /** Enumerate ALL matching docs WITH exact scores, ascending docId —
+    * the field-collapse walk (no top-k gate: collapse semantics need the
+    * best hit of EVERY group, and a group's best can rank anywhere, so
+    * every match is scored exactly once). Scores sum in iterator (=
+    * query-term) order — the same float contract as or()/and().
+    */
+  def scoredMatches(
+      iters: Array[PostingIter],
+      isAnd: Boolean,
+      minShouldMatch: Int = 1,
+      filter: DocFilter = null
+  ): Iterator[(Long, Double)] = {
+    val gate = filter
+    if (iters.isEmpty) return Iterator.empty
+    if (isAnd && iters.exists(_.exhausted)) return Iterator.empty
+    val msm = minShouldMatch
+    new scala.collection.AbstractIterator[(Long, Double)] {
+      private var nextHit: (Long, Double) = findNext(if (isAnd) iters.map(_.doc).max else 0L)
+      private def findNext(from: Long): (Long, Double) = {
+        var target = from
+        while (true) {
+          if (isAnd) {
+            var aligned = true
+            if (gate != null) {
+              val c = gate.ceil(target)
+              if (c == Long.MaxValue) return null
+              if (c > target) { target = c; aligned = false }
+            }
+            var t = 0
+            while (t < iters.length) {
+              iters(t).advance(target)
+              if (iters(t).exhausted) return null
+              if (iters(t).doc > target) { target = iters(t).doc; aligned = false }
+              t += 1
+            }
+            if (aligned) {
+              var s = 0.0
+              var u = 0
+              while (u < iters.length) { s += iters(u).score; u += 1 }
+              val hit = (target, s)
+              var a = 0
+              while (a < iters.length) { iters(a).next(); a += 1 }
+              return hit
+            }
+          } else {
+            var m = Long.MaxValue
+            var i = 0
+            while (i < iters.length) {
+              val d = iters(i).doc
+              if (d < m) m = d
+              i += 1
+            }
+            if (m == Long.MaxValue) return null
+            if (gate != null && !gate.contains(m)) {
+              val nxt = gate.ceil(m + 1)
+              if (nxt == Long.MaxValue) return null
+              var a = 0
+              while (a < iters.length) {
+                if (!iters(a).exhausted && iters(a).doc < nxt) iters(a).advance(nxt)
+                a += 1
+              }
+            } else {
+              var s = 0.0
+              var matched = 0
+              var a = 0
+              while (a < iters.length) {
+                if (!iters(a).exhausted && iters(a).doc == m) {
+                  s += iters(a).score; matched += 1
+                }
+                a += 1
+              }
+              var b = 0
+              while (b < iters.length) {
+                if (!iters(b).exhausted && iters(b).doc == m) iters(b).next()
+                b += 1
+              }
+              if (matched >= msm) return (m, s)
+            }
+          }
+        }
+        null // unreachable
+      }
+      def hasNext: Boolean = nextHit != null
+      def next(): (Long, Double) = {
+        val h = nextHit
+        nextHit = findNext(if (isAnd) h._1 + 1 else 0L)
+        h
+      }
+    }
+  }
+
   /** Top-k conjunctive (AND) retrieval: leapfrog intersection with block
     * skipping; exact scores summed in query-term order.
     * `filter` (nullable) joins the leapfrog as a non-scoring conjunct.

@@ -309,6 +309,123 @@ object Search {
     topK(spark, indexDir, expansions, "or", k, docFilter, attrFilter, mustNot)
   }
 
+  /** ES field collapsing (`collapse: {field: …}`): top-k hits with at
+    * most ONE hit per value of a declared keyword attr — the "one event
+    * per server" view. Exact (unlike a post-filtered top-k, which can
+    * starve a group whose best hit ranks below k): each slice scores its
+    * FULL match set ([[BlockMaxWand.scoredMatches]] — collapse semantics
+    * need every group's best, which can rank anywhere) and keeps one
+    * best (score desc, docId asc) hit per value — per-task memory ∝
+    * distinct values (the bounded-cardinality keyword contract), network
+    * = nSlices × |values| rows, independent of match count. Scores are
+    * unchanged BM25 (corpus-global); filter context / must_not /
+    * tombstones / msm compose as everywhere.
+    */
+  def collapseTopK(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      kwField: String,
+      k: Int,
+      docFilter: Column = null,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    require(docFilter == null || attrFilter == null,
+      "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
+    val terms = queryTerms.distinct
+    val stats = IndexBuilder.readStats(spark, indexDir)
+    val n = stats.n_docs
+    val avgDl = if (stats.avg_dl > 0) stats.avg_dl else 1.0
+    val dfs = IndexBuilder.readTerms(spark, indexDir)
+      .where($"term".isin(terms: _*))
+      .collect().map(t => t.term -> t.doc_freq).toMap
+    if (terms.isEmpty || (mode == "and" && terms.exists(t => !dfs.contains(t))))
+      return spark.emptyDataset[(String, Long, Double)].toDF(kwField, "doc_id", "score")
+    val present = terms.filter(dfs.contains)
+    if (present.isEmpty || present.size < minShouldMatch)
+      return spark.emptyDataset[(String, Long, Double)].toDF(kwField, "doc_id", "score")
+    val idfs = terms.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
+    val exTerms = mustNot.distinct
+    val bCtx = spark.sparkContext.broadcast((terms.toArray, idfs, exTerms.toArray))
+    val tomb = graft.index.Tombstones.handle(indexDir)
+    val idxDir = indexDir
+    val pred = attrFilter
+    val isAnd = mode == "and"
+    val msm = minShouldMatch
+    val fld = kwField
+
+    val blocks = IndexBuilder
+      .readPostings(spark, indexDir)
+      .where($"term".isin(terms ++ exTerms: _*))
+      .select(
+        $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
+      )
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
+
+    val perSlice = blocks
+      .groupByKey(_._1)
+      .flatMapGroups { (slice, rows) =>
+        val (qTerms, qIdfs, exT) = bCtx.value
+        val byTerm = rows.toArray.groupBy(_._2)
+        def itersOf(t: String, ti: Int, idf: Double): Option[PostingIter] =
+          byTerm.get(t).map { rs =>
+            val refs = rs.sortBy(r => (r._4, r._3))
+              .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
+            new PostingIter(ti, idf, refs, avgDl)
+          }
+        val iters = qTerms.iterator.zipWithIndex
+          .flatMap { case (t, ti) => itersOf(t, ti, qIdfs(ti)) }.toArray
+        if (iters.isEmpty || (isAnd && iters.length < qTerms.length)) Iterator.empty
+        else {
+          var filter: DocFilter =
+            if (pred == null) null else AttrSidecar.openCursor(idxDir, slice, pred)
+          val predCursor = filter
+          val exIters = exT.iterator.flatMap(t => itersOf(t, 0, 0.0)).toArray
+          if (exIters.nonEmpty)
+            filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+          if (tomb != null) filter = tomb.compose(slice, filter)
+          val reader = AttrSidecar.openReader(idxDir, slice)
+          val kwIdx = reader.kwIndex(fld)
+          try {
+            // one best hit per value within the slice
+            val best = scala.collection.mutable.HashMap.empty[String, (Long, Double)]
+            BlockMaxWand.scoredMatches(iters, isAnd, msm, filter).foreach { case (id, s) =>
+              if (reader.seek(id)) {
+                val v = reader.kwValue(kwIdx)
+                best.get(v) match {
+                  case Some((bid, bs)) if bs > s || (bs == s && bid < id) => // keep
+                  case _ => best.update(v, (id, s))
+                }
+              }
+            }
+            best.iterator.map { case (v, (id, s)) => (v, id, s) }.toArray.iterator
+          } finally {
+            reader.close()
+            predCursor match {
+              case c: AutoCloseable => c.close()
+              case _ =>
+            }
+          }
+        }
+      }
+      .toDF(fld, "doc_id", "score")
+
+    // global: one winner per value, then top-k groups by their winner
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(fld)).orderBy(desc("score"), asc("doc_id"))
+    perSlice
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .drop("rn")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** ES wildcard query (`{"wildcard": {"text": "s?a*"}}`): `*` = any run,
     * `?` = one char, anything else literal. Compiles to an anchored regex
     * and rides [[regexpTopK]]'s dictionary expansion; a literal prefix

@@ -500,6 +500,37 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotF == expF, "histogram with lang filter context")
   }
 
+  test("field collapsing: exactly one best hit per keyword value, exact scores") {
+    // naive expectation: score EVERY match, keep the best (score desc,
+    // id asc) per lang, rank groups by their winner
+    def naiveCollapse(terms: Seq[String], mode: String, k: Int): Seq[(String, Long, Double)] = {
+      val all = NaiveBm25.topK(corpus, terms, mode, NDocs.toInt)
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
+      all.foreach { h =>
+        val l = langOf(h.docId)
+        if (!seen.contains(l)) seen.update(l, (h.docId, h.score))
+      }
+      seen.toSeq.map { case (l, (id, s)) => (l, id, s) }
+        .sortBy { case (_, id, s) => (-s, id) }.take(k)
+    }
+    Seq(("or", Seq("w1", "w2")), ("and", Seq("w1", "w2")), ("or", Seq("rareterm7"))).foreach {
+      case (mode, terms) =>
+        val expected = naiveCollapse(terms, mode, 10)
+        val gotC = Search.collapseTopK(spark, dir.toString, terms, mode, "lang", 10)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        assert(gotC.map(t => (t._1, t._2)) == expected.map(t => (t._1, t._2)),
+          s"$mode/$terms collapse: $gotC vs $expected")
+        gotC.zip(expected).foreach { case ((_, _, gs), (_, _, es)) =>
+          assert(math.abs(gs - es) < 1e-9, s"$mode/$terms collapse score")
+        }
+        // a group's best must be found even when it ranks below the flat
+        // top-10 (exactness vs post-filtering): every lang with ANY match
+        // appears
+        val langsWithMatch = matchedIds(terms, mode == "and").map(langOf).distinct.size
+        assert(gotC.size == math.min(10, langsWithMatch), s"$mode/$terms group coverage")
+    }
+  }
+
   test("rescore: exp-decay rerank of the BM25 window; outside-window docs can't re-enter") {
     import graft.query.Rescore
     val terms = Seq("w1", "w2")
