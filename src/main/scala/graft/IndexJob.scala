@@ -24,6 +24,9 @@ import graft.query.Search
   *   prefix-search <indexDir> <k> <prefix> [--max-expansions=N]
   *   fuzzy-search  <indexDir> <k> <term> [--max-edits=N] [--max-expansions=N]
   *   sort-search <indexDir> <and|or> <k> <numField> term [term ...] [--asc=1]  # ES sort-by-field (newest-first reads)
+  *   collapse-search <indexDir> <and|or> <k> <kwField> term [term ...]  # ES collapse: one best hit per keyword value
+  *   significant <indexDir> <and|or> <kwField> term [term ...]          # ES significant_terms (JLH)
+  *   facet-split <indexDir> <and|or> <kwField> <hour|day|month> term [term ...]  # terms × date_histogram
   *   count       <indexDir> <and|or> term [term ...]                # ES _count over the match set
   *   wildcard-search <indexDir> <k> <pattern>  # * = any run, ? = one char
   *   regexp-search   <indexDir> <k> <regex>    # anchored Java regex
@@ -159,6 +162,23 @@ object IndexJob {
         printHits(Search.fuzzyTopK(spark, indexDir, term, k.toInt,
           maxEdits = flag(args, "max-edits", 1),
           maxExpansions = flag(args, "max-expansions", 64)))
+      case Some("collapse-search") =>
+        // ES field collapsing: one best hit per keyword value
+        val Seq(indexDir, mode, k, field) = positional.take(4)
+        Search.collapseTopK(spark, indexDir, positional.drop(4), mode, field, k.toInt)
+          .collect().foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getDouble(2)}"))
+      case Some("significant") =>
+        // ES significant_terms (JLH) on a declared keyword attr
+        val Seq(indexDir, mode, field) = positional.take(3)
+        graft.query.Facets.significantTerms(spark, indexDir, positional.drop(3), mode, field)
+          .collect().foreach(r =>
+            println(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getLong(3)}"))
+      case Some("facet-split") =>
+        // composite terms × date_histogram (Kibana split-series)
+        val Seq(indexDir, mode, field, interval) = positional.take(4)
+        graft.query.Facets.termsDateHistogram(spark, indexDir, positional.drop(4), mode,
+          field, interval)
+          .collect().foreach(r => println(s"${r.getString(0)}\t${r.getString(1)}\t${r.getLong(2)}"))
       case Some("sort-search") =>
         // ES sort-by-field: the newest-first event-log read (sort on any
         // declared numeric attr; --asc=1 flips the order)

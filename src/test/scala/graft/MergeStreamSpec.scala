@@ -165,6 +165,28 @@ class MergeStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(gotLive.map(_._1).toSeq == expected.map(_.docId), "segments-direct ids")
     expected.zip(gotLive).foreach { case (e, (_, s)) => assert(math.abs(s - e.score) < 1e-9) }
+
+    // the whole event-log read surface serves the LIVE family directly —
+    // newest-first sort, terms facet, prefix rewrite — each identical to
+    // the physically merged index (no merge required to read)
+    val famDirs = segDirs.map(s => s"$idxDir/$s").toSeq
+    val sortFam = graft.query.SortBy.topKByAttrMulti(
+      spark, famDirs, Seq("w0", "w3"), "or", "warc_ts", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sortOne = graft.query.SortBy.topKByAttr(
+      spark, merged, Seq("w0", "w3"), "or", "warc_ts", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sortFam == sortOne, "family newest-first ≠ merged index")
+    val aggFam = graft.query.Facets.termsAggMulti(spark, famDirs, Seq("w0", "w3"), "or")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val aggOne = graft.query.Facets.termsAgg(spark, merged, Seq("w0", "w3"), "or")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(aggFam == aggOne, "family terms facet ≠ merged index")
+    val preFam = live.prefixTopK("w1", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val preOne = Search.prefixTopK(spark, merged, "w1", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(preFam == preOne, "family prefix ≠ merged index")
   }
 
   test("time-bucketed index family: date-ranged search prunes whole month segments") {
