@@ -333,16 +333,41 @@ object Search {
       mustNot: Seq[String] = Nil,
       minShouldMatch: Int = 1
   ): DataFrame = {
+    require(docFilter == null, "collapse uses typed filter context (attrFilter)")
+    collapseTopKMulti(spark, Seq(indexDir), queryTerms, mode, kwField, k,
+      attrFilter, mustNot, minShouldMatch)
+  }
+
+  /** [[collapseTopK]] over a SEGMENT FAMILY (streaming ingest serves the
+    * collapsed view directly, no merge): global stats/df (scores equal
+    * the merged index's), family-global ids, one best hit per keyword
+    * value per (segment, slice) task, global winner per value, top-k.
+    */
+  def collapseTopKMulti(
+      spark: SparkSession,
+      segmentDirs: Seq[String],
+      queryTerms: Seq[String],
+      mode: String,
+      kwField: String,
+      k: Int,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
     import spark.implicits._
-    require(docFilter == null || attrFilter == null,
-      "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
+    require(segmentDirs.nonEmpty, "no segments")
     val terms = queryTerms.distinct
-    val stats = IndexBuilder.readStats(spark, indexDir)
-    val n = stats.n_docs
-    val avgDl = if (stats.avg_dl > 0) stats.avg_dl else 1.0
-    val dfs = IndexBuilder.readTerms(spark, indexDir)
-      .where($"term".isin(terms: _*))
-      .collect().map(t => t.term -> t.doc_freq).toMap
+    val segStats = segmentDirs.map(IndexBuilder.readStats(spark, _))
+    val n = segStats.map(_.n_docs).sum
+    val totTok = segStats.map(_.total_tokens).sum
+    val avgDl = if (n > 0 && totTok > 0) totTok.toDouble / n else 1.0
+    val bases = segStats.map(_.n_docs).scanLeft(0L)(_ + _).init
+    // global df = Σ per-segment (the merged index's df)
+    val dfs: Map[String, Long] = segmentDirs
+      .map(d => IndexBuilder.readTerms(spark, d).where($"term".isin(terms: _*)).toDF())
+      .reduce(_ unionByName _)
+      .groupBy($"term").agg(sum($"doc_freq").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (terms.isEmpty || (mode == "and" && terms.exists(t => !dfs.contains(t))))
       return spark.emptyDataset[(String, Long, Double)].toDF(kwField, "doc_id", "score")
     val present = terms.filter(dfs.contains)
@@ -351,55 +376,72 @@ object Search {
     val idfs = terms.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
     val exTerms = mustNot.distinct
     val bCtx = spark.sparkContext.broadcast((terms.toArray, idfs, exTerms.toArray))
-    val tomb = graft.index.Tombstones.handle(indexDir)
-    val idxDir = indexDir
+    val bDirs = spark.sparkContext.broadcast(segmentDirs.toArray)
+    val bBases = spark.sparkContext.broadcast(bases.toArray)
+    val bTombs = spark.sparkContext.broadcast(
+      segmentDirs.map(graft.index.Tombstones.handle).toArray)
     val pred = attrFilter
     val isAnd = mode == "and"
     val msm = minShouldMatch
     val fld = kwField
+    val avg = avgDl
+    val single = segmentDirs.size == 1
 
-    val blocks = IndexBuilder
-      .readPostings(spark, indexDir)
-      .where($"term".isin(terms ++ exTerms: _*))
-      .select(
-        $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
-        $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
-      )
-      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
+    val blocks = segmentDirs.zipWithIndex
+      .map { case (d, i) =>
+        IndexBuilder.readPostings(spark, d)
+          .where($"term".isin(terms ++ exTerms: _*))
+          .select(
+            lit(i).as("seg"), $"slice", $"term", $"block_id", $"doc_id_min",
+            $"doc_id_max", $"count", $"deltas", $"tfs", $"dls", $"poss",
+            $"max_impact", $"max_tf", $"min_dl"
+          )
+      }
+      .reduce(_ unionByName _)
+      .as[(Int, Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double, Int, Int)]
 
     val perSlice = blocks
-      .groupByKey(_._1)
-      .flatMapGroups { (slice, rows) =>
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key, rows) =>
+        val (seg, slice) = key
+        val segDir = bDirs.value(seg)
+        val docBase = bBases.value(seg)
         val (qTerms, qIdfs, exT) = bCtx.value
-        val byTerm = rows.toArray.groupBy(_._2)
+        val byTerm = rows.toArray.groupBy(_._3)
         def itersOf(t: String, ti: Int, idf: Double): Option[PostingIter] =
           byTerm.get(t).map { rs =>
-            val refs = rs.sortBy(r => (r._4, r._3))
-              .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
-            new PostingIter(ti, idf, refs, avgDl)
+            val refs = rs.sortBy(r => (r._5, r._4))
+              .map(r => BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11,
+                // single segment: stored exact bound (its own avgdl); family:
+                // avgdl-independent bound at the global avgdl (MultiSearcher's
+                // rule) — bounds are unused by scoredMatches but kept honest
+                if (single) r._12 else IndexBuilder.impact(r._13, r._14, avg)))
+            new PostingIter(ti, idf, refs, avg)
           }
         val iters = qTerms.iterator.zipWithIndex
           .flatMap { case (t, ti) => itersOf(t, ti, qIdfs(ti)) }.toArray
         if (iters.isEmpty || (isAnd && iters.length < qTerms.length)) Iterator.empty
         else {
           var filter: DocFilter =
-            if (pred == null) null else AttrSidecar.openCursor(idxDir, slice, pred)
+            if (pred == null) null else AttrSidecar.openCursor(segDir, slice, pred)
           val predCursor = filter
           val exIters = exT.iterator.flatMap(t => itersOf(t, 0, 0.0)).toArray
           if (exIters.nonEmpty)
             filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+          val tomb = bTombs.value(seg)
           if (tomb != null) filter = tomb.compose(slice, filter)
-          val reader = AttrSidecar.openReader(idxDir, slice)
+          val reader = AttrSidecar.openReader(segDir, slice)
           val kwIdx = reader.kwIndex(fld)
           try {
-            // one best hit per value within the slice
+            // one best hit per value within the (segment, slice) task
             val best = scala.collection.mutable.HashMap.empty[String, (Long, Double)]
             BlockMaxWand.scoredMatches(iters, isAnd, msm, filter).foreach { case (id, s) =>
               if (reader.seek(id)) {
                 val v = reader.kwValue(kwIdx)
+                val gid = docBase + id
                 best.get(v) match {
-                  case Some((bid, bs)) if bs > s || (bs == s && bid < id) => // keep
-                  case _ => best.update(v, (id, s))
+                  case Some((bid, bs)) if bs > s || (bs == s && bid < gid) => // keep
+                  case _ => best.update(v, (gid, s))
                 }
               }
             }

@@ -391,6 +391,16 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
         "family wildcard ≠ single-index wildcard")
       assert(got(ms.regexpTopK(".*42", 10)) == got(Search.regexpTopK(spark, dir.toString, ".*42", 10)),
         "family regexp ≠ single-index regexp")
+      // family collapse ≡ single-index collapse (global stats + ids align)
+      def gotC(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSeq
+      assert(
+        gotC(Search.collapseTopKMulti(spark, Seq(s"$root/A", s"$root/B"),
+          Seq("w1", "w2"), "or", "lang", 10)) ==
+          gotC(Search.collapseTopK(spark, dir.toString,
+            Seq("w1", "w2"), "or", "lang", 10)),
+        "family collapse ≠ single-index collapse")
       // family sort-by-field ≡ single-index sort (global ids align)
       def gotL(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
