@@ -52,6 +52,11 @@ object SortBy {
     * convention as [[MultiSearcher]]); each (segment, slice) task reads
     * its own segment's sidecar.
     */
+  /** `explicitBases`: global docID base per segment — pass them when
+    * `segmentDirs` is a PRUNED subset of a larger family (time-bucket
+    * pruning) so ids stay stable across selections, exactly the
+    * [[MultiSearcher]] contract.
+    */
   def topKByAttrMulti(
       spark: SparkSession,
       segmentDirs: Seq[String],
@@ -63,18 +68,20 @@ object SortBy {
       attrFilter: AttrPred = null,
       mustNot: Seq[String] = Nil,
       minShouldMatch: Int = 1,
-      searchAfter: (Long, Long) = null
+      searchAfter: (Long, Long) = null,
+      explicitBases: Option[Seq[Long]] = None
   ): DataFrame = {
     import spark.implicits._
     require(segmentDirs.nonEmpty, "no segments")
+    require(explicitBases.forall(_.size == segmentDirs.size), "bases must align with segments")
     val terms = queryTerms.distinct
     val isAnd = mode == "and"
     if (terms.isEmpty) return spark.emptyDataset[(Long, Long)].toDF("doc_id", "sort_value")
     val exTerms = mustNot.distinct
     val bCtx = spark.sparkContext.broadcast((terms.toArray, exTerms.toArray))
     val bDirs = spark.sparkContext.broadcast(segmentDirs.toArray)
-    val bases = segmentDirs.map(IndexBuilder.readStats(spark, _).n_docs)
-      .scanLeft(0L)(_ + _).init
+    val bases = explicitBases.getOrElse(
+      segmentDirs.map(IndexBuilder.readStats(spark, _).n_docs).scanLeft(0L)(_ + _).init)
     val bBases = spark.sparkContext.broadcast(bases.toArray)
     val bTombs = spark.sparkContext.broadcast(
       segmentDirs.map(graft.index.Tombstones.handle).toArray)

@@ -222,6 +222,20 @@ class MergeStreamSpec extends AnyFunSuite {
     assert(viaPruned.map(_._1).toSeq == viaAll.map(_._1).toSeq)
     viaAll.zip(viaPruned).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
 
+    // sort-by-field over the PRUNED selection: explicit manifest bases
+    // keep global ids stable, so the answer equals sorting the full
+    // family under the same date filter
+    val famBases = buckets.map(_.n_docs).scanLeft(0L)(_ + _).init
+    val sortPruned = graft.query.SortBy.topKByAttrMulti(
+      spark, picked.map(_.dir), Seq("w0", "w1"), "or", "warc_ts", 10,
+      explicitBases = Some(picked.map(b => famBases(buckets.indexWhere(_.bucket == b.bucket)))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sortAll = graft.query.SortBy.topKByAttrMulti(
+      spark, buckets.map(_.dir), Seq("w0", "w1"), "or", "warc_ts", 10,
+      attrFilter = graft.index.AttrPred.tsRange(feb1, mar1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sortPruned == sortAll, s"pruned sort ≠ filtered family sort: $sortPruned vs $sortAll")
+
     // retention (ES ILM delete phase): expire everything before Feb —
     // whole-bucket drop, never doc-level deletes
     val dropped = TimeBuckets.expire(root, feb1)
