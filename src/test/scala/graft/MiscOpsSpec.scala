@@ -147,6 +147,35 @@ class MiscOpsSpec extends AnyFunSuite {
     }
     val gotF = outF.toString.trim.split("\n").filter(_.nonEmpty).map(_.split("\t")(0).toLong)
     assert(gotF.toSeq == expF.map(_.docId), "CLI --lang filter (sidecar path)")
+
+    // round-4 commands: every new read surface is reachable via the CLI
+    def cli(args: String*): Seq[String] = {
+      val o = new java.io.ByteArrayOutputStream()
+      Console.withOut(o) { IndexJob.run(spark, args.toSeq) }
+      o.toString.trim.split("\n").filter(_.nonEmpty).toSeq
+    }
+    // count ≡ distinct matched docs
+    val matchedN = corpus.count { case (_, t) =>
+      val toks = graft.functions.Analyzer.tokenize(t).toSet
+      toks.contains("w1") || toks.contains("w2")
+    }
+    assert(cli("count", idxDir, "or", "w1", "w2") == Seq(s"count\t$matchedN"), "CLI count")
+    // sort-search: newest-first ids match the library call
+    val sortLib = graft.query.SortBy.topKByAttr(spark, idxDir, Seq("w1", "w2"), "or", "warc_ts", 5)
+      .collect().map(r => s"${r.getLong(0)}\t${r.getLong(1)}").toSeq
+    assert(cli("sort-search", idxDir, "or", "5", "warc_ts", "w1", "w2") == sortLib, "CLI sort-search")
+    // collapse-search: one hit per lang
+    val coll = cli("collapse-search", idxDir, "or", "5", "lang", "w1", "w2")
+    assert(coll.map(_.split("\t")(0)).distinct.size == coll.size && coll.nonEmpty, "CLI collapse")
+    // wildcard-search ≡ library wildcard
+    val wildLib = graft.query.Search.wildcardTopK(spark, idxDir, "w1?", 5)
+      .collect().map(r => s"${r.getLong(0)}\t${r.getDouble(1)}").toSeq
+    assert(cli("wildcard-search", idxDir, "5", "w1?") == wildLib, "CLI wildcard-search")
+    // significant + facet-split produce well-formed rows
+    assert(cli("significant", idxDir, "or", "lang", "w1").forall(_.split("\t").length == 4),
+      "CLI significant row shape")
+    assert(cli("facet-split", idxDir, "or", "lang", "month", "w1").forall(_.split("\t").length == 3),
+      "CLI facet-split row shape")
   }
 
   test("IndexJob CLI --retries: driver retry resumes from checkpoints to a complete index") {
