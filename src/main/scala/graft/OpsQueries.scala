@@ -38,10 +38,28 @@ object OpsQueries {
       out
     })
 
+  /** Build-once persisted QUANTIZED IVF index (int8 codes in the lists,
+    * trained scalar-quant params alongside — the FAISS IVF,SQ8 shape).
+    */
+  private val ivfqDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfqIndexFor(s: SparkSession, dir: String): String =
+    ivfqDirs.getOrElseUpdate(dir, {
+      val name = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"/tmp/graft-ivfq/$name"
+      val stale = Ann.ivfFormatVersion(out) != Ann.IvfFormatVersion
+      if (stale) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      if (stale || !new java.io.File(s"$out/quant").exists())
+        Ann.ivfBuildQuantized(embs(s, dir), "vec_id", "embedding", out, nLists = 16)
+      out
+    })
+
   /** Pre-build the persisted fixtures (bench calls this so gate timings
     * measure queries, not first-use index builds).
     */
-  def warmFixtures(s: SparkSession, dir: String): Unit = ivfIndexFor(s, dir)
+  def warmFixtures(s: SparkSession, dir: String): Unit = {
+    ivfIndexFor(s, dir)
+    ivfqIndexFor(s, dir)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy, keep lowest id
@@ -168,6 +186,28 @@ object OpsQueries {
         .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
         .select(col("qid"), (col("hits") >= 8).as("recall_ok"))
     },
+    // QUANTIZED IVF (codes in the lists, exact rerank of a 4×-widened
+    // candidate set — the FAISS IVF,SQ8 / ES int8_hnsw composition),
+    // driver-gated as recall containment exactly like q_ann_ivf_pruned:
+    // per query ≥8 of the exact brute-force top-10 must survive
+    // quantization + pruning (nProbe 12 of 16). Deterministic: training,
+    // quantization, and rerank are all fixed arithmetic.
+    "q_ann_ivf_quantized" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val idx = ivfqIndexFor(s, dir)
+      val quant = Ann.ivfSearchQuantized(s, idx, q,
+        e.select(col("vec_id"), col("embedding")),
+        "qid", "qvec", "vec_id", "embedding", 10, nProbe = 12, rerankFactor = 4)
+        .select(col("qid"), col("id"), lit(1L).as("hit"))
+      val bf = Ann.bruteForceTopK(q, e, "qid", "qvec", "vec_id", "embedding", 10)
+        .select(col("qid"), col("id"))
+      bf.join(quant, Seq("qid", "id"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("qid"), (col("hits") >= 8).as("recall_ok"))
+    },
     // language-ID heuristic per doc
     "q_lang_id" -> { (s, dir) =>
       TextAnalysis.analyze(docs(s, dir), "doc_id", "text")
@@ -244,25 +284,35 @@ object OpsQueries {
           regexp_replace(lit("idx-[IBNAME]-prod"), lit("\\[IBNAME\\]"), $"source").as("index_name")
         )
     },
-    // multimodal plumbing: synthesize binary media per doc, decode meta,
-    // aspect-preserving resize plan (pixel decode itself is the marked
-    // stub). Oracled: the fake header's dims derive from doc_id via
+    // multimodal: image rows carry REAL format bytes — valid PNG
+    // (signature + IHDR + CRC) for id%6=0, valid JPEG (SOI + JFIF APP0 +
+    // SOF0) for id%6=3 — decoded by the actual byte-level header parsers;
+    // audio/video stay on the marked "GRFT" stub (no media libs in this
+    // container). Oracled: dims/channels derive from doc_id via
     // SQL-recomputable arithmetic, so DuckDB independently re-derives
-    // kind/width/height and the resize result — verifying the binary
-    // encode→decode round trip and the resize math end-to-end.
+    // kind/width/height/channels and the resize result — a wrong PNG CRC
+    // layout, IHDR offset, or JPEG marker walk fails the hash match.
     "q_media_meta" -> { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir)
         .select(col("doc_id").cast("long"))
         .as[Long]
-        .map(id => (id, Multimodal.synthesize(id)))
+        .map { id =>
+          val blob =
+            if (id % 6 == 0) Multimodal.synthesizePng(id)
+            else if (id % 6 == 3) Multimodal.synthesizeJpeg(id)
+            else Multimodal.synthesize(id)
+          (id, blob)
+        }
         .toDF("id", "media")
       val meta = Multimodal.extractMeta(media, "id", "media")
       Multimodal.resizePlan(meta, maxSide = 256)
+        .join(meta.toDF().select(col("id"), col("channels")), "id")
         .select(
           col("id"), col("kind"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
           col("out_w").cast("long").as("out_w"),
           col("out_h").cast("long").as("out_h")
         )
@@ -461,18 +511,27 @@ object OpsQueries {
          FROM scored WHERE rnk <= 10""",
     "q_ann_ivf_pruned" ->
       """SELECT vec_id AS qid, true AS recall_ok FROM embeddings WHERE vec_id < 5""",
+    "q_ann_ivf_quantized" ->
+      """SELECT vec_id AS qid, true AS recall_ok FROM embeddings WHERE vec_id < 5""",
     "q_media_meta" ->
       """WITH m AS (
            SELECT doc_id AS id,
                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                   (16 + (doc_id * 7919) % 1024)::BIGINT AS width,
-                  (16 + (doc_id * 104729) % 1024)::BIGINT AS height
+                  (16 + (doc_id * 104729) % 1024)::BIGINT AS height,
+                  CASE
+                    WHEN doc_id % 6 = 0 THEN  -- PNG color type {gray, RGB, RGBA}
+                      (CASE ((doc_id // 6) % 3) WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
+                    WHEN doc_id % 6 = 3 THEN  -- JPEG components {YCbCr, gray}
+                      (CASE ((doc_id // 6) % 2) WHEN 0 THEN 3 ELSE 1 END)
+                    ELSE (1 + (doc_id * 7) % 4)  -- GRFT stub header
+                  END::BIGINT AS channels
            FROM documents),
          sc AS (
            SELECT *, CASE WHEN greatest(width, height) <= 256 THEN 1.0::DOUBLE
                           ELSE 256.0::DOUBLE / greatest(width, height) END AS scale
            FROM m)
-         SELECT id, kind, width, height,
+         SELECT id, kind, width, height, channels,
                 ceil(width * scale)::BIGINT AS out_w,
                 ceil(height * scale)::BIGINT AS out_h
          FROM sc""",

@@ -408,6 +408,24 @@ object SparkEntry {
         kwField = "source", size = 10)
         .select($"source", $"fg_count", $"bg_count", $"score_e4")
     },
+    // ES stats agg (metric layer of the Kibana read path): min/max/sum/avg
+    // of a declared numeric doc value over the query's FULL match set —
+    // one (n, sum, min, max) partial per slice, exchange nSlices×1 rows
+    "q_facet_stats" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.statsAgg(s, indexFor(s, dir), QueryOr, "or", "doc_len")
+        .select($"n_docs", $"min_v", $"max_v", $"sum_v",
+          round($"avg_v" * 10000).cast("long").as("avg_e4"))
+    },
+    // ES percentiles agg, exact nearest-rank over the match set's doc_len
+    // values (per-slice value-histogram partials; cumulative walk over
+    // distinct values)
+    "q_facet_pct" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.percentilesAgg(s, indexFor(s, dir), QueryOr, "or", "doc_len",
+        percentiles = Seq(25.0, 50.0, 75.0, 95.0, 99.0))
+        .select(round($"p").cast("long").as("p"), $"value")
+    },
     // bool.should minimum_should_match: candidates must match ≥2 of the 3
     // query terms; scores unchanged (still summed over matched terms)
     "q_bm25_msm" -> { (s, dir) =>
@@ -535,6 +553,21 @@ object SparkEntry {
         FieldedSearch.Field("body", indexFor(s, dir), 1.0)
       )
       FieldedSearch.prefixTopK(s, fields, "s", 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // fielded wildcard (ES query_string `s?a*` over multiple fields —
+    // the Kibana `server:web-*` shape): the pattern expands against EACH
+    // field's dictionary with the literal-prefix pushdown cut; per-field
+    // masks as in the prefix/fuzzy rewrites; exhaustive LIKE oracle is
+    // exact because both vocabularies expand below the cap
+    "q_bm25_fielded_wildcard" -> { (s, dir) =>
+      import s.implicits._
+      import graft.query.FieldedSearch
+      val fields = Seq(
+        FieldedSearch.Field("title", titleIndexFor(s, dir), 2.0),
+        FieldedSearch.Field("body", indexFor(s, dir), 1.0)
+      )
+      FieldedSearch.wildcardTopK(s, fields, "s?a*", 10)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
     // exact-phrase top-k (≙ ES match_phrase over an analyzed text field;
@@ -1102,6 +1135,38 @@ SELECT fg.v AS source, fg.f::BIGINT AS fg_count, bg.b::BIGINT AS bg_count,
 FROM fg JOIN bg USING (v) CROSS JOIN tot t
 WHERE fg.f / t.fgt > bg.b / t.bgt
 ORDER BY score_e4 DESC, source LIMIT 10""",
+    "q_facet_stats" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS doc_len
+  FROM documents
+), m AS (
+  SELECT dl.doc_len FROM dl
+  WHERE dl.doc_id IN (SELECT DISTINCT doc_id FROM toks
+                      WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+)
+SELECT count(*)::BIGINT AS n_docs, min(doc_len)::BIGINT AS min_v,
+       max(doc_len)::BIGINT AS max_v, sum(doc_len)::BIGINT AS sum_v,
+       round((sum(doc_len)::DOUBLE / count(*)::DOUBLE) * 10000)::BIGINT AS avg_e4
+FROM m""",
+    "q_facet_pct" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS doc_len
+  FROM documents
+), mv AS (
+  SELECT dl.doc_len AS v FROM dl
+  WHERE dl.doc_id IN (SELECT DISTINCT doc_id FROM toks
+                      WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM mv
+), tot AS (SELECT count(*)::BIGINT AS n FROM mv
+), ps(p) AS (VALUES (25), (50), (75), (95), (99))
+SELECT ps.p::BIGINT AS p, min(r.v)::BIGINT AS value
+FROM ps CROSS JOIN tot JOIN ranked r ON r.rn >= ceil(ps.p * tot.n / 100.0)
+GROUP BY ps.p""",
     "q_bm25_msm" -> bm25OracleSql(QueryOr, and = false, msm = 2),
     "q_bm25_page2" -> bm25OracleSql(QueryOr, and = false, offset = 10),
     "q_bm25_prefix" -> bm25OracleSql(Nil, and = false, termWhere = "term LIKE 's%'"),
@@ -1171,6 +1236,7 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY sco
     "q_bm25_phrase" -> phraseOracleSql(QueryPhrase),
     "q_bm25_fielded" -> fieldedOracleSql(QueryOr),
     "q_bm25_fielded_prefix" -> fieldedOracleSql(Nil, termPred = "term LIKE 's%'"),
+    "q_bm25_fielded_wildcard" -> fieldedOracleSql(Nil, termPred = "term LIKE 's_a%'"),
     // fielded over 2-segment families must equal the single-index fielded
     // answer — same oracle
     "q_bm25_fielded_multiseg" -> fieldedOracleSql(QueryOr),

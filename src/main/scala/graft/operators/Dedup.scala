@@ -133,20 +133,32 @@ object Dedup {
     * training pipeline runs after pair generation: transitive duplicates
     * (A≈B, B≈C) must collapse to ONE kept doc even when A≉C directly.
     *
-    * Algorithm: distributed min-label propagation — every node starts as
-    * its own label; each round a node takes the min of its own and its
-    * neighbors' labels (one equi-join + min-aggregate per round, lineage
-    * cut by localCheckpoint so plans don't snowball); converged when no
-    * label moves. Rounds = graph diameter, which for near-dup graphs is
-    * SMALL by construction (duplicate clusters are dense — every member
-    * pairs with most others), so the O(log n)-rounds alternating-star
-    * algorithm's extra machinery buys little here; at adversarial
-    * diameters swap this loop for large-star/small-star, the interface
-    * is unchanged. Errors loudly if maxIter rounds don't converge.
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * textbook MR-CC). Each round is two equi-join + min-aggregate passes
+    * over the edge set, lineage cut by localCheckpoint; convergence takes
+    * O(log d) rounds instead of the d rounds of plain min-label
+    * propagation, so CHAIN-shaped near-dup graphs (templated page series
+    * — page-2 ≈ page-3 ≈ page-4 …) converge in ~7 rounds at diameter
+    * 100, not 100. Dense dup-cluster graphs (the common case) converge in
+    * 1–2 rounds either way. Errors loudly if maxIter rounds don't
+    * converge.
+    *
+    *   - large-star: every node links each strictly-LARGER neighbor to
+    *     the minimum of its closed neighborhood;
+    *   - small-star: every node links its smaller-or-equal neighbors
+    *     (and itself) to that minimum.
+    *
+    * At the fixed point the edge set is a star forest — every non-root
+    * points directly at its component's minimum id, which becomes
+    * `cluster_id`.
     *
     * `nodes` supplies the full id universe: pairless docs come out as
     * their own singleton clusters (the common case — most of a corpus is
-    * unique).
+    * unique). Pair endpoints are UNIONED into the universe rather than
+    * trusted to be a subset of `nodes` — an endpoint missing from `nodes`
+    * (a caller bug under the documented contract) still labels correctly
+    * instead of silently splitting the components it bridges.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -158,31 +170,62 @@ object Dedup {
   ): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .where($"u" =!= $"v")
+
+    // edges oriented big→small (u > v), deduped — the small-star invariant
+    val rawPairs = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where($"a" =!= $"b")
+    var e = rawPairs
+      .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
       .distinct()
-    val und = edges
-      .union(edges.select($"v".as("u"), $"u".as("v")))
       .localCheckpoint()
-    var labels = nodes.select(col(nodeCol).cast("long").as("id")).distinct()
-      .withColumn("label", $"id")
-      .localCheckpoint()
-    var changed = 1L
+
+    // large-star: undirected view; for each u emit (bigger-neighbor → min
+    // of closed neighborhood). Output stays big→small oriented because
+    // the emitted source is strictly larger than u ≥ m.
+    def largeStar(ed: DataFrame): DataFrame = {
+      val und = ed.select($"u", $"v").union(ed.select($"v".as("u"), $"u".as("v")))
+      val mins = und.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      und.join(mins, "u")
+        .where($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .where($"u" =!= $"v")
+        .distinct()
+    }
+
+    // small-star: edges already big→small, so min(N(u) ∪ {u}) = min(v);
+    // link every smaller neighbor AND u itself to it.
+    def smallStar(ed: DataFrame): DataFrame = {
+      val mins = ed.groupBy($"u").agg(min($"v").as("m"))
+      ed.join(mins, "u")
+        .select($"v".as("n"), $"m")
+        .union(mins.select($"u".as("n"), $"m"))
+        .where($"n" =!= $"m")
+        .select($"n".as("u"), $"m".as("v"))
+        .distinct()
+    }
+
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      val viaNbr = und.join(labels, und("v") === labels("id"))
-        .select(und("u").as("id"), col("label"))
-      val next = labels.select($"id", $"label").unionByName(viaNbr)
-        .groupBy($"id").agg(min($"label").as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .where($"label" =!= $"prev").count()
-      labels = next
+    var done = e.isEmpty
+    while (!done && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // both sides distinct + identically oriented: equal sets ⟺ equal
+      // counts ∧ empty difference
+      done = next.count() == e.count() && next.except(e).isEmpty
+      e = next
       it += 1
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select($"id", $"label".as("cluster_id"))
+    require(done, s"connectedComponents did not converge in $maxIter rounds")
+
+    val universe = nodes.select(col(nodeCol).cast("long").as("id"))
+      .union(rawPairs.select($"a".as("id")))
+      .union(rawPairs.select($"b".as("id")))
+      .distinct()
+    universe
+      .join(e.select($"u".as("id"), $"v".as("root")), Seq("id"), "left")
+      .groupBy($"id")
+      .agg(min(coalesce($"root", $"id")).as("cluster_id"))
   }
 
   /** SimHash near-dedup: 64-bit signature, 16-bit-chunk LSH (hamming ≤ 3

@@ -9,11 +9,17 @@ import graft.functions.TextFeatures
   * columns with typed metadata, processed batch-wise in partitions.
   *
   * The Spark-side contract (schema, partitioning, batch shape) is real
-  * and tested; the actual media CODECS ARE STUBBED with a deterministic
-  * fake format ("GRFT"), because no image/audio libraries exist in this
-  * container — swap `decodeStub` for a real decoder (e.g. via
-  * `mapInPandas`/`mapInArrow` with PIL/ffmpeg on PySpark, or a JNI codec
-  * here) without touching any of the surrounding plan.
+  * and tested. The codec seam now carries REAL public-format header
+  * parsers for PNG (signature + IHDR chunk, per the PNG spec / RFC 2083)
+  * and JPEG (JFIF marker scan to the first SOF frame header, per
+  * ITU-T T.81) — dimensions and color layout come from actual byte-level
+  * decoding of the container format. PIXEL decoding and the audio/video
+  * codecs remain STUBBED with a deterministic fake format ("GRFT"),
+  * because no media libraries exist in this container — swap
+  * [[decodeStub]] for a real decoder (e.g. via `mapInPandas`/`mapInArrow`
+  * with PIL/ffmpeg on PySpark, or a JNI codec here) without touching any
+  * of the surrounding plan. [[decode]] dispatches on the blob's leading
+  * magic bytes, exactly like a production sniffing decoder.
   *
   * Fake format (16-byte header, big-endian):
   *   magic "GRFT" | u8 kind (0=image 1=audio 2=video) | u8 channels |
@@ -81,6 +87,140 @@ object Multimodal {
     Some(MediaMeta(id, kind, width, height, channels, rate, payloadLen.toLong))
   }
 
+  // ───────────────────────── real public-format codecs ─────────────────────
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG color type → sample channels (PNG spec §11.2.2): 0 gray, 2 RGB,
+    * 3 palette (1 index channel), 4 gray+alpha, 6 RGBA.
+    */
+  private def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4; case _ => -1
+  }
+
+  /** Deterministic VALID minimal PNG for id: real signature, real IHDR
+    * chunk with a correct CRC32, and an IEND chunk. Dimensions use the
+    * same modular arithmetic as [[synthesize]] so a SQL oracle recomputes
+    * them; color type cycles {gray, RGB, RGBA}.
+    */
+  def synthesizePng(id: Long): Array[Byte] = {
+    val width = 16 + (id * 7919 % 1024).toInt
+    val height = 16 + (id * 104729 % 1024).toInt
+    // variety keyed off id/6: the gate assigns formats by id%6 (0 → PNG,
+    // 3 → JPEG), so id%-based variety would be constant within a format
+    val colorType = Array(0, 2, 6)((id / 6 % 3).toInt)
+    val ihdr = ByteBuffer.allocate(17)
+    ihdr.put("IHDR".getBytes("US-ASCII"))
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte).put(colorType.toByte) // bit depth 8
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+    val crc = new java.util.zip.CRC32
+    crc.update(ihdr.array())
+    val iendCrc = new java.util.zip.CRC32
+    iendCrc.update("IEND".getBytes("US-ASCII"))
+    val buf = ByteBuffer.allocate(8 + 4 + 17 + 4 + 4 + 4 + 4)
+    buf.put(PngSig)
+    buf.putInt(13).put(ihdr.array()).putInt(crc.getValue.toInt)
+    buf.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(iendCrc.getValue.toInt)
+    buf.array()
+  }
+
+  /** Deterministic JPEG with a VALID header path for id: SOI, a minimal
+    * JFIF APP0, a real SOF0 frame header carrying the dimensions, EOI.
+    * (Header-only — no entropy-coded scan; the parser contract is the
+    * frame header, like every dimension sniffer.)
+    */
+  def synthesizeJpeg(id: Long): Array[Byte] = {
+    val width = 16 + (id * 7919 % 1024).toInt
+    val height = 16 + (id * 104729 % 1024).toInt
+    val ncomp = if (id / 6 % 2 == 0) 3 else 1 // YCbCr or grayscale (id/6: see synthesizePng)
+    val sofLen = 8 + 3 * ncomp // includes its own 2 length bytes
+    val buf = ByteBuffer.allocate(2 + 18 + 2 + sofLen + 2)
+    buf.putShort(0xffd8.toShort) // SOI
+    buf.putShort(0xffe0.toShort).putShort(16.toShort) // APP0, len 16
+    buf.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    buf.putShort(0x0101.toShort) // version 1.1
+    buf.put(0.toByte).putShort(1.toShort).putShort(1.toShort) // aspect 1:1
+    buf.put(0.toByte).put(0.toByte) // no thumbnail
+    buf.putShort(0xffc0.toShort).putShort(sofLen.toShort) // SOF0 baseline
+    buf.put(8.toByte) // precision
+    buf.putShort(height.toShort).putShort(width.toShort)
+    buf.put(ncomp.toByte)
+    var c = 0
+    while (c < ncomp) {
+      buf.put((c + 1).toByte).put(0x11.toByte).put(0.toByte) // id, 1x1 sampling, DQT 0
+      c += 1
+    }
+    buf.putShort(0xffd9.toShort) // EOI
+    buf.array()
+  }
+
+  /** REAL PNG header parse: verify the 8-byte signature, require the
+    * first chunk to be IHDR (mandated by the spec), read width/height/
+    * bit-depth/color-type. Rejects malformed blobs with None, never an
+    * exception (corrupt web-crawled media is the normal case).
+    */
+  def decodePngHeader(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes == null || bytes.length < 33) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
+    val buf = ByteBuffer.wrap(bytes, 8, bytes.length - 8)
+    val len = buf.getInt()
+    val ctype = new Array[Byte](4); buf.get(ctype)
+    if (len != 13 || !java.util.Arrays.equals(ctype, "IHDR".getBytes("US-ASCII")))
+      return None
+    val width = buf.getInt()
+    val height = buf.getInt()
+    buf.get() // bit depth
+    val colorType = buf.get() & 0xff
+    val ch = pngChannels(colorType)
+    if (width <= 0 || height <= 0 || ch < 0) return None
+    Some(MediaMeta(id, "image", width, height, ch, 0, bytes.length.toLong))
+  }
+
+  /** REAL JPEG header parse: require SOI, walk the marker stream
+    * (length-prefixed segments, skipping fill bytes) to the first
+    * frame header SOF0–SOF15 (excluding DHT/DAC/RST per T.81 Table B.1),
+    * read precision/height/width/components. None on malformed input.
+    */
+  def decodeJpegHeader(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) return None
+      var marker = bytes(i + 1) & 0xff
+      while (marker == 0xff && i + 2 < bytes.length) { i += 1; marker = bytes(i + 1) & 0xff }
+      if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS before any SOF
+      val isSof = marker >= 0xc0 && marker <= 0xcf &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+      val segLen = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+      if (segLen < 2 || i + 2 + segLen > bytes.length) return None
+      if (isSof) {
+        if (segLen < 8) return None
+        val height = ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff)
+        val width = ((bytes(i + 7) & 0xff) << 8) | (bytes(i + 8) & 0xff)
+        val ncomp = bytes(i + 9) & 0xff
+        if (width <= 0 || height <= 0 || ncomp <= 0) return None
+        return Some(MediaMeta(id, "image", width, height, ncomp, 0, bytes.length.toLong))
+      }
+      i += 2 + segLen
+    }
+    None
+  }
+
+  /** Sniffing decoder: PNG and JPEG go through the REAL header parsers;
+    * the fake "GRFT" container goes through the stub; anything else is
+    * dropped as corrupt.
+    */
+  def decode(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes == null || bytes.length < 4) None
+    else if (bytes(0) == PngSig(0) && bytes(1) == PngSig(1)) decodePngHeader(id, bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) decodeJpegHeader(id, bytes)
+    else decodeStub(id, bytes)
+  }
+
   /** Decode a binary media column into typed metadata, partition-batched
     * (the `mapPartitions` here has the same batch shape a `mapInPandas`
     * decode would: one iterator of rows per task, vectorizable).
@@ -92,7 +232,7 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) => decodeStub(id, bytes) })
+      .mapPartitions(_.flatMap { case (id, bytes) => decode(id, bytes) })
   }
 
   /** "Resize" feature-extraction stub: computes target dims preserving

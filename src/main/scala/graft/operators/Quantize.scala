@@ -51,13 +51,38 @@ object Quantize {
     Params(lo, hi)
   }
 
+  /** Saturating encode (FAISS/ES SQ8 semantics): components outside the
+    * fitted (lo, hi) — the normal case when quantizing new or streaming
+    * data with trained params — clamp to 0/255 instead of wrapping to a
+    * wildly wrong byte under the `& 0xff` store. In-range arithmetic is
+    * unchanged (oracle-mirrored op order).
+    */
   @inline private def codeOf(v: Float, lo: Float, hi: Float): Int =
     if (hi == lo) 0
-    else math.round((v.toDouble - lo.toDouble) * 255.0 / (hi.toDouble - lo.toDouble)).toInt
+    else {
+      // clamp in LONG space BEFORE narrowing: a far-out component's code
+      // can exceed Int range, and toInt-then-clamp would wrap first
+      val c = math.round((v.toDouble - lo.toDouble) * 255.0 / (hi.toDouble - lo.toDouble))
+      math.max(0L, math.min(255L, c)).toInt
+    }
 
   @inline private def reconOf(code: Int, lo: Float, hi: Float): Double =
     if (hi == lo) lo.toDouble
     else lo.toDouble + code.toDouble * (hi.toDouble - lo.toDouble) / 255.0
+
+  /** Encode ONE vector (the executor-side kernel [[encode]] maps over;
+    * public so composed indexes — quantized IVF lists — encode rows
+    * in their own map without a second frame pass).
+    */
+  def encodeVec(v: Array[Float], p: Params): Array[Byte] = {
+    val out = new Array[Byte](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = (codeOf(v(i), p.lo(i), p.hi(i)) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
 
   /** (id, codes) — one byte per dimension (unsigned, stored biased as a
     * signed JVM byte).
@@ -68,16 +93,7 @@ object Quantize {
     val bP = spark.sparkContext.broadcast(p)
     embs.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val pp = bP.value
-        val out = new Array[Byte](v.length)
-        var i = 0
-        while (i < v.length) {
-          out(i) = (codeOf(v(i), pp.lo(i), pp.hi(i)) & 0xff).toByte
-          i += 1
-        }
-        (id, out)
-      }
+      .map { case (id, v) => (id, encodeVec(v, bP.value)) }
       .toDF(idCol, "codes")
   }
 

@@ -229,6 +229,60 @@ object FieldedSearch {
     topK(spark, fields, union, k, docFilter, attrFilter, perFieldTerms = perField)
   }
 
+  /** Fielded ES wildcard query — `query_string` over multiple fields
+    * carries `*`/`?` patterns (`server:web-*` is a Kibana day-one query):
+    * the pattern compiles once ([[Search.wildcardToRegex]]) and expands
+    * against EACH field's dictionary via [[regexpTopK]]'s per-field
+    * anchored-regex scan with the literal-prefix pushdown pre-cut.
+    */
+  def wildcardTopK(
+      spark: SparkSession,
+      fields: Seq[Field],
+      pattern: String,
+      k: Int,
+      maxExpansions: Int = 128,
+      docFilter: Column = null,
+      attrFilter: AttrPred = null
+  ): DataFrame = {
+    val (regex, prefix) = Search.wildcardToRegex(pattern)
+    regexpTopK(spark, fields, regex, k, maxExpansions, docFilter, attrFilter,
+      prefixHint = prefix)
+  }
+
+  /** Fielded ES regexp query: the anchored regex expands against EACH
+    * field's own dictionary (codegen `rlike` scan, `prefixHint` pushdown
+    * range pre-cut, df-desc cap PER FIELD — a term hot in the title need
+    * not make the body's cap and vice versa), then one most_fields WAND
+    * over the union with per-(field, term) participation masks — the
+    * same expansion + mask machinery as [[prefixTopK]]/[[fuzzyTopK]].
+    * Scoring stays scoring_boolean (per-expansion per-field idf).
+    */
+  def regexpTopK(
+      spark: SparkSession,
+      fields: Seq[Field],
+      regex: String,
+      k: Int,
+      maxExpansions: Int = 128,
+      docFilter: Column = null,
+      attrFilter: AttrPred = null,
+      prefixHint: String = ""
+  ): DataFrame = {
+    import spark.implicits._
+    require(regex.nonEmpty, "empty regex")
+    val perField = fields.map { f =>
+      val base = IndexBuilder.readTerms(spark, f.indexDir)
+      val cut = if (prefixHint.isEmpty) base else base.where($"term".startsWith(prefixHint))
+      cut
+        .where($"term".rlike(s"^(?:$regex)$$"))
+        .orderBy(desc("doc_freq"), asc("term"))
+        .limit(maxExpansions)
+        .collect().map(_.term).toSet
+    }
+    val union = perField.reduce(_ ++ _).toSeq.sorted
+    if (union.isEmpty) return spark.emptyDataset[Search.QueryHit].toDF()
+    topK(spark, fields, union, k, docFilter, attrFilter, perFieldTerms = perField)
+  }
+
   /** Fielded EXACT-PHRASE top-k (ES `most_fields` over `match_phrase`
     * clauses — the composition ES offers freely in one bool query):
     * score(d) = Σ_f boost_f · idfSum_f · impact(freq_f(d), dl_f(d),

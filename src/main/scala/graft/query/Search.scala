@@ -331,11 +331,12 @@ object Search {
       docFilter: Column = null,
       attrFilter: AttrPred = null,
       mustNot: Seq[String] = Nil,
-      minShouldMatch: Int = 1
+      minShouldMatch: Int = 1,
+      valueCap: Int = 1 << 20
   ): DataFrame = {
     require(docFilter == null, "collapse uses typed filter context (attrFilter)")
     collapseTopKMulti(spark, Seq(indexDir), queryTerms, mode, kwField, k,
-      attrFilter, mustNot, minShouldMatch)
+      attrFilter, mustNot, minShouldMatch, valueCap)
   }
 
   /** [[collapseTopK]] over a SEGMENT FAMILY (streaming ingest serves the
@@ -352,8 +353,10 @@ object Search {
       k: Int,
       attrFilter: AttrPred = null,
       mustNot: Seq[String] = Nil,
-      minShouldMatch: Int = 1
+      minShouldMatch: Int = 1,
+      valueCap: Int = 1 << 20
   ): DataFrame = {
+    require(valueCap > 0, "valueCap must be positive")
     import spark.implicits._
     require(segmentDirs.nonEmpty, "no segments")
     val terms = queryTerms.distinct
@@ -386,6 +389,7 @@ object Search {
     val fld = kwField
     val avg = avgDl
     val single = segmentDirs.size == 1
+    val vCap = valueCap
 
     val blocks = segmentDirs.zipWithIndex
       .map { case (d, i) =>
@@ -432,26 +436,61 @@ object Search {
           if (tomb != null) filter = tomb.compose(slice, filter)
           val reader = AttrSidecar.openReader(segDir, slice)
           val kwIdx = reader.kwIndex(fld)
-          try {
-            // one best hit per value within the (segment, slice) task
-            val best = scala.collection.mutable.HashMap.empty[String, (Long, Double)]
-            BlockMaxWand.scoredMatches(iters, isAnd, msm, filter).foreach { case (id, s) =>
-              if (reader.seek(id)) {
-                val v = reader.kwValue(kwIdx)
-                val gid = docBase + id
-                best.get(v) match {
-                  case Some((bid, bs)) if bs > s || (bs == s && bid < gid) => // keep
-                  case _ => best.update(v, (gid, s))
-                }
-              }
-            }
-            best.iterator.map { case (v, (id, s)) => (v, id, s) }.toArray.iterator
-          } finally {
+          // One best hit per value within the task — a task-local
+          // COMBINER capped at `valueCap` distinct values: beyond the cap
+          // NEW values stream straight through to the global
+          // winner-per-value window (Spark's shuffle spills; task memory
+          // stays ≤ cap entries), existing values keep combining. Results
+          // are identical either way — the downstream window already
+          // picks one global winner per value; the map only shrinks the
+          // exchange from match-count to nSlices×|values| when the
+          // keyword honors its bounded-cardinality contract
+          // (the batch-filter cap treatment, `Searcher.attrAllowListCap`).
+          var closed = false
+          def closeAll(): Unit = if (!closed) {
+            closed = true
             reader.close()
             predCursor match {
               case c: AutoCloseable => c.close()
               case _ =>
             }
+          }
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
+          val best = scala.collection.mutable.HashMap.empty[String, (Long, Double)]
+          val streamed = BlockMaxWand.scoredMatches(iters, isAnd, msm, filter)
+            .flatMap { case (id, s) =>
+              if (!reader.seek(id)) Nil
+              else {
+                val v = reader.kwValue(kwIdx)
+                val gid = docBase + id
+                best.get(v) match {
+                  case Some((bid, bs)) =>
+                    if (s > bs || (s == bs && gid < bid)) best.update(v, (gid, s))
+                    Nil
+                  case None =>
+                    if (best.size < vCap) { best.update(v, (gid, s)); Nil }
+                    else (v, gid, s) :: Nil
+                }
+              }
+            }
+          // map drains only AFTER the match stream exhausts (++ is lazy)
+          val drained = streamed ++ new scala.collection.AbstractIterator[(String, Long, Double)] {
+            private var it: Iterator[(String, Long, Double)] = null
+            private def u: Iterator[(String, Long, Double)] = {
+              if (it == null) it = best.iterator.map { case (v, (id, s)) => (v, id, s) }
+              it
+            }
+            def hasNext: Boolean = u.hasNext
+            def next(): (String, Long, Double) = u.next()
+          }
+          new scala.collection.AbstractIterator[(String, Long, Double)] {
+            def hasNext: Boolean = {
+              val h = drained.hasNext
+              if (!h) closeAll()
+              h
+            }
+            def next(): (String, Long, Double) = drained.next()
           }
         }
       }
@@ -476,6 +515,20 @@ object Search {
     * wildcard scans the full terms table — orders smaller than postings,
     * but worth knowing, exactly as in ES).
     */
+  /** `*`/`?` wildcard → (anchored Java regex, literal-prefix pre-cut) —
+    * shared by the single-index and fielded wildcard rewrites.
+    */
+  private[query] def wildcardToRegex(pattern: String): (String, String) = {
+    require(pattern.nonEmpty, "empty wildcard pattern")
+    val sb = new StringBuilder
+    pattern.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    (sb.toString(), pattern.takeWhile(c => c != '*' && c != '?'))
+  }
+
   def wildcardTopK(
       spark: SparkSession,
       indexDir: String,
@@ -486,15 +539,8 @@ object Search {
       attrFilter: AttrPred = null,
       mustNot: Seq[String] = Nil
   ): DataFrame = {
-    require(pattern.nonEmpty, "empty wildcard pattern")
-    val sb = new StringBuilder
-    pattern.foreach {
-      case '*' => sb.append(".*")
-      case '?' => sb.append('.')
-      case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
-    }
-    val prefix = pattern.takeWhile(c => c != '*' && c != '?')
-    regexpTopK(spark, indexDir, sb.toString(), k, maxExpansions,
+    val (regex, prefix) = wildcardToRegex(pattern)
+    regexpTopK(spark, indexDir, regex, k, maxExpansions,
       docFilter, attrFilter, mustNot, prefixHint = prefix)
   }
 

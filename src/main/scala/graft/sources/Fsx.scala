@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
 /** Control-plane filesystem shim: every manifest, checkpoint, and
   * reclamation in the engine goes through the Hadoop `FileSystem` API so
@@ -79,8 +79,14 @@ object Fsx {
   }
 
   /** Replace-via-rename: readers see the old content or the new, never a
-    * torn file. (HDFS `rename` refuses to overwrite, hence the delete —
-    * single-writer contract covers the gap.)
+    * torn file and never a missing one. The primary path is
+    * `FileContext.rename(OVERWRITE)`, which is atomic on HDFS and the
+    * local FS — a concurrent reader (the documented single-writer /
+    * many-reader contract) can never observe the manifest absent, and a
+    * crash cannot lose it. Only stores without atomic rename (some object
+    * stores expose no `AbstractFileSystem`) fall back to delete+rename,
+    * where readers must treat a briefly-missing control file as "retry
+    * once, then empty".
     */
   def writeUtf8Atomic(path: String, content: String): Unit = {
     val (f, p) = fs(path)
@@ -89,14 +95,46 @@ object Fsx {
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    f.delete(p, false)
-    require(f.rename(tmp, p), s"atomic replace failed: $path")
+    try {
+      val fc = FileContext.getFileContext(p.toUri, new Configuration())
+      fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.FileNotFoundException =>
+        // No AbstractFileSystem for this scheme — non-atomic fallback.
+        f.delete(p, false)
+        require(f.rename(tmp, p), s"atomic replace failed: $path")
+    }
   }
 
-  /** Append one line (adds the trailing '\n'): read + rewrite atomically.
+  /** Schemes where `fs.append` threw UnsupportedOperationException — skip
+    * the attempt on subsequent calls instead of paying an exception each
+    * time (object stores, checksum FS variants without append).
+    */
+  private val noAppendSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Append one line (adds the trailing '\n') to a journal file. True
+    * `fs.append` where the store supports it — O(line) per commit and a
+    * crash can lose at most the line being written, never prior history.
+    * Stores without append (object stores) fall back to read + atomic
+    * rewrite; the rewrite itself is crash-safe via [[writeUtf8Atomic]].
     * Single-writer per file, as everywhere in the control plane.
     */
   def appendLine(path: String, line: String): Unit = {
+    val (f, p) = fs(path)
+    val scheme = Option(p.toUri.getScheme).getOrElse(f.getScheme)
+    val bytes = (line + "\n").getBytes(StandardCharsets.UTF_8)
+    if (!noAppendSchemes.contains(scheme) && f.exists(p)) {
+      try {
+        val out = f.append(p)
+        try out.write(bytes)
+        finally out.close()
+        return
+      } catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          noAppendSchemes.add(scheme)
+      }
+    }
     val prev = readUtf8Opt(path).getOrElse("")
     writeUtf8Atomic(path, prev + line + "\n")
   }

@@ -195,6 +195,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2.toSeq == Seq(0L), s"path graph should be one component: ${got2.toSeq}")
   }
 
+  test("connected components: 150-node path graph converges in O(log d) rounds; " +
+    "endpoints missing from the node universe still label correctly") {
+    import graft.operators.Dedup
+    // a chain-shaped near-dup graph (templated page series): diameter 149.
+    // Plain min-label propagation needs 149 rounds; large-star/small-star
+    // must finish inside the default 30-round budget (expected ~8).
+    val n = 150L
+    val path = (0L until n).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = Dedup.connectedComponents(
+      spark.createDataFrame(path).toDF("a", "b"), "a", "b",
+      spark.createDataFrame((0L until n).map(Tuple1(_))).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), "path graph should be one component rooted at 0")
+
+    // ADVICE r4: an edge endpoint absent from `nodes` must neither drop
+    // the components it bridges nor emit rows outside the universe —
+    // endpoints are unioned into the universe.
+    val pairs2 = Seq((1L, 99L), (99L, 2L)) // 99 missing from nodes
+    val got2 = Dedup.connectedComponents(
+      spark.createDataFrame(pairs2).toDF("a", "b"), "a", "b",
+      spark.createDataFrame(Seq(1L, 2L, 3L).map(Tuple1(_))).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 99L -> 1L, 3L -> 3L), got2.toString)
+  }
+
   test("brute-force ANN matches exhaustive cosine top-k") {
     val data = synthEmbeddings(300, 16)
     val corpus = spark.createDataFrame(data).toDF("id", "vec")
@@ -252,6 +278,52 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantize encode saturates out-of-range components (no byte wraparound)") {
+    import graft.operators.Quantize
+    val p = Quantize.Params(Array(0f, -1f), Array(10f, 1f))
+    // in-range unchanged
+    val in = Quantize.encodeVec(Array(5f, 0f), p).map(_ & 0xff)
+    assert(in(0) == 128 && in(1) == 128, in.toSeq.toString) // round(127.5)=128
+    // out-of-range clamps to 0/255 — streaming data beyond the trained
+    // (lo, hi) must saturate like FAISS/ES SQ8, never wrap via & 0xff
+    val out = Quantize.encodeVec(Array(-50f, 99f), p).map(_ & 0xff)
+    assert(out(0) == 0 && out(1) == 255, out.toSeq.toString)
+    val far = Quantize.encodeVec(Array(1e9f, -1e9f), p).map(_ & 0xff)
+    assert(far(0) == 255 && far(1) == 0, far.toSeq.toString)
+  }
+
+  test("quantized IVF: full probe + wide rerank reproduces brute force; codes are int8") {
+    import graft.operators.Quantize
+    val data = synthEmbeddings(400, 16)
+    val corpus = spark.createDataFrame(data).toDF("id", "vec")
+    val queries = spark.createDataFrame(data.take(5)).toDF("qid", "qvec")
+    val bfRanked = Ann.bruteForceTopK(queries, corpus, "qid", "qvec", "id", "vec", 10)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect()
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfq-spec").toString
+    val p = Ann.ivfBuildQuantized(corpus, "id", "vec", idxDir, nLists = 8)
+    assert(p.dims == 16)
+    // stored lists carry 16-byte codes, not float vectors
+    val row = spark.read.parquet(s"$idxDir/lists").select($"codes").head()
+    assert(row.getAs[Array[Byte]](0).length == 16)
+    // full probe + exact rerank of a 4×-widened candidate set must equal
+    // exact brute force: quantization error only reorders the candidate
+    // pool, the rerank is full-vector math
+    val full = Ann.ivfSearchQuantized(spark, idxDir, queries, corpus,
+      "qid", "qvec", "id", "vec", 10, nProbe = 8, rerankFactor = 4)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect()
+    assert(full.toSet == bfRanked.toSet, "full-probe quantized IVF != brute force")
+    // pruned probe keeps useful recall (same bar as the float IVF test)
+    val pruned = Ann.ivfSearchQuantized(spark, idxDir, queries, corpus,
+      "qid", "qvec", "id", "vec", 10, nProbe = 3, rerankFactor = 4)
+      .select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bf = bfRanked.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    data.take(5).foreach { case (qid, _) =>
+      val recall = pruned(qid).intersect(bf(qid)).size / 10.0
+      assert(recall >= 0.6, s"recall $recall for query $qid")
+    }
+  }
+
   test("IVF ANN: self is rank 1, recall@10 ≥ 0.6 vs brute force; full probe is exact") {
     val data = synthEmbeddings(400, 16)
     val corpus = spark.createDataFrame(data).toDF("id", "vec")
@@ -305,6 +377,41 @@ class OperatorsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(meta, everyNth = 4).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.getAs[Int]("frame_idx") % 4 == 0))
+  }
+
+  test("real PNG/JPEG header codecs: synthesized valid headers parse byte-exactly; " +
+    "malformed blobs are rejected; decode() dispatches on magic") {
+    (0L until 120L by 6L).foreach { id =>
+      val png = Multimodal.synthesizePng(id)
+      val m = Multimodal.decodePngHeader(id, png)
+      assert(m.isDefined, s"png $id")
+      assert(m.get.width == 16 + (id * 7919 % 1024).toInt, s"png width $id")
+      assert(m.get.height == 16 + (id * 104729 % 1024).toInt, s"png height $id")
+      assert(Set(1, 3, 4).contains(m.get.channels))
+      assert(m.get.kind == "image" && m.get.payload_bytes == png.length)
+      // decode() must route by signature to the same result
+      assert(Multimodal.decode(id, png) == m)
+    }
+    (3L until 120L by 6L).foreach { id =>
+      val jpg = Multimodal.synthesizeJpeg(id)
+      val m = Multimodal.decodeJpegHeader(id, jpg)
+      assert(m.isDefined, s"jpeg $id")
+      assert(m.get.width == 16 + (id * 7919 % 1024).toInt, s"jpeg width $id")
+      assert(m.get.height == 16 + (id * 104729 % 1024).toInt, s"jpeg height $id")
+      assert(Set(1, 3).contains(m.get.channels))
+      assert(Multimodal.decode(id, jpg) == m)
+    }
+    // malformed: truncated signature, bad IHDR, SOS-before-SOF, garbage
+    assert(Multimodal.decodePngHeader(0L, Multimodal.synthesizePng(0L).take(20)).isEmpty)
+    val badIhdr = Multimodal.synthesizePng(6L).clone()
+    badIhdr(12) = 'X'.toByte // corrupt the IHDR chunk type
+    assert(Multimodal.decodePngHeader(6L, badIhdr).isEmpty)
+    assert(Multimodal.decodeJpegHeader(0L, Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01)).isEmpty)
+    val noSof = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xda.toByte, 0x00, 0x04, 0, 0)
+    assert(Multimodal.decodeJpegHeader(0L, noSof).isEmpty, "SOS before SOF must reject")
+    // GRFT blobs still route to the stub through decode()
+    assert(Multimodal.decode(7L, Multimodal.synthesize(7L)).exists(_.kind == "audio"))
+    assert(Multimodal.decode(1L, Array[Byte](1, 2, 3, 4)).isEmpty)
   }
 
   test("TextAnalysis one-pass features are consistent") {
