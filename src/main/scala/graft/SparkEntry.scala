@@ -426,6 +426,44 @@ object SparkEntry {
         percentiles = Seq(25.0, 50.0, 75.0, 95.0, 99.0))
         .select(round($"p").cast("long").as("p"), $"value")
     },
+    // ES percentiles for CONTINUOUS fields (the t-digest role): per-slice
+    // partials are HdrHistogram-style log buckets — exchange bounded by
+    // ~(64−s)·2^s buckets regardless of the field's value range, and
+    // order-independent exact merging lets DuckDB recompute the sketch
+    // bit-for-bit (s=3 so the fixture's doc_len range exercises the
+    // logarithmic branch, not only the exact unit buckets)
+    "q_facet_pct_log" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.percentilesApproxAgg(s, indexFor(s, dir), QueryOr, "or",
+        "doc_len", percentiles = Seq(25.0, 50.0, 75.0, 95.0, 99.0), logS = 3)
+        .select(round($"p").cast("long").as("p"), $"value")
+    },
+    // ES range agg: explicit half-open buckets over doc_len (the
+    // "small/medium/large" slicing histogram can't express); bucket
+    // assignment runs over the per-slice distinct-value partials
+    "q_facet_range" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.rangeAgg(s, indexFor(s, dir), QueryOr, "or", "doc_len",
+        edges = Seq(40L, 70L, 100L))
+        .select($"bucket_idx", $"n_docs")
+    },
+    // ES cardinality agg: distinct sources among matching docs via
+    // HyperLogLog++ slice sketches — the fixture cardinality sits in the
+    // sketch's exact sparse mode, so DuckDB's COUNT(DISTINCT) gates it
+    // hash-exact (dense-mode error bounds are unit-tested)
+    "q_facet_cardinality" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.cardinalityAgg(s, indexFor(s, dir), QueryOr, "or",
+        kwField = "source")
+        .select($"n_distinct", $"is_exact")
+    },
+    // ES term suggester ("did you mean"): dictionary corrections within
+    // 1 edit of the misspelling, ranked by df — suggest_mode: popular
+    "q_suggest" -> { (s, dir) =>
+      import s.implicits._
+      Search.suggest(s, indexFor(s, dir), "merg", size = 5, maxEdits = 1)
+        .select($"suggestion", $"doc_freq")
+    },
     // bool.should minimum_should_match: candidates must match ≥2 of the 3
     // query terms; scores unchanged (still summed over matched terms)
     "q_bm25_msm" -> { (s, dir) =>
@@ -1167,6 +1205,62 @@ FROM m""",
 SELECT ps.p::BIGINT AS p, min(r.v)::BIGINT AS value
 FROM ps CROSS JOIN tot JOIN ranked r ON r.rn >= ceil(ps.p * tot.n / 100.0)
 GROUP BY ps.p""",
+    "q_facet_pct_log" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS doc_len
+  FROM documents
+), mv AS (
+  SELECT dl.doc_len AS v FROM dl
+  WHERE dl.doc_id IN (SELECT DISTINCT doc_id FROM toks
+                      WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+), hist AS (
+  SELECT (${graft.functions.LogBuckets.bucketSql("v", 3)})::BIGINT AS b, count(*) AS n
+  FROM mv GROUP BY 1
+), cum AS (
+  SELECT b, sum(n) OVER (ORDER BY b) AS c FROM hist
+), tot AS (SELECT count(*)::BIGINT AS n FROM mv
+), ps(p) AS (VALUES (25), (50), (75), (95), (99)
+), sel AS (
+  SELECT ps.p AS p, min(cum.b) AS b
+  FROM ps CROSS JOIN tot JOIN cum ON cum.c >= ceil(ps.p * tot.n / 100.0)
+  GROUP BY ps.p
+)
+SELECT p::BIGINT AS p, (${graft.functions.LogBuckets.lowerBoundSql("b", 3)})::BIGINT AS value
+FROM sel""",
+    "q_facet_range" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS doc_len
+  FROM documents
+)
+SELECT ((CASE WHEN doc_len >= 40 THEN 1 ELSE 0 END)
+      + (CASE WHEN doc_len >= 70 THEN 1 ELSE 0 END)
+      + (CASE WHEN doc_len >= 100 THEN 1 ELSE 0 END))::BIGINT AS bucket_idx,
+       count(*)::BIGINT AS n_docs
+FROM dl
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
+                 WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+GROUP BY 1""",
+    "q_facet_cardinality" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+)
+SELECT count(DISTINCT source)::BIGINT AS n_distinct, true AS is_exact
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
+                 WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))""",
+    "q_suggest" ->
+      """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY 1
+)
+SELECT term AS suggestion, doc_freq::BIGINT AS doc_freq FROM df
+WHERE term <> 'merg' AND abs(len(term) - 4) <= 1 AND levenshtein(term, 'merg') <= 1
+ORDER BY doc_freq DESC, term LIMIT 5""",
     "q_bm25_msm" -> bm25OracleSql(QueryOr, and = false, msm = 2),
     "q_bm25_page2" -> bm25OracleSql(QueryOr, and = false, offset = 10),
     "q_bm25_prefix" -> bm25OracleSql(Nil, and = false, termWhere = "term LIKE 's%'"),

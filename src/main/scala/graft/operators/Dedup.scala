@@ -171,14 +171,17 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
 
-    // edges oriented big→small (u > v), deduped — the small-star invariant
-    val rawPairs = pairs
+    // edges oriented big→small (u > v), deduped — the small-star invariant.
+    // Checkpointed ONCE: everything downstream (rounds AND the node-
+    // universe union) reads the materialized edges, so an expensive pair
+    // pipeline (LSH banding, shingle joins) never re-executes.
+    val e0 = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .where($"a" =!= $"b")
-    var e = rawPairs
       .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
       .distinct()
       .localCheckpoint()
+    var e = e0
 
     // large-star: undirected view; for each u emit (bigger-neighbor → min
     // of closed neighborhood). Output stays big→small oriented because
@@ -207,20 +210,24 @@ object Dedup {
     }
 
     var it = 0
-    var done = e.isEmpty
+    var eCount = e.count()
+    var done = eCount == 0
     while (!done && it < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       // both sides distinct + identically oriented: equal sets ⟺ equal
-      // counts ∧ empty difference
-      done = next.count() == e.count() && next.except(e).isEmpty
+      // counts ∧ empty difference (prev count carried — one count job and
+      // one except job per round)
+      val nextCount = next.count()
+      done = nextCount == eCount && next.except(e).isEmpty
       e = next
+      eCount = nextCount
       it += 1
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds")
 
     val universe = nodes.select(col(nodeCol).cast("long").as("id"))
-      .union(rawPairs.select($"a".as("id")))
-      .union(rawPairs.select($"b".as("id")))
+      .union(e0.select($"u".as("id")))
+      .union(e0.select($"v".as("id")))
       .distinct()
     universe
       .join(e.select($"u".as("id"), $"v".as("root")), Seq("id"), "left")

@@ -401,6 +401,181 @@ object Facets {
       .orderBy($"p")
   }
 
+  /** [[percentilesAgg]] for CONTINUOUS / unbounded-cardinality fields
+    * (epoch millis, byte sizes): per-slice partials are HdrHistogram-style
+    * LOG buckets ([[graft.functions.LogBuckets]], relative error ≤ 2^-s)
+    * instead of raw values, so the exchange and the cumulative walk are
+    * bounded by ~(64−s)·2^s buckets NO MATTER the field — the ES t-digest
+    * role, but order-independent and exactly mergeable, which is what
+    * lets the DuckDB oracle recompute the sketch bit-for-bit instead of
+    * eyeballing a tolerance. Returns (p, value) where value is the
+    * bucket's deterministic lower bound.
+    */
+  def percentilesApproxAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      numField: String,
+      percentiles: Seq[Double] = Seq(25.0, 50.0, 75.0, 95.0, 99.0),
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1,
+      logS: Int = 7
+  ): DataFrame = {
+    import spark.implicits._
+    require(percentiles.nonEmpty && percentiles.forall(p => p > 0 && p <= 100),
+      "percentiles must lie in (0, 100]")
+    require(logS >= 1 && logS <= 16, "logS out of range")
+    val hist = numericWalk(spark, Seq(indexDir), queryTerms, mode, numField,
+      attrFilter, mustNot, minShouldMatch, histogram = true, logS = logS)
+      .groupBy($"v").agg(sum($"n").as("n"))
+    val totalRow = hist.agg(sum($"n")).head()
+    if (totalRow.isNullAt(0))
+      return spark.emptyDataset[(Double, Long)].toDF("p", "value")
+    val total = totalRow.getLong(0)
+    val cum = hist.withColumn("cum",
+      sum($"n").over(org.apache.spark.sql.expressions.Window.orderBy($"v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val ranks = percentiles.distinct.sorted.toDF("p")
+      .withColumn("rank", ceil($"p" * lit(total) / 100.0).cast("long"))
+    val s = logS
+    val lb = udf((idx: Long) => graft.functions.LogBuckets.lowerBound(idx, s))
+    ranks.join(cum, cum("cum") >= ranks("rank"))
+      .groupBy($"p").agg(min($"v").as("bucket"))
+      .select($"p", lb($"bucket").as("value"))
+      .orderBy($"p")
+  }
+
+  /** ES `range` aggregation on a declared numeric field: matching-doc
+    * counts per EXPLICIT half-open bucket [edge_i, edge_{i+1}), with the
+    * unbounded (−∞, edge_0) and [edge_last, +∞) ends — the
+    * "small/medium/large" dashboard slicing `histogram` can't express.
+    * Rides the same per-slice (value → count) histogram partials as
+    * percentiles: the bucket assignment runs over the tiny distinct-value
+    * frame, not the match set. Returns (bucket_idx, n_docs), bucket_idx
+    * 0-based from the unbounded low end; empty buckets are omitted (ES
+    * keyed-response analog without zero-fill).
+    */
+  def rangeAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      numField: String,
+      edges: Seq[Long],
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      "edges must be non-empty, strictly ascending")
+    val hist = numericWalk(spark, Seq(indexDir), queryTerms, mode, numField,
+      attrFilter, mustNot, minShouldMatch, histogram = true)
+    val edgeArr = edges.map(e => s"${e}L").mkString("array(", ", ", ")")
+    hist
+      .withColumn("bucket_idx",
+        expr(s"aggregate($edgeArr, 0L, (acc, e) -> acc + CASE WHEN v >= e THEN 1 ELSE 0 END)"))
+      .groupBy($"bucket_idx")
+      .agg(sum($"n").as("n_docs"))
+      .orderBy($"bucket_idx")
+  }
+
+  /** ES `cardinality` aggregation on a declared keyword field: the number
+    * of DISTINCT values among the matching docs, via HyperLogLog++ slice
+    * partials ([[graft.functions.Hll]]) — each (segment, slice) task
+    * walks its matches once, sketches the value hashes, and ships ONE
+    * sketch of ≤ max(8·sparseLimit, 2^p) bytes; the driver merges
+    * nSlices sketches (the ES coordinating-node reduce). Exchange is
+    * independent of the field's cardinality — the property that makes
+    * this safe where a distinct-shuffle would not be. Sketches in sparse
+    * mode merge EXACTLY, so low-cardinality fields (the dashboard common
+    * case, and the DuckDB-gated fixture) report zero-error counts;
+    * `precision` trades dense-mode error (~1.04/√2^p) for partial size.
+    * Returns one row (n_distinct, is_exact).
+    */
+  def cardinalityAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      kwField: String = "lang",
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1,
+      precision: Int = 14,
+      sparseLimit: Int = 4096
+  ): DataFrame = {
+    import spark.implicits._
+    val terms = queryTerms.distinct
+    val isAnd = mode == "and"
+    val exTerms = mustNot.distinct
+    if (terms.isEmpty || terms.size < minShouldMatch)
+      return Seq((0L, true)).toDF("n_distinct", "is_exact")
+
+    val bCtx = spark.sparkContext.broadcast((terms.toArray, exTerms.toArray))
+    val idxDir = indexDir
+    val tomb = graft.index.Tombstones.handle(indexDir)
+    val pred = attrFilter
+    val msm = minShouldMatch
+    val kwF = kwField
+    val prec = precision
+    val spl = sparseLimit
+
+    val partials = IndexBuilder
+      .readPostings(spark, indexDir)
+      .where($"term".isin(terms ++ exTerms: _*))
+      .select(
+        $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"poss")
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (slice, rows) =>
+        val (qTerms, exT) = bCtx.value
+        val byTerm = rows.toArray.groupBy(_._2)
+        def iterOf(t: String): Option[PostingIter] =
+          byTerm.get(t).map { rs =>
+            val refs = rs.sortBy(r => (r._4, r._3))
+              .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, 0.0))
+            new PostingIter(0, 0.0, refs, 1.0)
+          }
+        val iters = qTerms.iterator.flatMap(iterOf).toArray
+        if (iters.isEmpty || (isAnd && iters.length < qTerms.length)) Iterator.empty
+        else {
+          var filter: DocFilter =
+            if (pred == null) null else AttrSidecar.openCursor(idxDir, slice, pred)
+          val cursor = filter
+          val exIters = exT.iterator.flatMap(iterOf).toArray
+          if (exIters.nonEmpty)
+            filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+          if (tomb != null) filter = tomb.compose(slice, filter)
+          val reader = AttrSidecar.openReader(idxDir, slice)
+          val kwIdx = reader.kwIndex(kwF)
+          try {
+            val sketch = new graft.functions.Hll(prec, spl)
+            BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
+              if (reader.seek(id))
+                sketch.add(graft.functions.Hll.hashString(reader.kwValue(kwIdx)))
+            }
+            Iterator.single(sketch.serialize())
+          } finally {
+            reader.close()
+            cursor match {
+              case c: AutoCloseable => c.close()
+              case _ =>
+            }
+          }
+        }
+      }
+      .collect() // nSlices sketches, each size-bounded — the coordinator reduce
+
+    val merged = new graft.functions.Hll(prec, spl)
+    partials.foreach(b => merged.merge(graft.functions.Hll.deserialize(b, spl)))
+    val (est, exact) = merged.estimate
+    Seq((est, exact)).toDF("n_distinct", "is_exact")
+  }
+
   /** Match walk emitting numeric partials. `histogram=false`: one
     * (n, sum, min, max) row per (segment, slice) — the stats shape.
     * `histogram=true`: per-slice (value → count) rows — the percentile
@@ -415,7 +590,8 @@ object Facets {
       attrFilter: AttrPred,
       mustNot: Seq[String],
       minShouldMatch: Int,
-      histogram: Boolean
+      histogram: Boolean,
+      logS: Int = -1 // ≥ 0: histogram keys are LogBuckets indexes, not raw values
   ): DataFrame = {
     import spark.implicits._
     require(segmentDirs.nonEmpty, "no segments")
@@ -435,6 +611,7 @@ object Facets {
     val pred = attrFilter
     val numF = numField
     val asHist = histogram
+    val lgS = logS
 
     val blocks = segmentDirs.zipWithIndex
       .map { case (d, i) =>
@@ -479,7 +656,8 @@ object Facets {
               val counts = scala.collection.mutable.HashMap.empty[Long, Long]
               BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
                 if (reader.seek(id)) {
-                  val v = reader.numValue(numIdx)
+                  val raw = reader.numValue(numIdx)
+                  val v = if (lgS >= 0) graft.functions.LogBuckets.bucketOf(raw, lgS) else raw
                   counts.update(v, counts.getOrElse(v, 0L) + 1L)
                 }
               }

@@ -576,6 +576,34 @@ object Search {
     topK(spark, indexDir, expansions, "or", k, docFilter, attrFilter, mustNot)
   }
 
+  /** ES term suggester ("did you mean") — the SEARCH-AS-YOU-TYPE side of
+    * the reference's Kibana surface: candidate corrections for a (likely
+    * misspelled) term from the term dictionary within `maxEdits`
+    * Levenshtein, ranked by document frequency (ES `suggest_mode:
+    * popular` ordering), the input term itself excluded. Pure dictionary
+    * read: the codegen `levenshtein` scan with the length pre-cut is the
+    * same pushdown shape as the fuzzy rewrite — postings are never
+    * touched. Returns (suggestion, doc_freq), df desc then term asc.
+    */
+  def suggest(
+      spark: SparkSession,
+      indexDir: String,
+      term: String,
+      size: Int = 5,
+      maxEdits: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    require(term.nonEmpty, "empty term")
+    require(maxEdits >= 1 && maxEdits <= 2, "ES caps suggester fuzziness at 2 edits")
+    IndexBuilder.readTerms(spark, indexDir)
+      .where(abs(length($"term") - lit(term.length)) <= maxEdits)
+      .where($"term" =!= term)
+      .where(levenshtein($"term", lit(term)) <= maxEdits)
+      .orderBy(desc("doc_freq"), asc("term"))
+      .limit(size)
+      .select($"term".as("suggestion"), $"doc_freq")
+  }
+
   /** ES "fetch phase": join top-k hits back to their stored doc fields
     * (url, warc_ts, lang, doc_len — never `text` unless asked: the docs
     * scan is column-pruned). Hits are ≤ k rows → broadcast side of the

@@ -608,6 +608,81 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.nonEmpty)
   }
 
+  test("range agg ≡ exhaustive explicit buckets; cardinality agg exact in sparse mode") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val ids = matchedIds(terms, and = false)
+    val dlOf = corpus.map { case (id, t) => id -> Analyzer.tokenCount(t).toLong }.toMap
+    val edges = Seq(40L, 70L, 100L)
+    val expRange = ids.groupBy(id => edges.count(dlOf(id) >= _).toLong)
+      .view.mapValues(_.size.toLong).toMap
+    val gotRange = Facets.rangeAgg(spark, dir.toString, terms, "or", "doc_len", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRange == expRange, s"range: $gotRange vs $expRange")
+
+    val expCard = ids.map(langOf).distinct.size.toLong
+    val card = Facets.cardinalityAgg(spark, dir.toString, terms, "or", "lang").head()
+    assert(card.getLong(0) == expCard && card.getBoolean(1), card.toString)
+    // empty match set
+    val none = Facets.cardinalityAgg(spark, dir.toString, Seq("nosuchterm"), "or", "lang").head()
+    assert(none.getLong(0) == 0L && none.getBoolean(1))
+  }
+
+  test("log-bucket approx percentiles: exact when values fit unit buckets; ≡ exhaustive sketch at s=3") {
+    import graft.query.Facets
+    import graft.functions.LogBuckets
+    val terms = Seq("w1", "w2")
+    // s=7: unit buckets cover [0, 256) — every fixture doc_len is exact,
+    // so the approx agg must equal the exact nearest-rank agg
+    val exact = Facets.percentilesAgg(spark, dir.toString, terms, "or", "doc_len")
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val appro7 = Facets.percentilesApproxAgg(spark, dir.toString, terms, "or", "doc_len", logS = 7)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(appro7 == exact, s"s=7 should be exact: $appro7 vs $exact")
+
+    // s=3: recompute the sketch exhaustively — bucket, cumulate, rank
+    val ids = matchedIds(terms, and = false)
+    val dlOf = corpus.map { case (id, t) => id -> Analyzer.tokenCount(t).toLong }.toMap
+    val vals = ids.map(dlOf)
+    val hist = vals.groupBy(LogBuckets.bucketOf(_, 3)).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val cum = hist.scanLeft((Long.MinValue, 0L)) { case ((_, c), (b, n)) => (b, c + n) }.drop(1)
+    val n = vals.size.toLong
+    val expected = Seq(25.0, 50.0, 75.0, 95.0, 99.0).map { p =>
+      val rank = math.ceil(p * n / 100.0).toLong
+      val b = cum.find(_._2 >= rank).get._1
+      p -> LogBuckets.lowerBound(b, 3)
+    }.toMap
+    val appro3 = Facets.percentilesApproxAgg(spark, dir.toString, terms, "or", "doc_len", logS = 3)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(appro3 == expected, s"s=3: $appro3 vs $expected")
+    // the log branch must actually engage: some bucket index ≥ base
+    assert(hist.exists(_._1 >= (1L << 4)), "fixture must exercise the log branch")
+  }
+
+  test("term suggester: dictionary neighbors of a misspelling, df-desc, input excluded") {
+    val got = Search.suggest(spark, dir.toString, "w10x", size = 5, maxEdits = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty)
+    assert(!got.exists(_._1 == "w10x"), "input term must be excluded")
+    got.foreach { case (t, _) => assert(levenshteinDist(t, "w10x") <= 1, t) }
+    // df-desc order and df values match the corpus
+    val dfOf = corpus.flatMap { case (id, t) => Analyzer.tokenize(t).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (t, df) => assert(dfOf(t) == df, s"$t df") }
+    assert(got.map(_._2).sliding(2).forall(p => p.size < 2 || p(0) >= p(1)), "df desc")
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("rescore: exp-decay rerank of the BM25 window; outside-window docs can't re-enter") {
     import graft.query.Rescore
     val terms = Seq("w1", "w2")
