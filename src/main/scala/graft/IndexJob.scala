@@ -151,8 +151,31 @@ object IndexJob {
           attrFilter = attrFilter, mustNot = mustNot,
           minShouldMatch = flag(args, "min-match", 1)))
       case Some("phrase") =>
+        // --slop=N: proximity match (greedy ordered chain, Lucene
+        // 1/(1+displacement) weights); 0 = exact adjacency
         val Seq(indexDir, k) = positional.take(2)
-        printHits(Search.phraseTopK(spark, indexDir, positional.drop(2), k.toInt))
+        printHits(Search.phraseTopK(spark, indexDir, positional.drop(2), k.toInt,
+          slop = flag(args, "slop", 0)))
+      case Some("mlt") =>
+        // ES more_like_this: docs similar to --doc=<id>
+        val Seq(indexDir, k, docId) = positional.take(3)
+        printHits(Search.moreLikeThis(spark, indexDir, docId.toLong, k.toInt,
+          maxQueryTerms = flag(args, "max-terms", 25),
+          minTermFreq = flag(args, "min-tf", 1),
+          minDocFreq = flag(args, "min-df", 1)))
+      case Some("suggest") =>
+        // ES term suggester ("did you mean"), suggest_mode: popular
+        val Seq(indexDir, term) = positional.take(2)
+        Search.suggest(spark, indexDir, term, size = flag(args, "size", 5),
+          maxEdits = flag(args, "max-edits", 1))
+          .collect().foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}"))
+      case Some("top-hits") =>
+        // ES terms + top_hits sub-agg: best hits per keyword bucket
+        val Seq(indexDir, mode, field) = positional.take(3)
+        graft.query.Facets.topHitsAgg(spark, indexDir, positional.drop(3), mode, field,
+          size = flag(args, "size", 10), hitsPerBucket = flag(args, "hits", 3))
+          .collect().foreach(r => println(
+            s"${r.getString(0)}\t${r.getLong(1)}\t${r.getInt(2)}\t${r.getLong(3)}\t${r.getDouble(4)}"))
       case Some("prefix-search") =>
         val Seq(indexDir, k, prefix) = positional.take(3)
         printHits(Search.prefixTopK(spark, indexDir, prefix, k.toInt,
@@ -260,7 +283,7 @@ object IndexJob {
         println(s"terms\t${row.getLong(0)}\tpostings\t${row.getLong(1)}\tblocks\t${row.getLong(2)}\tpayload_bytes\t${row.getLong(3)}")
       case other =>
         throw new IllegalArgumentException(
-          s"unknown command $other; expected build|build-time|ingest-time|expire-time|merge|fastmerge|compact|search|phrase|prefix-search|fuzzy-search|search-segments|search-family|delete|purge|facet-hist|facet-lang"
+          s"unknown command $other; expected build|build-time|ingest-time|expire-time|merge|fastmerge|compact|search|phrase|mlt|suggest|top-hits|prefix-search|fuzzy-search|search-segments|search-family|delete|purge|facet-hist|facet-lang"
         )
     }
   }

@@ -464,6 +464,37 @@ object SparkEntry {
       Search.suggest(s, indexFor(s, dir), "merg", size = 5, maxEdits = 1)
         .select($"suggestion", $"doc_freq")
     },
+    // ES more_like_this: tf·idf term selection from doc 42 (top 5 with
+    // min_term_freq=2), then bool-should BM25, source doc excluded
+    "q_mlt" -> { (s, dir) =>
+      import s.implicits._
+      Search.moreLikeThis(s, indexFor(s, dir), docId = 42L, k = 10,
+        maxQueryTerms = 5, minTermFreq = 2)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // ES terms + top_hits sub-agg: best 2 docs of each of the top-3
+    // sources by match count
+    "q_top_hits" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.topHitsAgg(s, indexFor(s, dir), QueryOr, "or",
+        kwField = "source", size = 3, hitsPerBucket = 2)
+        .select($"source", $"n_docs", $"rank", $"doc_id",
+          round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // ES cumulative_sum pipeline agg over the date_histogram
+    "q_facet_cumsum" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.cumulativeSum(s, indexFor(s, dir), QueryOr, "or", "day")
+        .select($"bucket", $"n_docs", $"cum_docs")
+    },
+    // ES derivative pipeline agg (first bucket has none — ES emits no
+    // value; dropped here for a null-free gate frame)
+    "q_facet_deriv" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.derivative(s, indexFor(s, dir), QueryOr, "or", "day")
+        .where($"deriv".isNotNull)
+        .select($"bucket", $"n_docs", $"deriv")
+    },
     // bool.should minimum_should_match: candidates must match ≥2 of the 3
     // query terms; scores unchanged (still summed over matched terms)
     "q_bm25_msm" -> { (s, dir) =>
@@ -613,6 +644,19 @@ object SparkEntry {
     "q_bm25_phrase" -> { (s, dir) =>
       import s.implicits._
       Search.phraseTopK(s, indexFor(s, dir), QueryPhrase, 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // ES match_phrase with slop: greedy ordered-chain proximity, Lucene
+    // 1/(1+displacement) weights in e6 fixed point (order-free sums)
+    "q_bm25_slop" -> { (s, dir) =>
+      import s.implicits._
+      Search.phraseTopK(s, indexFor(s, dir), QueryPhrase, 10, slop = 2)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // 3-term chain at slop 4 — exercises chained greedy binding depth
+    "q_bm25_slop3" -> { (s, dir) =>
+      import s.implicits._
+      Search.phraseTopK(s, indexFor(s, dir), Seq("spark", "merge", "window"), 10, slop = 4)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
     // fielded × multi-segment: each field is a 2-segment family queried as
@@ -908,6 +952,54 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY sco
 ), scores AS (
   SELECT pf.doc_id,
          i.idfsum * (pf.freq / (pf.freq + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl))) AS score
+  FROM pf JOIN alldocs ad ON ad.doc_id = pf.doc_id CROSS JOIN stats s CROSS JOIN idfs i
+)
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY score DESC, doc_id LIMIT 10"""
+  }
+
+  /** Sloppy-phrase oracle (BlockMaxWand.phraseSlop contract): greedy
+    * ordered chain via LATERAL min-position joins, per-match weight
+    * ⌊10^6/(1+displacement)⌋ summed as INTEGERS (order-free), freq =
+    * weightE6/10^6 — identical float op order to the engine.
+    */
+  private def phraseSlopOracleSql(phrase: Seq[String], slop: Int): String = {
+    val inList = phrase.distinct.map(t => s"'$t'").mkString(", ")
+    val L = phrase.size
+    // l1..l(L-1): each binds the smallest position of phrase term i
+    // strictly after the previous binding (the greedy chain)
+    val laterals = (1 until L).map { i =>
+      val prev = if (i == 1) "t0.pos" else s"l${i - 1}.p${i - 1}"
+      s", LATERAL (SELECT min(x.pos) AS p$i FROM toks x WHERE x.doc_id = t0.doc_id AND x.term = '${phrase(i)}' AND x.pos > $prev) l$i"
+    }.mkString("\n  ")
+    val pLast = if (L == 1) "t0.pos" else s"l${L - 1}.p${L - 1}"
+    s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks WHERE term IN ($inList) GROUP BY 1
+), occ(term) AS (VALUES ${phrase.map(t => s"('$t')").mkString(", ")}
+), idfs AS (
+  SELECT sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idfsum
+  FROM occ JOIN df USING (term) CROSS JOIN stats s
+), chain AS (
+  SELECT t0.doc_id, ($pLast - t0.pos - ${L - 1})::BIGINT AS disp
+  FROM toks t0
+  $laterals
+  WHERE t0.term = '${phrase.head}'
+), pf AS (
+  SELECT doc_id, sum(1000000 // (1 + disp))::BIGINT AS w_e6
+  FROM chain WHERE disp IS NOT NULL AND disp <= $slop
+  GROUP BY 1
+), scores AS (
+  SELECT pf.doc_id,
+         i.idfsum * ((pf.w_e6 / 1000000.0) / ((pf.w_e6 / 1000000.0) + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl))) AS score
   FROM pf JOIN alldocs ad ON ad.doc_id = pf.doc_id CROSS JOIN stats s CROSS JOIN idfs i
 )
 SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY score DESC, doc_id LIMIT 10"""
@@ -1252,6 +1344,98 @@ SELECT count(DISTINCT source)::BIGINT AS n_distinct, true AS is_exact
 FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
                  WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))""",
+    "q_mlt" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), stf AS (
+  SELECT term, count(*)::BIGINT AS tf FROM toks WHERE doc_id = 42
+  GROUP BY 1 HAVING count(*) >= 2
+), sdf AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+  WHERE term IN (SELECT term FROM stf) GROUP BY 1
+), sel AS (
+  SELECT stf.term FROM stf JOIN sdf USING (term) CROSS JOIN stats s
+  ORDER BY stf.tf * ln(1 + (s.n - sdf.df + 0.5) / (sdf.df + 0.5)) DESC, stf.term
+  LIMIT 5
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (SELECT term FROM sel) GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN alldocs ad ON ad.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores
+WHERE doc_id <> 42 ORDER BY score DESC, doc_id LIMIT 10""",
+    "q_top_hits" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN alldocs ad ON ad.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+), valued AS (
+  SELECT sc.doc_id, sc.score, d.source FROM scores sc JOIN documents d USING (doc_id)
+), buckets AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM valued GROUP BY 1
+  ORDER BY n_docs DESC, source LIMIT 3
+), ranked AS (
+  SELECT v.source, v.doc_id, v.score,
+         row_number() OVER (PARTITION BY v.source ORDER BY v.score DESC, v.doc_id) AS rank
+  FROM valued v JOIN buckets USING (source)
+)
+SELECT r.source, b.n_docs, r.rank::INT AS rank, r.doc_id,
+       round(r.score * 10000)::BIGINT AS score_e4
+FROM ranked r JOIN buckets b USING (source) WHERE r.rank <= 2""",
+    "q_facet_cumsum" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), hist AS (
+  SELECT strftime(epoch_ms(1609459200000 + doc_id * 60000), '%Y%m%d') AS bucket,
+         count(*)::BIGINT AS n_docs
+  FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
+                   WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+  GROUP BY 1
+)
+SELECT bucket, n_docs, sum(n_docs) OVER (ORDER BY bucket)::BIGINT AS cum_docs FROM hist""",
+    "q_facet_deriv" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), hist AS (
+  SELECT strftime(epoch_ms(1609459200000 + doc_id * 60000), '%Y%m%d') AS bucket,
+         count(*)::BIGINT AS n_docs
+  FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
+                   WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+  GROUP BY 1
+), d AS (
+  SELECT bucket, n_docs, (n_docs - lag(n_docs) OVER (ORDER BY bucket))::BIGINT AS deriv FROM hist
+)
+SELECT bucket, n_docs, deriv FROM d WHERE deriv IS NOT NULL""",
     "q_suggest" ->
       """WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
@@ -1328,6 +1512,8 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY sco
     // post-purge: dense renumbered survivors, stats/df recomputed
     "q_bm25_purged" -> bm25OracleSql(QueryOr, and = false, purgeWhere = "lang = 'de'"),
     "q_bm25_phrase" -> phraseOracleSql(QueryPhrase),
+    "q_bm25_slop" -> phraseSlopOracleSql(QueryPhrase, 2),
+    "q_bm25_slop3" -> phraseSlopOracleSql(Seq("spark", "merge", "window"), 4),
     "q_bm25_fielded" -> fieldedOracleSql(QueryOr),
     "q_bm25_fielded_prefix" -> fieldedOracleSql(Nil, termPred = "term LIKE 's%'"),
     "q_bm25_fielded_wildcard" -> fieldedOracleSql(Nil, termPred = "term LIKE 's_a%'"),

@@ -518,6 +518,127 @@ object BlockMaxWand {
     freq
   }
 
+  /** Sloppy-phrase weighted occurrence count in e6 FIXED POINT. Matching
+    * is the greedy ordered chain: a match starts at each occurrence p0 of
+    * the first phrase term; each later phrase position j binds to the
+    * SMALLEST position of its term strictly after position j−1's binding;
+    * the match holds iff total displacement (span minus phrase length)
+    * ≤ slop. In-order matches only — Lucene's sloppy scorer additionally
+    * admits transposed terms within the edit budget; this is the
+    * ordered-span-near semantics, documented as such. Per-match weight is
+    * Lucene's 1/(1+displacement), accumulated as ⌊10^6/(1+d)⌋ INTEGERS so
+    * the oracle can sum matches in any order without float-associativity
+    * drift; callers divide by 10^6 once.
+    *
+    * `chain(j)` = distinct-term index of phrase position j (chain(0)==0:
+    * distinct terms are in first-occurrence order). Greedy chains are
+    * monotone in p0, so the first start whose chain exhausts a positions
+    * array ends the scan.
+    */
+  def sloppyFreqE6(poss: Array[Array[Int]], chain: Array[Int], slop: Int): Long = {
+    var sum = 0L
+    val first = poss(chain(0))
+    val L = chain.length
+    var s = 0
+    var exhaustedChain = false
+    while (s < first.length && !exhaustedChain) {
+      val p0 = first(s)
+      var prev = p0
+      var j = 1
+      var ok = true
+      while (ok && j < L) {
+        val arr = poss(chain(j))
+        var lo = java.util.Arrays.binarySearch(arr, prev + 1)
+        if (lo < 0) lo = -lo - 1
+        if (lo >= arr.length) { ok = false; exhaustedChain = true }
+        else { prev = arr(lo); j += 1 }
+      }
+      if (ok) {
+        val disp = prev - p0 - (L - 1)
+        if (disp <= slop) sum += 1000000L / (1L + disp)
+      }
+      s += 1
+    }
+    sum
+  }
+
+  /** Sloppy-phrase top-k (ES `match_phrase` with `slop`): retrieval is
+    * the same leapfrog AND over distinct phrase terms as [[phrase]];
+    * positional verify is [[sloppyFreqE6]]'s greedy ordered chain.
+    * Score = idfSum · freq/(freq + k1·(1 − b + b·dl/avgdl)) with
+    * freq = weightE6/10^6 — [[phrase]]'s shape with the weighted float
+    * freq, op order mirrored by NaiveBm25.phraseSlopTopK and the DuckDB
+    * oracle.
+    *
+    * Block-max gate: freq ≤ matches ≤ tf(first term) (each match
+    * consumes a distinct first-term start; later terms MAY be shared
+    * between matches, so only iters(0) bounds it), and impact is
+    * monotone ↑freq ⇒ score ≤ idfSum · maxImpact(iter 0's block). Runs
+    * of hopeless first-term blocks are crossed metadata-only.
+    */
+  def phraseSlop(
+      iters: Array[PostingIter],
+      chain: Array[Int],
+      slop: Int,
+      idfSum: Double,
+      k: Int,
+      filter: DocFilter = null,
+      after: Hit = null
+  ): Array[Hit] = {
+    require(slop >= 0, "negative slop")
+    val top = new TopK(k, after)
+    if (iters.isEmpty || iters.exists(_.exhausted)) return Array.empty
+    val avgDl = iters(0).avgDocLen
+    var target = iters.map(_.doc).max
+    var done = false
+    while (!done) {
+      var aligned = true
+      if (filter != null) {
+        val c = filter.ceil(target)
+        if (c == Long.MaxValue) done = true
+        else if (c > target) { target = c; aligned = false }
+      }
+      var t = 0
+      while (t < iters.length && !done) {
+        iters(t).advance(target)
+        if (iters(t).exhausted) done = true
+        else if (iters(t).doc > target) { target = iters(t).doc; aligned = false }
+        t += 1
+      }
+      if (!done && aligned) {
+        val theta = top.threshold
+        var gated = false
+        if (theta != Double.NegativeInfinity) {
+          var loop = true
+          while (loop && !done) {
+            if (iters(0).exhausted) done = true
+            else if (idfSum * iters(0).blockMaxImpact * Bound <= theta) {
+              target = iters(0).blockLastDoc + 1
+              var a = 0
+              while (a < iters.length) { iters(a).shallowAdvance(target); a += 1 }
+              gated = true
+            } else loop = false
+          }
+        }
+        if (!done && !gated) {
+          val poss = iters.map(_.positions)
+          val wE6 = sloppyFreqE6(poss, chain, slop)
+          if (wE6 > 0) {
+            val freq = wE6 / 1000000.0
+            val dl = iters(0).docLen
+            val s = idfSum *
+              (freq / (freq + graft.index.IndexBuilder.K1 *
+                (1 - graft.index.IndexBuilder.B +
+                  graft.index.IndexBuilder.B * dl / avgDl)))
+            top.offer(Hit(target, s))
+          }
+          target += 1
+        }
+      }
+    }
+    top.result
+  }
+
   /** Enumerate ALL matching docs of a slice, ascending, NO scoring — the
     * candidate stream of the aggregation phase (ES runs its aggs over
     * exactly this: every doc matching the query, not the top-k). AND =

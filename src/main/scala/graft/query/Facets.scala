@@ -576,6 +576,214 @@ object Facets {
     Seq((est, exact)).toDF("n_distinct", "is_exact")
   }
 
+  /** ES `top_hits` inside a `terms` bucket agg — "show the best k docs
+    * per <keyword> value" (Kibana's per-category example rows). One
+    * scored match walk per slice; a task-local combiner keeps, per
+    * keyword value, the match COUNT and a bounded best-k list, so the
+    * exchange is nSlices × |values| × k rows — independent of the match
+    * count. Beyond `valueCap` distinct values, NEW values stream
+    * straight through as single-hit rows (the collapse cap treatment):
+    * results are identical — the global merge already sums counts and
+    * re-sorts hit lists — only the exchange grows. Buckets are the top
+    * `size` values by doc count (desc, value asc — ES terms order);
+    * hits rank by (score desc, docId asc). Returns
+    * (<kwField>, n_docs, rank, doc_id, score).
+    */
+  def topHitsAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      kwField: String = "lang",
+      size: Int = 10,
+      hitsPerBucket: Int = 3,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1,
+      valueCap: Int = 1 << 20
+  ): DataFrame = {
+    import spark.implicits._
+    require(size > 0 && hitsPerBucket > 0, "size and hitsPerBucket must be positive")
+    val terms = queryTerms.distinct
+    val isAnd = mode == "and"
+    val exTerms = mustNot.distinct
+    val emptyOut = spark
+      .emptyDataset[(String, Long, Int, Long, Double)]
+      .toDF(kwField, "n_docs", "rank", "doc_id", "score")
+    if (terms.isEmpty || terms.size < minShouldMatch) return emptyOut
+
+    val stats = IndexBuilder.readStats(spark, indexDir)
+    val n = stats.n_docs
+    val avgDl = if (stats.avg_dl > 0) stats.avg_dl else 1.0
+    val dfs: Map[String, Long] = IndexBuilder
+      .readTerms(spark, indexDir)
+      .where($"term".isin(terms: _*))
+      .collect().map(t => t.term -> t.doc_freq).toMap
+    if (isAnd && terms.exists(t => !dfs.contains(t))) return emptyOut
+    val present = terms.filter(dfs.contains)
+    if (present.isEmpty || present.size < minShouldMatch) return emptyOut
+    val idfs = terms.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
+
+    val bCtx = spark.sparkContext.broadcast((terms.toArray, idfs, exTerms.toArray))
+    val tomb = graft.index.Tombstones.handle(indexDir)
+    val idxDir = indexDir
+    val pred = attrFilter
+    val msm = minShouldMatch
+    val fld = kwField
+    val kHits = hitsPerBucket
+    val vCap = valueCap
+
+    val blocks = IndexBuilder
+      .readPostings(spark, indexDir)
+      .where($"term".isin(terms ++ exTerms: _*))
+      .select(
+        $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact")
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
+
+    // per (slice, value): (value, countPartial, hits[(negScore, docId)])
+    // negated score so a plain ascending array sort ranks (score desc,
+    // docId asc) — sign flip is exact on doubles
+    val partials = blocks
+      .groupByKey(_._1)
+      .flatMapGroups { (slice, rows) =>
+        val (qTerms, qIdfs, exT) = bCtx.value
+        val byTerm = rows.toArray.groupBy(_._2)
+        def itersOf(t: String, ti: Int, idf: Double): Option[PostingIter] =
+          byTerm.get(t).map { rs =>
+            val refs = rs.sortBy(r => (r._4, r._3))
+              .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
+            new PostingIter(ti, idf, refs, avgDl)
+          }
+        val iters = qTerms.iterator.zipWithIndex
+          .flatMap { case (t, ti) => itersOf(t, ti, qIdfs(ti)) }.toArray
+        if (iters.isEmpty || (isAnd && iters.length < qTerms.length)) Iterator.empty
+        else {
+          var filter: DocFilter =
+            if (pred == null) null else AttrSidecar.openCursor(idxDir, slice, pred)
+          val predCursor = filter
+          val exIters = exT.iterator.flatMap(t => itersOf(t, 0, 0.0)).toArray
+          if (exIters.nonEmpty)
+            filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+          if (tomb != null) filter = tomb.compose(slice, filter)
+          val reader = AttrSidecar.openReader(idxDir, slice)
+          val kwIdx = reader.kwIndex(fld)
+          var closed = false
+          def closeAll(): Unit = if (!closed) {
+            closed = true
+            reader.close()
+            predCursor match {
+              case c: AutoCloseable => c.close()
+              case _ =>
+            }
+          }
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
+          // value → (count, bounded best list) — kHits is small, an
+          // insertion-sorted ArrayBuffer beats a heap at these sizes
+          val acc = scala.collection.mutable.HashMap
+            .empty[String, (Array[Long], scala.collection.mutable.ArrayBuffer[(Double, Long)])]
+          val overflow = BlockMaxWand.scoredMatches(iters, isAnd, msm, filter)
+            .flatMap { case (id, s) =>
+              if (!reader.seek(id)) Nil
+              else {
+                val v = reader.kwValue(kwIdx)
+                val ns = -s
+                acc.get(v) match {
+                  case Some((cnt, buf)) =>
+                    cnt(0) += 1
+                    val pos = buf.indexWhere { case (bs, bid) =>
+                      ns < bs || (ns == bs && id < bid)
+                    }
+                    if (pos >= 0) buf.insert(pos, (ns, id))
+                    else if (buf.size < kHits) buf += ((ns, id))
+                    if (buf.size > kHits) buf.remove(kHits)
+                    Nil
+                  case None =>
+                    if (acc.size < vCap) {
+                      acc.update(v,
+                        (Array(1L), scala.collection.mutable.ArrayBuffer((ns, id))))
+                      Nil
+                    } else (v, 1L, Array((ns, id))) :: Nil
+                }
+              }
+            }
+          overflow ++ new scala.collection.AbstractIterator[(String, Long, Array[(Double, Long)])] {
+            private var it: Iterator[(String, Long, Array[(Double, Long)])] = null
+            private def u = {
+              if (it == null)
+                it = acc.iterator.map { case (v, (cnt, buf)) => (v, cnt(0), buf.toArray) }
+              it
+            }
+            def hasNext: Boolean = u.hasNext
+            def next(): (String, Long, Array[(Double, Long)]) = u.next()
+          }
+        }
+      }
+      .toDF("v", "cnt", "hits")
+
+    val buckets = partials
+      .groupBy($"v")
+      .agg(sum($"cnt").as("n_docs"),
+        slice(sort_array(flatten(collect_list($"hits"))), 1, kHits).as("top"))
+      .orderBy(desc("n_docs"), asc("v"))
+      .limit(size)
+
+    buckets
+      .select($"v", $"n_docs", posexplode($"top"))
+      .select(
+        $"v".as(kwField), $"n_docs",
+        ($"pos" + 1).cast("int").as("rank"),
+        $"col._2".as("doc_id"),
+        (-$"col._1").as("score"))
+  }
+
+  /** ES `cumulative_sum` pipeline agg over a [[dateHistogram]]: running
+    * total of matching docs per UTC bucket. The window runs over the
+    * bucket frame (≤ |buckets| rows — already reduced), not the match
+    * set. Returns (bucket, n_docs, cum_docs).
+    */
+  def cumulativeSum(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      interval: String = "day",
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    dateHistogram(spark, indexDir, queryTerms, mode, interval, attrFilter,
+      mustNot, minShouldMatch)
+      .withColumn("cum_docs", sum($"n_docs").over(w))
+  }
+
+  /** ES `derivative` pipeline agg over a [[dateHistogram]]: per-bucket
+    * delta vs the PREVIOUS PRESENT bucket (ES derivative semantics with
+    * no gap policy — empty buckets are absent, exactly as ES omits
+    * them without `min_doc_count: 0`). First bucket's derivative is
+    * null (ES emits none). Returns (bucket, n_docs, deriv).
+    */
+  def derivative(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      interval: String = "day",
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+    dateHistogram(spark, indexDir, queryTerms, mode, interval, attrFilter,
+      mustNot, minShouldMatch)
+      .withColumn("deriv", $"n_docs" - lag($"n_docs", 1).over(w))
+  }
+
   /** Match walk emitting numeric partials. `histogram=false`: one
     * (n, sum, min, max) row per (segment, slice) — the stats shape.
     * `histogram=true`: per-slice (value → count) rows — the percentile

@@ -189,6 +189,63 @@ object NaiveBm25 {
     scored.sortBy(h => (-h.score, h.docId)).take(k)
   }
 
+  /** Exhaustive sloppy-phrase oracle (BlockMaxWand.phraseSlop contract:
+    * greedy ordered chain from every first-term occurrence, e6
+    * fixed-point 1/(1+displacement) weights, freq = weightE6/10^6).
+    * Token-array scan — no positions index, no gates.
+    */
+  def phraseSlopTopK(
+      corpus: Seq[(Long, String)],
+      phrase: Seq[String],
+      slop: Int,
+      k: Int,
+      allowed: Long => Boolean = null
+  ): Seq[Scored] = {
+    val analyzed = corpus.map { case (id, text) => (id, Analyzer.tokenize(text)) }
+    val n = corpus.size.toLong
+    val avgDl = {
+      val total = analyzed.map(_._2.length.toLong).sum
+      if (n > 0 && total > 0) total.toDouble / n else 1.0
+    }
+    val dfs: Map[String, Long] = phrase.distinct.map { t =>
+      t -> analyzed.count { case (_, toks) => toks.contains(t) }.toLong
+    }.toMap
+    if (dfs.values.exists(_ == 0L)) return Nil
+    val idfSum = phrase.map(t => idf(n, dfs(t))).sum
+    val scored = analyzed.flatMap { case (id, toks) =>
+      if (allowed != null && !allowed(id)) None
+      else {
+        var wE6 = 0L
+        var p0 = 0
+        while (p0 < toks.length) {
+          if (toks(p0) == phrase.head) {
+            var prev = p0
+            var j = 1
+            var ok = true
+            while (ok && j < phrase.length) {
+              var q = prev + 1
+              while (q < toks.length && toks(q) != phrase(j)) q += 1
+              if (q >= toks.length) ok = false else { prev = q; j += 1 }
+            }
+            if (ok) {
+              val disp = prev - p0 - (phrase.length - 1)
+              if (disp <= slop) wE6 += 1000000L / (1L + disp)
+            }
+          }
+          p0 += 1
+        }
+        if (wE6 == 0L) None
+        else {
+          val freq = wE6 / 1000000.0
+          val dl = toks.length
+          Some(Scored(id,
+            idfSum * (freq / (freq + K1 * (1 - B + B * dl / avgDl)))))
+        }
+      }
+    }
+    scored.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
   /** Exhaustive exact-phrase oracle (BlockMaxWand.phrase contract:
     * freq = phrase occurrences, idf summed per phrase position).
     */

@@ -604,6 +604,56 @@ object Search {
       .select($"term".as("suggestion"), $"doc_freq")
   }
 
+  /** ES `more_like_this` ("find documents like this one"): selects the
+    * source doc's most characteristic terms by tf·idf (ES's MLT term
+    * selection — tf from the doc, idf corpus-global, top
+    * `maxQueryTerms`, ties by term asc for determinism; `minTermFreq` /
+    * `minDocFreq` prune noise terms), then runs them as a bool-should
+    * BM25 query, the source doc itself excluded (k+1 fetch, filter,
+    * cut — no allow-list materialization for a single exclusion).
+    * Scale shape: the doc fetch is a pushdown point-read on the docs
+    * store; term selection touches ≤ |doc's distinct terms| dictionary
+    * rows; retrieval is the plain WAND path.
+    */
+  def moreLikeThis(
+      spark: SparkSession,
+      indexDir: String,
+      docId: Long,
+      k: Int = 10,
+      maxQueryTerms: Int = 25,
+      minTermFreq: Int = 1,
+      minDocFreq: Int = 1,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil
+  ): DataFrame = {
+    import spark.implicits._
+    require(maxQueryTerms > 0, "maxQueryTerms must be positive")
+    val srcRows = spark.read.parquet(s"$indexDir/docs")
+      .where($"doc_id" === docId) // pushdown: row-group skip on doc_id
+      .select($"text").collect()
+    require(srcRows.nonEmpty, s"more_like_this: doc $docId not found")
+    val tf: Map[String, Int] = graft.functions.Analyzer.tokenize(srcRows.head.getString(0))
+      .groupBy(identity).map { case (t, occ) => t -> occ.size }
+    val cand = tf.filter(_._2 >= minTermFreq).keys.toSeq.sorted
+    if (cand.isEmpty) return spark.emptyDataset[QueryHit].toDF()
+    val stats = IndexBuilder.readStats(spark, indexDir)
+    val dfs: Map[String, Long] = IndexBuilder
+      .readTerms(spark, indexDir)
+      .where($"term".isin(cand: _*))
+      .collect().map(t => t.term -> t.doc_freq).toMap
+    val selected = cand
+      .filter(t => dfs.getOrElse(t, 0L) >= minDocFreq)
+      .map(t => (t, tf(t) * NaiveBm25.idf(stats.n_docs, dfs(t))))
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms)
+      .map(_._1)
+    if (selected.isEmpty) return spark.emptyDataset[QueryHit].toDF()
+    topK(spark, indexDir, selected, "or", k + 1, attrFilter = attrFilter,
+      mustNot = mustNot)
+      .where($"doc_id" =!= docId)
+      .limit(k)
+  }
+
   /** ES "fetch phase": join top-k hits back to their stored doc fields
     * (url, warc_ts, lang, doc_len — never `text` unless asked: the docs
     * scan is column-pruned). Hits are ≤ k rows → broadcast side of the
@@ -639,16 +689,20 @@ object Search {
       k: Int,
       docFilter: Column = null,
       attrFilter: AttrPred = null,
-      mustNot: Seq[String] = Nil
+      mustNot: Seq[String] = Nil,
+      slop: Int = 0
   ): DataFrame = {
     import spark.implicits._
     require(phraseTerms.nonEmpty, "empty phrase")
+    require(slop >= 0, "negative slop")
     require(docFilter == null || attrFilter == null,
       "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
     val distinctTerms = phraseTerms.distinct // first-occurrence order
     val offsets: Array[Array[Int]] = distinctTerms.map { t =>
       phraseTerms.zipWithIndex.collect { case (pt, i) if pt == t => i }.toArray
     }.toArray
+    // phrase position j → distinct-term index (slop > 0 path)
+    val chain: Array[Int] = phraseTerms.map(distinctTerms.indexOf).toArray
 
     val stats = IndexBuilder.readStats(spark, indexDir)
     val n = stats.n_docs
@@ -665,7 +719,8 @@ object Search {
     // occurrence — Lucene PhraseQuery shape; oracle mirrors)
     val idfSum = phraseTerms.map(t => NaiveBm25.idf(n, dfs(t))).sum
     val exTerms = mustNot.distinct
-    val bCtx = spark.sparkContext.broadcast((distinctTerms.toArray, offsets, idfSum, exTerms.toArray))
+    val bCtx = spark.sparkContext.broadcast(
+      (distinctTerms.toArray, offsets, idfSum, exTerms.toArray, chain, slop))
     val tomb = graft.index.Tombstones.handle(indexDir)
 
     val blocks = IndexBuilder
@@ -682,7 +737,7 @@ object Search {
         rows: Iterator[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)],
         base: DocFilter
     ): Iterator[QueryHit] = {
-      val (qTerms, offs, idfS, exT) = bCtx.value
+      val (qTerms, offs, idfS, exT, chn, slp) = bCtx.value
       val byTerm = rows.toArray.groupBy(_._2)
       def refsOf(t: String) = byTerm(t)
         .sortBy(r => (r._4, r._3))
@@ -696,8 +751,10 @@ object Search {
       if (!qTerms.forall(byTerm.contains)) return Iterator.empty
       val iters = qTerms.map(t =>
         new PostingIter(0, 0.0, refsOf(t), avgDl)) // idf unused in phrase scoring
-      BlockMaxWand.phrase(iters, offs, idfS, k, filter)
-        .iterator.map(h => QueryHit(h.docId, h.score))
+      val hits =
+        if (slp == 0) BlockMaxWand.phrase(iters, offs, idfS, k, filter)
+        else BlockMaxWand.phraseSlop(iters, chn, slp, idfS, k, filter)
+      hits.iterator.map(h => QueryHit(h.docId, h.score))
     }
 
     val localTopK =

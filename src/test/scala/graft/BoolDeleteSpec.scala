@@ -683,6 +683,70 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     d(a.length)(b.length)
   }
 
+  test("top_hits agg ≡ exhaustive: top buckets by count, best-k per bucket by score") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    // full scored match set from the naive scorer (k = corpus size)
+    val all = NaiveBm25.topK(corpus, terms, "or", corpus.size)
+    val byLang = all.groupBy(h => langOf(h.docId))
+    val buckets = byLang.view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (v, n) => (-n, v) }.take(2)
+    val expected = buckets.flatMap { case (v, n) =>
+      byLang(v).sortBy(h => (-h.score, h.docId)).take(3).zipWithIndex.map {
+        case (h, i) => (v, n, i + 1, h.docId, math.round(h.score * 10000))
+      }
+    }.toSet
+    val got = Facets.topHitsAgg(spark, dir.toString, terms, "or", "lang",
+      size = 2, hitsPerBucket = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        math.round(r.getDouble(4) * 10000))).toSet
+    assert(got == expected, s"top_hits: $got vs $expected")
+    // a tiny valueCap must not change results (overflow streams through)
+    val capped = Facets.topHitsAgg(spark, dir.toString, terms, "or", "lang",
+      size = 2, hitsPerBucket = 3, valueCap = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        math.round(r.getDouble(4) * 10000))).toSet
+    assert(capped == got, "valueCap=1 changed top_hits results")
+  }
+
+  test("more_like_this: tf·idf term selection + BM25, source excluded") {
+    val srcId = 7L
+    val srcToks = Analyzer.tokenize(corpus(srcId.toInt)._2)
+    val tf = srcToks.groupBy(identity).view.mapValues(_.size).toMap
+    val n = corpus.size.toLong
+    val dfOf = corpus.flatMap { case (id, t) => Analyzer.tokenize(t).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val sel = tf.filter(_._2 >= 2).keys.toSeq.sorted
+      .map(t => (t, tf(t) * NaiveBm25.idf(n, dfOf(t))))
+      .sortBy { case (t, s) => (-s, t) }.take(5).map(_._1)
+    assert(sel.nonEmpty, "fixture doc must have tf>=2 terms")
+    val expected = NaiveBm25.topK(corpus, sel, "or", 11)
+      .filterNot(_.docId == srcId).take(10)
+    val got = Search.moreLikeThis(spark, dir.toString, srcId, k = 10,
+      maxQueryTerms = 5, minTermFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == expected.map(_.docId), s"mlt: $got vs $expected")
+    expected.zip(got).foreach { case (e, (_, gs)) => assert(math.abs(gs - e.score) < 1e-9) }
+  }
+
+  test("pipeline aggs: cumulative_sum and derivative over the date histogram") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val hist = Facets.dateHistogram(spark, dir.toString, terms, "or", "day")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(hist.size >= 2, "fixture must span several day buckets")
+    val cums = hist.scanLeft(0L)(_ + _._2).drop(1)
+    val expCum = hist.zip(cums).map { case ((b, v), c) => (b, v, c) }
+    val gotCum = Facets.cumulativeSum(spark, dir.toString, terms, "or", "day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(gotCum == expCum, s"cumsum: $gotCum vs $expCum")
+    val expDer = hist.sliding(2).collect { case Seq((_, p), (b, v)) => (b, v, v - p) }.toSeq
+    val gotDer = Facets.derivative(spark, dir.toString, terms, "or", "day")
+      .where(col("deriv").isNotNull)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(gotDer == expDer, s"deriv: $gotDer vs $expDer")
+  }
+
   test("rescore: exp-decay rerank of the BM25 window; outside-window docs can't re-enter") {
     import graft.query.Rescore
     val terms = Seq("w1", "w2")

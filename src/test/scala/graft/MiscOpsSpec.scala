@@ -176,6 +176,16 @@ class MiscOpsSpec extends AnyFunSuite {
       "CLI significant row shape")
     assert(cli("facet-split", idxDir, "or", "lang", "month", "w1").forall(_.split("\t").length == 3),
       "CLI facet-split row shape")
+    // round-5 commands: slop ≡ library sloppy phrase; mlt/suggest/top-hits reachable
+    val slopLib = graft.query.Search.phraseTopK(spark, idxDir, Seq("w1", "w2"), 5, slop = 3)
+      .collect().map(r => s"${r.getLong(0)}\t${r.getDouble(1)}").toSeq
+    assert(cli("phrase", idxDir, "5", "w1", "w2", "--slop=3") == slopLib, "CLI phrase --slop")
+    val mltLib = graft.query.Search.moreLikeThis(spark, idxDir, 0L, 5, maxQueryTerms = 5)
+      .collect().map(r => s"${r.getLong(0)}\t${r.getDouble(1)}").toSeq
+    assert(cli("mlt", idxDir, "5", "0", "--max-terms=5") == mltLib, "CLI mlt")
+    assert(cli("suggest", idxDir, "w1x").forall(_.split("\t").length == 2), "CLI suggest shape")
+    val th = cli("top-hits", idxDir, "or", "lang", "w1", "w2", "--size=2", "--hits=2")
+    assert(th.nonEmpty && th.forall(_.split("\t").length == 5), "CLI top-hits shape")
   }
 
   test("IndexJob CLI --retries: driver retry resumes from checkpoints to a complete index") {

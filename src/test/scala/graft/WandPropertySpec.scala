@@ -153,6 +153,41 @@ class WandPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sloppy phrase ≡ naive greedy-chain oracle on random corpora (8 corpora); slop=0 ≡ exact") {
+    (0 until 8).foreach { trial =>
+      val texts = corpusGen(Gen.Parameters.default, Seed(12000L + trial)).get
+      val dir = Files.createTempDirectory(s"wand-slop-$trial").toString
+      val pages = spark.createDataset(texts.zipWithIndex.map { case (t, i) =>
+        val url = f"p/$i%06d"
+        Page(url, new java.sql.Timestamp(1609459200000L + i), HtmlText.wrap(url, t), t, s"l${i % 3}")
+      })
+      IndexBuilder.build(spark, pages, dir,
+        BuildConfig(nPartitions = 4, nGroups = 2, nSlices = 4, blockSize = 4))
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      (0 until 4).foreach { q =>
+        val phrase = Gen.listOfN(2 + (trial + q) % 2, Gen.oneOf(vocab))
+          .apply(Gen.Parameters.default, Seed(13000L + trial * 13 + q)).get
+        val slop = (trial + q) % 4
+        val expected = NaiveBm25.phraseSlopTopK(corpus, phrase, slop, 5)
+        val got = Search.phraseTopK(spark, dir, phrase, 5, slop = slop)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(got.map(_._1).toSeq == expected.map(_.docId),
+          s"trial $trial slop=$slop $phrase: got ${got.toSeq} want $expected")
+        expected.zip(got).foreach { case (e, (_, gs)) => assert(math.abs(gs - e.score) < 1e-9) }
+        if (slop == 0) {
+          // the greedy chain at slop 0 IS exact adjacency — the two code
+          // paths must agree bit-for-bit
+          val exact = Search.phraseTopK(spark, dir, phrase, 5)
+            .collect().map(r => (r.getLong(0), r.getDouble(1)))
+          assert(exact.toSeq == got.toSeq,
+            s"trial $trial slop0≠exact for $phrase: ${exact.toSeq} vs ${got.toSeq}")
+        }
+      }
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("bool surface (must_not, minimum_should_match, search_after) ≡ naive on random corpora (8 corpora)") {
     import graft.functions.Analyzer
     (0 until 8).foreach { trial =>
