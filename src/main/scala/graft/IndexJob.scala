@@ -37,6 +37,12 @@ import graft.query.Search
   *   expire-time <rootDir> <cutoffISO>                       # retention: drop buckets older than cutoff's month
   *   facet-hist <indexDir> <and|or> <hour|day|month> term [term ...]   # date_histogram over the match set
   *   facet-lang <indexDir> <and|or> term [term ...] [--field=kw]       # terms agg over the match set (any declared keyword attr)
+  *   facet-stats <indexDir> <and|or> <numField> term [term ...]        # ES stats agg (min/max/sum/avg)
+  *   facet-terms-stats <indexDir> <and|or> <kwField> <numField> term [...] [--order=avg] [--size=N]  # terms + metric sub-agg
+  *   facet-multi <indexDir> <and|or> <kwField1> <kwField2> term [...]  # ES multi_terms (kw × kw)
+  *   facet-filters <indexDir> <and|or> name:or:t1,t2 [...] term [...]  # ES filters agg (named buckets)
+  *   phrase-prefix <indexDir> <k> term [term ...]                      # match_phrase_prefix (last term = prefix)
+  *   synonym-search <indexDir> <and|or> <k> t1,t2 [t3 ...]             # query-time synonyms (each arg = one group)
   *   index-stats <indexDir>                                  # ES _stats analog: corpus/layout/deletes/lineage
   * }}}
   *
@@ -253,6 +259,46 @@ object IndexJob {
         ).toEpochMilli
         graft.index.TimeBuckets.expire(rootDir, new java.sql.Timestamp(ms))
           .foreach(b => println(s"dropped\t${b.bucket}\t${b.n_docs}"))
+      case Some("facet-stats") =>
+        // ES stats agg on a declared numeric attr over the match set
+        val Seq(indexDir, mode, field) = positional.take(3)
+        val r = graft.query.Facets.statsAgg(spark, indexDir, positional.drop(3), mode, field).head()
+        println(s"n_docs\t${r.getLong(0)}\tmin\t${r.get(1)}\tmax\t${r.get(2)}\tsum\t${r.get(3)}\tavg\t${r.get(4)}")
+      case Some("facet-terms-stats") =>
+        // ES terms + metric sub-agg ordered by the sub-metric
+        // (--order=count|sum|min|max|avg, --size=N)
+        val Seq(indexDir, mode, kwField, numField) = positional.take(4)
+        graft.query.Facets.termsStatsAgg(spark, indexDir, positional.drop(4), mode,
+          kwField, numField, orderMetric = strFlag(args, "order").getOrElse("avg"),
+          size = flag(args, "size", 10))
+          .collect().foreach(r => println(
+            s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getLong(3)}\t${r.getLong(4)}\t${r.getDouble(5)}"))
+      case Some("facet-multi") =>
+        // ES multi_terms: composite keyword × keyword buckets
+        val Seq(indexDir, mode, f1, f2) = positional.take(4)
+        graft.query.Facets.multiTermsAgg(spark, indexDir, positional.drop(4), mode, f1, f2)
+          .collect().foreach(r => println(s"${r.getString(0)}\t${r.getString(1)}\t${r.getLong(2)}"))
+      case Some("facet-filters") =>
+        // ES filters agg: named buckets as name:mode:t1,t2 specs
+        val Seq(indexDir, mode) = positional.take(2)
+        val (specs, terms) = positional.drop(2).partition(_.contains(":"))
+        val buckets = specs.map { s =>
+          val Array(name, m, ts) = s.split(":", 3)
+          (name, ts.split(",").toSeq, m)
+        }
+        graft.query.Facets.filtersAgg(spark, indexDir, terms, mode, buckets)
+          .collect().foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}"))
+      case Some("phrase-prefix") =>
+        // ES match_phrase_prefix (search-as-you-type); last term = prefix
+        val Seq(indexDir, k) = positional.take(2)
+        printHits(Search.phrasePrefixTopK(spark, indexDir, positional.drop(2), k.toInt,
+          maxExpansions = flag(args, "max-expansions", 8)))
+      case Some("synonym-search") =>
+        // query-time synonyms: each positional arg is one group t1,t2,...
+        val Seq(indexDir, mode, k) = positional.take(3)
+        printHits(Search.synonymTopK(spark, indexDir,
+          positional.drop(3).map(_.split(",").toSeq), mode, k.toInt,
+          minShouldMatch = flag(args, "min-match", 1)))
       case Some("facet-hist") =>
         val Seq(indexDir, mode, interval) = positional.take(3)
         graft.query.Facets.dateHistogram(spark, indexDir, positional.drop(3), mode, interval)

@@ -495,6 +495,54 @@ object SparkEntry {
         .where($"deriv".isNotNull)
         .select($"bucket", $"n_docs", $"deriv")
     },
+    // ES multi_terms: composite (source × lang) buckets over the match
+    // set — one walk, two keyword doc values per matched doc, exchange
+    // bounded by |sources|·|langs|
+    "q_facet_multi_terms" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.multiTermsAgg(s, indexFor(s, dir), QueryAnd, "and",
+        kwField = "source", kwField2 = "lang")
+        .select($"source", $"lang", $"n_docs")
+    },
+    // ES terms + metric sub-agg ordered by the sub-metric ("top sources
+    // by avg doc_len"): per-(slice, value) (n,sum,min,max) partials, one
+    // walk, order by avg desc
+    "q_facet_terms_stats" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.termsStatsAgg(s, indexFor(s, dir), QueryOr, "or",
+        kwField = "source", numField = "doc_len", orderMetric = "avg", size = 10)
+        .select($"source", $"n_docs", $"min_v", $"max_v", $"sum_v",
+          round($"avg_v" * 10000).cast("long").as("avg_e4"))
+    },
+    // ES filters agg: NAMED buckets (each its own term query) counted
+    // over the base match set in one walk — per-bucket monotone
+    // membership cursors, docs may count in several buckets
+    "q_facet_filters" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.filtersAgg(s, indexFor(s, dir), QueryOr, "or",
+        buckets = Seq(
+          ("joins", Seq("join", "merge"), "or"),
+          ("vector_scan", Seq("vector", "scan"), "and")))
+        .select($"bucket", $"n_docs")
+    },
+    // ES match_phrase_prefix ("data s…" — search-as-you-type): last term
+    // expands to ≤8 dictionary terms in TERM order; per-doc best
+    // expansion phrase score
+    "q_bm25_phrase_prefix" -> { (s, dir) =>
+      import s.implicits._
+      Search.phrasePrefixTopK(s, indexFor(s, dir), Seq("data", "s"), 10,
+        maxExpansions = 8)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // query-time synonyms (Lucene SynonymQuery): merge/join scored as ONE
+    // term — tf summed across members, idf from max member df; NOT
+    // OR-expansion (which would double-count docs with both spellings)
+    "q_bm25_synonym" -> { (s, dir) =>
+      import s.implicits._
+      Search.synonymTopK(s, indexFor(s, dir),
+        groups = Seq(Seq("spark"), Seq("merge", "join")), "or", 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
     // bool.should minimum_should_match: candidates must match ≥2 of the 3
     // query terms; scores unchanged (still summed over matched terms)
     "q_bm25_msm" -> { (s, dir) =>
@@ -1511,6 +1559,120 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores ORDER BY sco
     "q_bm25_deleted" -> bm25OracleSql(QueryOr, and = false, candWhere = "lang <> 'de'"),
     // post-purge: dense renumbered survivors, stats/df recomputed
     "q_bm25_purged" -> bm25OracleSql(QueryOr, and = false, purgeWhere = "lang = 'de'"),
+    "q_facet_multi_terms" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+)
+SELECT source, lang, count(*)::BIGINT AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM toks
+                 WHERE term IN (${QueryAnd.map(t => s"'$t'").mkString(", ")})
+                 GROUP BY doc_id HAVING count(DISTINCT term) = ${QueryAnd.distinct.size})
+GROUP BY 1, 2""",
+    "q_facet_terms_stats" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS doc_len
+  FROM documents
+), m AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")})
+)
+SELECT d.source, count(*)::BIGINT AS n_docs, min(dl.doc_len)::BIGINT AS min_v,
+       max(dl.doc_len)::BIGINT AS max_v, sum(dl.doc_len)::BIGINT AS sum_v,
+       round((sum(dl.doc_len)::DOUBLE / count(*)::DOUBLE) * 10000)::BIGINT AS avg_e4
+FROM documents d JOIN dl USING (doc_id)
+WHERE d.doc_id IN (SELECT doc_id FROM m)
+GROUP BY 1
+ORDER BY (sum(dl.doc_len)::DOUBLE / count(*)::DOUBLE) DESC, d.source LIMIT 10""",
+    "q_facet_filters" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), m AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")})
+)
+SELECT bucket, n_docs FROM (
+  SELECT 'joins' AS bucket,
+         (SELECT count(DISTINCT doc_id) FROM toks
+          WHERE doc_id IN (SELECT doc_id FROM m) AND term IN ('join', 'merge'))::BIGINT AS n_docs
+  UNION ALL
+  SELECT 'vector_scan',
+         (SELECT count(*) FROM m
+          WHERE doc_id IN (SELECT doc_id FROM toks WHERE term = 'vector')
+            AND doc_id IN (SELECT doc_id FROM toks WHERE term = 'scan'))::BIGINT
+) WHERE n_docs > 0 ORDER BY bucket""",
+    "q_bm25_phrase_prefix" ->
+      """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY 1
+), exp AS (
+  SELECT term FROM df WHERE term LIKE 's%' ORDER BY term LIMIT 8
+), idfs AS (
+  SELECT e.term AS eterm,
+         ln(1 + (s.n - d0.df + 0.5) / (d0.df + 0.5))
+       + ln(1 + (s.n - de.df + 0.5) / (de.df + 0.5)) AS idfsum
+  FROM exp e
+  JOIN df de ON de.term = e.term
+  CROSS JOIN (SELECT df FROM df WHERE term = 'data') d0
+  CROSS JOIN stats s
+), pf AS (
+  SELECT t0.doc_id, t1.term AS eterm, count(*) AS freq
+  FROM toks t0
+  JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  WHERE t0.term = 'data' AND t1.term IN (SELECT term FROM exp)
+  GROUP BY 1, 2
+), scores AS (
+  SELECT pf.doc_id,
+         max(i.idfsum * (pf.freq / (pf.freq + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl)))) AS score
+  FROM pf JOIN idfs i USING (eterm)
+  JOIN alldocs ad ON ad.doc_id = pf.doc_id CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores
+ORDER BY score DESC, doc_id LIMIT 10""",
+    "q_bm25_synonym" ->
+      """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+  WHERE term IN ('spark', 'merge', 'join') GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), gdf AS (
+  SELECT 0 AS grp, (SELECT df FROM df WHERE term = 'spark') AS df
+  UNION ALL
+  SELECT 1, (SELECT max(df) FROM df WHERE term IN ('merge', 'join'))
+), gidf AS (
+  SELECT grp, ln(1 + (s.n - df + 0.5) / (df + 0.5)) AS idf FROM gdf CROSS JOIN stats s
+), gtf AS (
+  SELECT doc_id, CASE WHEN term = 'spark' THEN 0 ELSE 1 END AS grp, sum(tf)::DOUBLE AS tfsum
+  FROM tf GROUP BY 1, 2
+), scores AS (
+  SELECT g.doc_id,
+         sum(i.idf * (g.tfsum / (g.tfsum + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl)))) AS score
+  FROM gtf g JOIN gidf i USING (grp)
+  JOIN alldocs ad ON ad.doc_id = g.doc_id CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores
+ORDER BY score DESC, doc_id LIMIT 10""",
     "q_bm25_phrase" -> phraseOracleSql(QueryPhrase),
     "q_bm25_slop" -> phraseSlopOracleSql(QueryPhrase, 2),
     "q_bm25_slop3" -> phraseSlopOracleSql(Seq("spark", "merge", "window"), 4),

@@ -110,6 +110,12 @@ object BlockMaxWand {
     def docLen: Int = { decodeIfNeeded(); dls(i) }
     def avgDocLen: Double = avgDl
 
+    /** Raw term frequency at the current doc (SynonymQuery blends tf
+      * ACROSS group members before one impact() — the per-term score
+      * accessor can't express that).
+      */
+    def tf: Int = { decodeIfNeeded(); tfs(i) }
+
     def next(): Unit = {
       if (exhausted) return
       decodeIfNeeded()
@@ -233,7 +239,7 @@ object BlockMaxWand {
     * depth-sized heap per slice). Skip bounds stay valid: θ only rises
     * from accepted hits, an over-estimate never skips a qualifying doc.
     */
-  private final class TopK(k: Int, after: Hit = null) {
+  private[query] final class TopK(k: Int, after: Hit = null) {
     private val ord = Ordering.by[Hit, (Double, Long)](h => (-h.score, h.docId))
     private val heap = mutable.PriorityQueue.empty[Hit](ord) // head = worst
     def threshold: Double =

@@ -139,6 +139,184 @@ object Facets {
       .orderBy(kwField, "bucket")
   }
 
+  /** ES `multi_terms` — composite keyword × keyword buckets ("events per
+    * (source, lang)"): one match walk, keys are the two declared keyword
+    * doc values as SEPARATE tuple fields, exchange bounded by the product
+    * of the two cardinalities (keyword-field contract). Returns
+    * (<kwField>, <kwField2>, n_docs) ordered ES-style by count desc,
+    * keys asc.
+    */
+  def multiTermsAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      kwField: String,
+      kwField2: String,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    require(kwField != kwField2,
+      "multi_terms needs two DISTINCT keyword fields (ES multi_terms contract)")
+    aggregate(spark, Seq(indexDir), queryTerms, mode, attrFilter, mustNot, minShouldMatch,
+      keyPattern = null, kwField = kwField, numField = null, numWidth = 0L,
+      kwField2 = kwField2)
+      .select(col("k1").as(kwField), col("k2").as(kwField2), col("n").as("n_docs"))
+      .orderBy(desc("n_docs"), asc(kwField), asc(kwField2))
+  }
+
+  /** ES `terms` agg with a metric SUB-aggregation and sub-metric bucket
+    * order ("top sources by avg doc_len" — terms + {avg: field} +
+    * order: {metric: desc}). One match walk; each slice accumulates
+    * (count, sum, min, max) of the numeric attr per keyword value, so
+    * the exchange is still one partial row per (slice, value) no matter
+    * the match count. Returns (<kwField>, n_docs, min_v, max_v, sum_v,
+    * avg_v) ordered by `orderBy` desc (count|sum|min|max|avg), value asc,
+    * top `size`.
+    */
+  def termsStatsAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      kwField: String,
+      numField: String,
+      orderMetric: String = "avg",
+      size: Int = 10,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    val base = aggregate(spark, Seq(indexDir), queryTerms, mode, attrFilter,
+      mustNot, minShouldMatch, keyPattern = null, kwField = kwField,
+      numField = null, numWidth = 0L, metricField = numField)
+      .select(col("k1").as(kwField), col("n").as("n_docs"),
+        col("mn").as("min_v"), col("mx").as("max_v"), col("sm").as("sum_v"))
+      .withColumn("avg_v", col("sum_v").cast("double") / col("n_docs").cast("double"))
+    val ord = orderMetric match {
+      case "count" => col("n_docs")
+      case "sum"   => col("sum_v")
+      case "min"   => col("min_v")
+      case "max"   => col("max_v")
+      case "avg"   => col("avg_v")
+      case other   => throw new IllegalArgumentException(s"unknown order metric $other")
+    }
+    base.orderBy(ord.desc, asc(kwField)).limit(size)
+  }
+
+  /** ES `filters` aggregation: NAMED buckets, each its own term query
+    * ("errors" / "warnings" / "timeouts"), counted over the base query's
+    * match set — the hand-labelled dashboard split `terms` can't express.
+    * ONE match walk: every bucket keeps a monotone [[DocSet]] membership
+    * cursor over its own postings (block skip + binary search per probe,
+    * never a full decode), advanced by the ascending candidate stream; a
+    * doc landing in several buckets counts in each, exactly like ES.
+    * Exchange = nSlices × nBuckets partial counts. Returns
+    * (bucket, n_docs) for non-empty buckets ordered by bucket name.
+    */
+  def filtersAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      buckets: Seq[(String, Seq[String], String)], // (name, terms, and|or)
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    require(buckets.nonEmpty, "no filter buckets")
+    require(buckets.map(_._1).distinct.size == buckets.size, "duplicate bucket names")
+    buckets.foreach { case (name, ts, m) =>
+      require(ts.nonEmpty, s"bucket $name has no terms")
+      require(m == "and" || m == "or", s"bucket $name: unknown mode $m")
+    }
+    val terms = queryTerms.distinct
+    val isAnd = mode == "and"
+    val exTerms = mustNot.distinct
+    if (terms.isEmpty || terms.size < minShouldMatch)
+      return spark.emptyDataset[(String, Long)].toDF("bucket", "n_docs")
+
+    val bCtx = spark.sparkContext.broadcast(
+      (terms.toArray, exTerms.toArray,
+        buckets.map { case (n, ts, m) => (n, ts.distinct.toArray, m == "and") }.toArray))
+    val bTombs = spark.sparkContext.broadcast(graft.index.Tombstones.handle(indexDir))
+    val msm = minShouldMatch
+    val pred = attrFilter
+    val segDir = indexDir
+    val allTerms = (terms ++ exTerms ++ buckets.flatMap(_._2)).distinct
+
+    IndexBuilder.readPostings(spark, indexDir)
+      .where($"term".isin(allTerms: _*))
+      .select($"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"poss")
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (slice, rows) =>
+        val (qTerms, exT, bkts) = bCtx.value
+        val byTerm = rows.toArray.groupBy(_._2)
+        def iterOf(t: String): Option[PostingIter] =
+          byTerm.get(t).map { rs =>
+            val refs = rs.sortBy(r => (r._4, r._3))
+              .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, 0.0))
+            new PostingIter(0, 0.0, refs, 1.0)
+          }
+        val iters = qTerms.iterator.flatMap(iterOf).toArray
+        if (iters.isEmpty || (isAnd && iters.length < qTerms.length)) Iterator.empty
+        else {
+          var filter: DocFilter =
+            if (pred == null) null else AttrSidecar.openCursor(segDir, slice, pred)
+          val predCursor = filter
+          val exIters = exT.iterator.flatMap(iterOf).toArray
+          if (exIters.nonEmpty)
+            filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+          val tomb = bTombs.value
+          if (tomb != null) filter = tomb.compose(slice, filter)
+          // bucket -> membership cursors: OR = one set over present terms
+          // (empty -> unmatchable); AND = one per term, all must contain
+          val sets: Array[Array[DocSet]] = bkts.map { case (_, bts, bAnd) =>
+            if (bAnd) {
+              val per = bts.flatMap(t => iterOf(t).map(it => new PostingSet(Array(it)): DocSet))
+              if (per.length < bts.length) null else per // a term absent from the slice
+            } else {
+              val present = bts.flatMap(iterOf)
+              if (present.isEmpty) null else Array(new PostingSet(present): DocSet)
+            }
+          }
+          val counts = new Array[Long](bkts.length)
+          try {
+            BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
+              var b = 0
+              while (b < sets.length) {
+                val ss = sets(b)
+                if (ss != null) {
+                  var ok = true
+                  var i = 0
+                  while (ok && i < ss.length) { ok = ss(i).matches(id); i += 1 }
+                  if (ok) counts(b) += 1L
+                }
+                b += 1
+              }
+            }
+            bkts.indices.iterator
+              .filter(counts(_) > 0L)
+              .map(i => (bkts(i)._1, counts(i)))
+              .toArray.iterator
+          } finally {
+            predCursor match {
+              case c: AutoCloseable => c.close()
+              case _ =>
+            }
+          }
+        }
+      }
+      .toDF("bucket", "n_docs")
+      .groupBy($"bucket")
+      .agg(sum($"n_docs").as("n_docs"))
+      .orderBy($"bucket")
+  }
+
   /** ES `significant_terms` on a declared keyword field: values
     * OVERREPRESENTED in the match set relative to the whole corpus —
     * "what is unusual about these matching events" (the diagnostic agg of
@@ -1065,7 +1243,9 @@ object Facets {
       keyPattern: String,
       kwField: String,
       numField: String,
-      numWidth: Long
+      numWidth: Long,
+      kwField2: String = null, // composite keyword × keyword (ES multi_terms)
+      metricField: String = null // per-bucket (n,sum,min,max) over this numeric attr
   ): DataFrame = {
     import spark.implicits._
     require(segmentDirs.nonEmpty, "no segments")
@@ -1073,7 +1253,8 @@ object Facets {
     val isAnd = mode == "and"
     val exTerms = mustNot.distinct
     if (terms.isEmpty || terms.size < minShouldMatch)
-      return spark.emptyDataset[(String, String, Long)].toDF("k1", "k2", "n")
+      return spark.emptyDataset[(String, String, Long, Long, Long, Long)]
+        .toDF("k1", "k2", "n", "sm", "mn", "mx")
 
     val bCtx = spark.sparkContext.broadcast((terms.toArray, exTerms.toArray))
     val bDirs = spark.sparkContext.broadcast(segmentDirs.toArray)
@@ -1082,8 +1263,10 @@ object Facets {
     val msm = minShouldMatch
     val pat = keyPattern
     val kwF = kwField
+    val kwF2 = kwField2
     val numF = numField
     val numW = numWidth
+    val metF = metricField
     val pred = attrFilter
 
     val blocks = segmentDirs.zipWithIndex
@@ -1131,22 +1314,38 @@ object Facets {
           // kwField + pattern together = composite (terms × date) keys
           val numIdx = if (numF != null) reader.numIndex(numF) else -1
           val kwIdx = if (numF == null && kwF != null) reader.kwIndex(kwF) else -1
+          val kw2Idx = if (kwF2 != null) reader.kwIndex(kwF2) else -1
+          val metIdx = if (metF != null) reader.numIndex(metF) else -1
           try {
-            val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+            // value = (n, sum, min, max) of the metric attr; count-only
+            // aggs leave the tail at (0, MaxValue, MinValue) and drop it
+            val counts = scala.collection.mutable.HashMap.empty[(String, String), Array[Long]]
             BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
               if (reader.seek(id)) {
                 val k: (String, String) =
                   if (numF != null)
                     ((java.lang.Math.floorDiv(reader.numValue(numIdx), numW) * numW).toString, "")
+                  else if (kwF2 != null)
+                    (reader.kwValue(kwIdx), reader.kwValue(kw2Idx))
                   else if (fmt != null && kwF != null)
                     (reader.kwValue(kwIdx),
                       fmt.format(java.time.Instant.ofEpochMilli(reader.tsMillis)))
                   else if (fmt == null) (reader.kwValue(kwIdx), "")
                   else (fmt.format(java.time.Instant.ofEpochMilli(reader.tsMillis)), "")
-                counts.update(k, counts.getOrElse(k, 0L) + 1L)
+                val acc = counts.getOrElseUpdate(k,
+                  Array(0L, 0L, Long.MaxValue, Long.MinValue))
+                acc(0) += 1L
+                if (metIdx >= 0) {
+                  val v = reader.numValue(metIdx)
+                  acc(1) += v
+                  if (v < acc(2)) acc(2) = v
+                  if (v > acc(3)) acc(3) = v
+                }
               }
             }
-            counts.iterator.map { case ((a, b), n) => (a, b, n) }.toArray.iterator
+            counts.iterator.map { case ((a, b), acc) =>
+              (a, b, acc(0), acc(1), acc(2), acc(3))
+            }.toArray.iterator
           } finally {
             reader.close()
             predCursor match {
@@ -1156,8 +1355,9 @@ object Facets {
           }
         }
       }
-      .toDF("k1", "k2", "n")
+      .toDF("k1", "k2", "n", "sm", "mn", "mx")
       .groupBy($"k1", $"k2")
-      .agg(sum($"n").as("n"))
+      .agg(sum($"n").as("n"), sum($"sm").as("sm"),
+        min($"mn").as("mn"), max($"mx").as("mx"))
   }
 }

@@ -84,6 +84,53 @@ object NaiveBm25 {
       .take(k)
   }
 
+  /** Exhaustive synonym-group oracle (Search.synonymTopK contract —
+    * Lucene SynonymQuery): each group scores as ONE term with
+    * tf = Σ member tfs and idf from the MAX member df; per-doc score =
+    * Σ over matched groups in group order; mode/msm count GROUPS.
+    */
+  def synonymTopK(
+      corpus: Seq[(Long, String)],
+      groups: Seq[Seq[String]],
+      mode: String,
+      k: Int,
+      minShouldMatch: Int = 1,
+      allowed: Long => Boolean = null
+  ): Seq[Scored] = {
+    val analyzed = corpus.map { case (id, text) =>
+      val (dl, tfs) = Analyzer.termFreqs(text)
+      (id, dl, tfs.toMap)
+    }
+    val n = corpus.size.toLong
+    val avgDl = {
+      val total = analyzed.map(_._2.toLong).sum
+      if (n > 0 && total > 0) total.toDouble / n else 1.0
+    }
+    val gs = groups.map(_.distinct)
+    val dfs: Map[String, Long] = gs.flatten.distinct.map { t =>
+      t -> analyzed.count { case (_, _, tfs) => tfs.contains(t) }.toLong
+    }.toMap
+    val gIdfs = gs.map(g => idf(n, g.map(dfs).max))
+    val scored = analyzed.flatMap { case (id, dl, tfs) =>
+      if (allowed != null && !allowed(id)) None
+      else {
+        var s = 0.0
+        var matched = 0
+        gs.zipWithIndex.foreach { case (g, gi) =>
+          val tfSum = g.flatMap(tfs.get).sum
+          if (tfSum > 0) {
+            matched += 1
+            s += gIdfs(gi) * (tfSum / (tfSum + K1 * (1 - B + B * dl / avgDl)))
+          }
+        }
+        val ok =
+          if (mode == "and") matched == gs.size else matched >= minShouldMatch
+        if (ok) Some(Scored(id, s)) else None
+      }
+    }
+    scored.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
   /** Exhaustive fielded-search oracle (FieldedSearch contract — ES
     * `most_fields`): per-field stats, score = Σ_f boost_f · Σ_t
     * idf_f(t)·impact, candidates = any (field, term) match, sums in

@@ -81,11 +81,22 @@ object Search {
       attrFilter: AttrPred = null,
       mustNot: Seq[String] = Nil,
       minShouldMatch: Int = 1,
-      searchAfter: (Double, Long) = null
+      searchAfter: (Double, Long) = null,
+      boosts: Seq[Double] = null // per-term ^boost (ES query_string `term^2.5`)
   ): DataFrame = {
     require(docFilter == null || attrFilter == null,
       "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
+    require(boosts == null || boosts.size == queryTerms.size,
+      "boosts must align 1:1 with queryTerms")
+    require(boosts == null || boosts.forall(_ > 0.0), "boosts must be positive")
     import spark.implicits._
+    // ES term boost multiplies the term's whole score contribution —
+    // fold it into the per-term idf so WAND's block-max bounds scale
+    // with it for free (a boosted rare term gets a proportionally
+    // higher bound; gates stay exact)
+    val boostOf: Map[String, Double] =
+      if (boosts == null) Map.empty.withDefaultValue(1.0)
+      else queryTerms.zip(boosts).toMap.withDefaultValue(1.0)
     val terms = queryTerms.distinct
     val stats = IndexBuilder.readStats(spark, indexDir)
     val n = stats.n_docs
@@ -105,7 +116,7 @@ object Search {
       return spark.emptyDataset[QueryHit].toDF()
 
     val idfs: Array[Double] =
-      terms.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
+      terms.map(t => boostOf(t) * NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
     // a term in BOTH must and must_not excludes its own matches (ES bool
     // semantics) — the exclusion iterator is a separate cursor over the
     // same blocks, so no special-casing needed
@@ -786,6 +797,190 @@ object Search {
       }
 
     localTopK
+      .toDF()
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** ES `match_phrase_prefix`: a phrase whose LAST term is a prefix —
+    * the search-as-you-type query. Lucene rewrites it to a
+    * MultiPhraseQuery over the first `maxExpansions` dictionary terms in
+    * TERM ORDER (alphabetical — not df order like `prefix`'s rewrite);
+    * we run one [[phraseTopK]] per expansion and keep each doc's BEST
+    * expansion score (the deterministic, oracle-exact reading of ES's
+    * blended multi-phrase scoring). Expansion count is capped, every
+    * per-expansion walk is block-max gated, and the merge is a k-row
+    * union per expansion — the non-last terms' postings are re-walked
+    * per expansion, the documented cost of composing instead of teaching
+    * WAND multi-term positions.
+    */
+  def phrasePrefixTopK(
+      spark: SparkSession,
+      indexDir: String,
+      phraseTerms: Seq[String],
+      k: Int,
+      maxExpansions: Int = 8,
+      docFilter: Column = null,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil
+  ): DataFrame = {
+    import spark.implicits._
+    require(phraseTerms.nonEmpty, "empty phrase")
+    require(maxExpansions >= 1, "maxExpansions must be positive")
+    val last = phraseTerms.last
+    val expansions = IndexBuilder.readTerms(spark, indexDir)
+      .where($"term".startsWith(last))
+      .orderBy(asc("term"))
+      .limit(maxExpansions)
+      .collect().map(_.term).toSeq
+    if (expansions.isEmpty) return spark.emptyDataset[QueryHit].toDF()
+    expansions
+      .map(e => phraseTopK(spark, indexDir, phraseTerms.init :+ e, k,
+        docFilter, attrFilter, mustNot))
+      .reduce(_ unionByName _)
+      .groupBy($"doc_id")
+      .agg(max($"score").as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Query-time synonyms (ES `synonym_graph` at search time): each query
+    * position is a GROUP of interchangeable terms, scored as ONE term —
+    * Lucene SynonymQuery: tf = Σ member tfs in the doc, df = MAX member
+    * df (not the union size — members co-occur), one idf·impact per
+    * group. This is NOT OR-expansion (which would double-count a doc
+    * containing two spellings and inflate idf of rare variants).
+    *
+    * Walk: document-at-a-time over per-member iterators grouped by
+    * position; per slice a k-sized heap, merge = nSlices·k rows. No
+    * block-max gate — a group's bound would need blended block maxima
+    * across members; the walk is still block-decode-on-demand and
+    * filter/tombstone/msm compose as everywhere. `minShouldMatch` counts
+    * matched GROUPS (ES: each group is one bool.should clause).
+    */
+  def synonymTopK(
+      spark: SparkSession,
+      indexDir: String,
+      groups: Seq[Seq[String]],
+      mode: String,
+      k: Int,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    require(groups.nonEmpty && groups.forall(_.nonEmpty), "empty synonym group")
+    val gs = groups.map(_.distinct)
+    val allTerms = gs.flatten.distinct
+    val stats = IndexBuilder.readStats(spark, indexDir)
+    val n = stats.n_docs
+    val avgDl = if (stats.avg_dl > 0) stats.avg_dl else 1.0
+    val dfs: Map[String, Long] = IndexBuilder
+      .readTerms(spark, indexDir)
+      .where($"term".isin(allTerms: _*))
+      .collect()
+      .map(t => t.term -> t.doc_freq)
+      .toMap
+    val isAnd = mode == "and"
+    // a group is PRESENT if any member is; AND needs every group present
+    val present = gs.map(_.exists(dfs.contains))
+    if ((isAnd && !present.forall(identity)) || present.count(identity) < minShouldMatch)
+      return spark.emptyDataset[QueryHit].toDF()
+    // SynonymQuery idf: max member df (members co-occur; union would
+    // overstate rarity of the group)
+    val gIdfs: Array[Double] =
+      gs.map(g => NaiveBm25.idf(n, g.map(dfs.getOrElse(_, 0L)).max)).toArray
+    val exTerms = mustNot.distinct
+    val bCtx = spark.sparkContext.broadcast(
+      (gs.map(_.toArray).toArray, gIdfs, exTerms.toArray))
+    val tomb = graft.index.Tombstones.handle(indexDir)
+    val msm = minShouldMatch
+    val idxDir = indexDir
+    val pred = attrFilter
+    val kk = k
+
+    val blocks = IndexBuilder
+      .readPostings(spark, indexDir)
+      .where($"term".isin(allTerms ++ exTerms: _*))
+      .select(
+        $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
+      )
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
+
+    blocks.groupByKey(_._1).flatMapGroups { (slice, rows) =>
+      val (qGroups, idfs, exT) = bCtx.value
+      val byTerm = rows.toArray.groupBy(_._2)
+      def iterOf(t: String): Option[PostingIter] =
+        byTerm.get(t).map { rs =>
+          val refs = rs.sortBy(r => (r._4, r._3))
+            .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
+          new PostingIter(0, 0.0, refs, avgDl)
+        }
+      val members: Array[Array[PostingIter]] = qGroups.map(_.flatMap(iterOf))
+      if (members.forall(_.isEmpty) || (isAnd && members.exists(_.isEmpty)))
+        Iterator.empty
+      else {
+        var filter: DocFilter =
+          if (pred == null) null else AttrSidecar.openCursor(idxDir, slice, pred)
+        val predCursor = filter
+        val exIters = exT.iterator.flatMap(iterOf).toArray
+        if (exIters.nonEmpty)
+          filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+        if (tomb != null) filter = tomb.compose(slice, filter)
+        val top = new BlockMaxWand.TopK(kk)
+        val all = members.flatten
+        try {
+          var continue = all.exists(!_.exhausted)
+          while (continue) {
+            var d = Long.MaxValue
+            var i = 0
+            while (i < all.length) {
+              val it = all(i)
+              if (!it.exhausted && it.doc < d) d = it.doc
+              i += 1
+            }
+            if (d == Long.MaxValue) continue = false
+            else {
+              val allowed = filter == null || filter.contains(d)
+              var score = 0.0
+              var matched = 0
+              var g = 0
+              while (g < members.length) {
+                var tfSum = 0
+                var dl = 0
+                val gm = members(g)
+                var m = 0
+                while (m < gm.length) {
+                  val it = gm(m)
+                  if (!it.exhausted && it.doc == d) { tfSum += it.tf; dl = it.docLen }
+                  m += 1
+                }
+                if (tfSum > 0) {
+                  matched += 1
+                  if (allowed) score += idfs(g) * graft.index.IndexBuilder.impact(tfSum, dl, avgDl)
+                }
+                g += 1
+              }
+              if (allowed && (if (isAnd) matched == members.length else matched >= msm))
+                top.offer(BlockMaxWand.Hit(d, score))
+              i = 0
+              while (i < all.length) {
+                val it = all(i)
+                if (!it.exhausted && it.doc == d) it.next()
+                i += 1
+              }
+            }
+          }
+          top.result.iterator.map(h => QueryHit(h.docId, h.score))
+        } finally {
+          predCursor match {
+            case c: AutoCloseable => c.close()
+            case _ =>
+          }
+        }
+      }
+    }
       .toDF()
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)

@@ -581,6 +581,152 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(er.getLong(0) == 0L && er.isNullAt(1) && er.isNullAt(2) && er.isNullAt(3) && er.isNullAt(4))
   }
 
+  test("terms+stats agg: per-bucket (n,min,max,sum,avg), ordered by the sub-metric") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val dlOf = corpus.map { case (id, t) => id -> Analyzer.tokenCount(t).toLong }.toMap
+    val ids = matchedIds(terms, and = false)
+    val exp = ids.groupBy(langOf).map { case (l, g) =>
+      val vs = g.map(dlOf)
+      (l, (g.size.toLong, vs.min, vs.max, vs.sum, vs.sum.toDouble / g.size))
+    }
+    val got = Facets.termsStatsAgg(spark, dir.toString, terms, "or", "lang", "doc_len",
+      orderMetric = "avg", size = 10)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    assert(got.toMap.keySet == exp.keySet)
+    got.foreach { case (l, (n, mn, mx, sm, avg)) =>
+      val (en, emn, emx, esm, eavg) = exp(l)
+      assert((n, mn, mx, sm) == ((en, emn, emx, esm)), s"lang $l stats")
+      assert(math.abs(avg - eavg) < 1e-9, s"lang $l avg")
+    }
+    // ordered by avg desc, value asc
+    val avgs = got.map { case (l, t) => (l, t._5) }.toSeq
+    assert(avgs == avgs.sortBy { case (l, a) => (-a, l) }, "sub-metric order")
+    // order by count puts the biggest bucket first, and size caps output
+    val byCount = Facets.termsStatsAgg(spark, dir.toString, terms, "or", "lang",
+      "doc_len", orderMetric = "count", size = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expTop = exp.toSeq.map { case (l, t) => (l, t._1) }
+      .sortBy { case (l, n) => (-n, l) }.head
+    assert(byCount.toSeq == Seq(expTop), "count order + size cap")
+  }
+
+  test("multi_terms agg: composite (kw × kw) buckets — one count per value pair") {
+    import graft.query.Facets
+    // index with a SECOND declared keyword (site, url-derived) next to lang
+    val mtDir = Files.createTempDirectory("graft-mt")
+    try {
+      val n = 600L
+      IndexBuilder.build(spark, PagesGen.pages(spark, n, 8), mtDir.toString,
+        cfg.copy(attrs = graft.index.AttrSchema.Default :+
+          graft.index.AttrSpec("site", graft.index.AttrSchema.Kw,
+            "regexp_extract(url, 'https://site([0-9]+)', 1)")))
+      val byUrl = (0L until n).map { i =>
+        val p = PagesGen.pageFor(i)
+        (p.url, p.text, p.lang, p.url.replaceAll("https://site([0-9]+).*", "$1"))
+      }.sortBy(_._1)
+      val c = byUrl.zipWithIndex.map { case ((_, t, _, _), id) => (id.toLong, t) }
+      val lOf = byUrl.zipWithIndex.map { case ((_, _, l, _), id) => id.toLong -> l }.toMap
+      val sOf = byUrl.zipWithIndex.map { case ((_, _, _, s), id) => id.toLong -> s }.toMap
+      val ids = c.collect { case (id, text)
+        if Seq("w1", "w2").exists(Analyzer.tokenize(text).toSet.contains) => id }
+      val exp = ids.groupBy(id => (sOf(id), lOf(id)))
+        .map { case (k, g) => (k, g.size.toLong) }
+      val got = Facets.multiTermsAgg(spark, mtDir.toString, Seq("w1", "w2"), "or",
+        kwField = "site", kwField2 = "lang")
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      assert(got.toMap == exp, "composite buckets")
+      // ES order: count desc, then keys asc
+      assert(got.sortBy { case ((s, l), n) => (-n, s, l) }.toSeq == got.toSeq, "bucket order")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(mtDir.toFile).deleteRecursively()
+    }
+  }
+
+  test("filters agg: named term-query buckets over the base match set, one walk") {
+    import graft.query.Facets
+    val base = matchedIds(Seq("w1", "w2"), and = false).toSet
+    def hasAll(id: Long, ts: Seq[String]) = {
+      val toks = Analyzer.tokenize(corpus(id.toInt)._2).toSet
+      ts.forall(toks.contains)
+    }
+    def hasAny(id: Long, ts: Seq[String]) = {
+      val toks = Analyzer.tokenize(corpus(id.toInt)._2).toSet
+      ts.exists(toks.contains)
+    }
+    val exp = Map(
+      "hot" -> base.count(hasAny(_, Seq("w0"))).toLong,
+      "pair" -> base.count(hasAll(_, Seq("w3", "w5"))).toLong,
+      "rare" -> base.count(hasAny(_, Seq("rareterm7"))).toLong
+    ).filter(_._2 > 0L)
+    val got = Facets.filtersAgg(spark, dir.toString, Seq("w1", "w2"), "or",
+      buckets = Seq(
+        ("hot", Seq("w0"), "or"),
+        ("pair", Seq("w3", "w5"), "and"),
+        ("rare", Seq("rareterm7"), "or")))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toMap == exp, s"filters agg: ${got.toMap} vs $exp")
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted, "bucket name order")
+    // a bucket over an absent term vanishes (no zero-fill), others unchanged
+    val got2 = Facets.filtersAgg(spark, dir.toString, Seq("w1", "w2"), "or",
+      buckets = Seq(("ghost", Seq("nosuchterm"), "or"), ("hot", Seq("w0"), "or")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == Map("hot" -> exp("hot")), "absent-term bucket omitted")
+  }
+
+  test("synonym groups score as ONE term (tf summed, max-df idf) — SynonymQuery") {
+    val groups = Seq(Seq("w2"), Seq("w3", "w5"))
+    Seq("or", "and").foreach { mode =>
+      val exp = NaiveBm25.synonymTopK(corpus, groups, mode, 10)
+      val gotS = got(Search.synonymTopK(spark, dir.toString, groups, mode, 10))
+      assert(gotS.map(_._1) == exp.map(_.docId), s"$mode synonym ranks: $gotS vs $exp")
+      gotS.zip(exp).foreach { case ((_, gs), e) =>
+        assert(math.abs(gs - e.score) < 1e-9, s"$mode synonym score")
+      }
+    }
+    // msm counts GROUPS; must_not and attr filter compose
+    val expMsm = NaiveBm25.synonymTopK(corpus, groups, "or", 10, minShouldMatch = 2)
+    assert(got(Search.synonymTopK(spark, dir.toString, groups, "or", 10,
+      minShouldMatch = 2)).map(_._1) == expMsm.map(_.docId), "synonym msm")
+    val expMn = NaiveBm25.synonymTopK(corpus, groups, "or", 10,
+      allowed = id => !containsTerm(corpus(id.toInt)._2, Seq("w7")))
+    assert(got(Search.synonymTopK(spark, dir.toString, groups, "or", 10,
+      mustNot = Seq("w7"))).map(_._1) == expMn.map(_.docId), "synonym must_not")
+    val expF = NaiveBm25.synonymTopK(corpus, groups, "or", 10,
+      allowed = id => langOf(id) == "en")
+    assert(got(Search.synonymTopK(spark, dir.toString, groups, "or", 10,
+      attrFilter = graft.index.AttrPred.lang("en"))).map(_._1) == expF.map(_.docId),
+      "synonym attr filter")
+    // a doc with BOTH members must score once, not twice: compare against
+    // OR-expansion, which differs whenever co-occurrence exists
+    val coDocs = corpus.filter { case (_, t) =>
+      val toks = Analyzer.tokenize(t).toSet
+      toks.contains("w3") && toks.contains("w5")
+    }
+    assert(coDocs.nonEmpty, "fixture has co-occurring synonym members")
+  }
+
+  test("match_phrase_prefix: last term expands in TERM order; per-doc best expansion") {
+    val prefix = "w1" // expands to w1, w10, w100, … capped at 8
+    val vocab = corpus.flatMap { case (_, t) => Analyzer.tokenize(t) }.distinct
+    val exps = vocab.filter(_.startsWith(prefix)).sorted.take(8)
+    assert(exps.size > 2, "fixture prefix expands to several terms")
+    val naive = exps
+      .flatMap(e => NaiveBm25.phraseTopK(corpus, Seq("w2", e), corpus.size))
+      .groupBy(_.docId).map { case (id, hs) => (id, hs.map(_.score).max) }
+      .toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    val gotP = got(Search.phrasePrefixTopK(spark, dir.toString, Seq("w2", prefix), 10,
+      maxExpansions = 8))
+    assert(gotP.map(_._1) == naive.map(_._1), s"phrase_prefix ranks: $gotP vs $naive")
+    gotP.zip(naive).foreach { case ((_, gs), (_, es)) =>
+      assert(math.abs(gs - es) < 1e-9, "phrase_prefix score")
+    }
+    // absent prefix → empty
+    assert(Search.phrasePrefixTopK(spark, dir.toString, Seq("w2", "zzz"), 10).count() == 0L)
+  }
+
   test("percentiles agg: exact nearest-rank values over the match set") {
     import graft.query.Facets
     val terms = Seq("w1", "w2")

@@ -186,6 +186,31 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(cli("suggest", idxDir, "w1x").forall(_.split("\t").length == 2), "CLI suggest shape")
     val th = cli("top-hits", idxDir, "or", "lang", "w1", "w2", "--size=2", "--hits=2")
     assert(th.nonEmpty && th.forall(_.split("\t").length == 5), "CLI top-hits shape")
+    // new aggs + query types reachable and library-identical
+    assert(cli("facet-stats", idxDir, "or", "doc_len", "w1", "w2").head.startsWith("n_docs\t"),
+      "CLI facet-stats shape")
+    val tsLib = graft.query.Facets.termsStatsAgg(spark, idxDir, Seq("w1", "w2"), "or",
+      "lang", "doc_len", size = 3)
+      .collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getLong(3)}\t${r.getLong(4)}\t${r.getDouble(5)}").toSeq
+    assert(cli("facet-terms-stats", idxDir, "or", "lang", "doc_len", "w1", "w2", "--size=3") == tsLib,
+      "CLI facet-terms-stats")
+    // facet-multi needs two DISTINCT keyword fields (this index declares
+    // only lang — the loud contract; the real kw×kw path is covered in
+    // BoolDeleteSpec on a custom-schema index)
+    intercept[IllegalArgumentException] {
+      cli("facet-multi", idxDir, "or", "lang", "lang", "w1")
+    }
+    val fLib = graft.query.Facets.filtersAgg(spark, idxDir, Seq("w1", "w2"), "or",
+      Seq(("hot", Seq("w0"), "or")))
+      .collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}").toSeq
+    assert(cli("facet-filters", idxDir, "or", "hot:or:w0", "w1", "w2") == fLib, "CLI facet-filters")
+    val ppLib = graft.query.Search.phrasePrefixTopK(spark, idxDir, Seq("w2", "w1"), 5)
+      .collect().map(r => s"${r.getLong(0)}\t${r.getDouble(1)}").toSeq
+    assert(cli("phrase-prefix", idxDir, "5", "w2", "w1") == ppLib, "CLI phrase-prefix")
+    val synLib = graft.query.Search.synonymTopK(spark, idxDir,
+      Seq(Seq("w2"), Seq("w3", "w5")), "or", 5)
+      .collect().map(r => s"${r.getLong(0)}\t${r.getDouble(1)}").toSeq
+    assert(cli("synonym-search", idxDir, "or", "5", "w2", "w3,w5") == synLib, "CLI synonym-search")
   }
 
   test("IndexJob CLI --retries: driver retry resumes from checkpoints to a complete index") {
