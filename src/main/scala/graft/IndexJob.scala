@@ -43,6 +43,8 @@ import graft.query.Search
   *   facet-filters <indexDir> <and|or> name:or:t1,t2 [...] term [...]  # ES filters agg (named buckets)
   *   phrase-prefix <indexDir> <k> term [term ...]                      # match_phrase_prefix (last term = prefix)
   *   synonym-search <indexDir> <and|or> <k> t1,t2 [t3 ...]             # query-time synonyms (each arg = one group)
+  *   dismax-search <indexDir> <k> term [term ...] [--tie=30]           # ES dis_max (tie_breaker = tie/100)
+  *   export <indexDir> <and|or> term [...] [--out=path] [--must-not=..]# full match set to parquet (ES scroll role)
   *   index-stats <indexDir>                                  # ES _stats analog: corpus/layout/deletes/lineage
   * }}}
   *
@@ -288,6 +290,21 @@ object IndexJob {
         }
         graft.query.Facets.filtersAgg(spark, indexDir, terms, mode, buckets)
           .collect().foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}"))
+      case Some("dismax-search") =>
+        // ES dis_max over term queries (--tie=0..100 → tie_breaker/100)
+        val Seq(indexDir, k) = positional.take(2)
+        printHits(Search.disMaxTopK(spark, indexDir, positional.drop(2), k.toInt,
+          tieBreaker = flag(args, "tie", 0) / 100.0))
+      case Some("export") =>
+        // ES scroll role: FULL match set to a parquet sink (--out=path),
+        // or a count summary when no sink is given
+        val Seq(indexDir, mode) = positional.take(2)
+        val df = Search.exportMatches(spark, indexDir, positional.drop(2), mode,
+          mustNot = strFlag(args, "must-not").map(_.split(",").toSeq).getOrElse(Nil))
+        strFlag(args, "out") match {
+          case Some(out) => df.write.mode("overwrite").parquet(out); println(s"exported\t$out")
+          case None => println(s"matches\t${df.count()}")
+        }
       case Some("phrase-prefix") =>
         // ES match_phrase_prefix (search-as-you-type); last term = prefix
         val Seq(indexDir, k) = positional.take(2)

@@ -543,6 +543,59 @@ object SparkEntry {
         groups = Seq(Seq("spark"), Seq("merge", "join")), "or", 10)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
+    // ES query_string term boosts (spark^2 merge window^0.5): boost folds
+    // into the per-term idf, so WAND's block-max bounds scale exactly
+    "q_bm25_boost" -> { (s, dir) =>
+      import s.implicits._
+      Search.topK(s, indexFor(s, dir), QueryOr, "or", 10,
+        boosts = Seq(2.0, 1.0, 0.5))
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // ES dis_max (tie_breaker 0.3): best term + 0.3 × the rest — "don't
+    // reward redundancy" ranking
+    "q_bm25_dismax" -> { (s, dir) =>
+      import s.implicits._
+      Search.disMaxTopK(s, indexFor(s, dir), QueryOr, 10, tieBreaker = 0.3)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // ES scroll / PIT export: the FULL match set as a distributed frame —
+    // no top-k, no driver materialization (the feed-the-training-pipeline
+    // read)
+    "q_bm25_scan" -> { (s, dir) =>
+      import s.implicits._
+      Search.exportMatches(s, indexFor(s, dir), QueryAnd, "and")
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // ES adjacency_matrix: filters-agg buckets plus pairwise
+    // intersections ("joins&vector_scan") in the same walk
+    "q_facet_adjacency" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.adjacencyMatrixAgg(s, indexFor(s, dir), QueryOr, "or",
+        buckets = Seq(
+          ("joins", Seq("join", "merge"), "or"),
+          ("vector_scan", Seq("vector", "scan"), "and")))
+        .select($"bucket", $"n_docs")
+    },
+    // deterministic md5 train/val/test split: pure per-row assignment —
+    // reproducible, growth-stable (no test→train migration between
+    // dataset versions), shuffle-free
+    "q_sample_split" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Sampling.split(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "s1")
+        .select($"doc_id", $"split")
+    },
+    // stratified deterministic sampling: 20% of English, all of the rest
+    // (the rebalance-the-corpus op of every multilingual training mix)
+    "q_sample_strat" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Sampling.stratifiedSample(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang",
+        rates = Map("en" -> 0.2), defaultRate = 1.0, salt = "s2")
+        .groupBy($"lang").agg(count("*").as("n_docs"))
+        .select($"lang", $"n_docs")
+    },
     // bool.should minimum_should_match: candidates must match ≥2 of the 3
     // query terms; scores unchanged (still summed over matched terms)
     "q_bm25_msm" -> { (s, dir) =>
@@ -1673,6 +1726,92 @@ ORDER BY score DESC, doc_id LIMIT 10""",
 )
 SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores
 ORDER BY score DESC, doc_id LIMIT 10""",
+    "q_bm25_boost" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), scores AS (
+  SELECT tf.doc_id,
+         sum((CASE tf.term WHEN 'spark' THEN 2.0 WHEN 'merge' THEN 1.0 ELSE 0.5 END)
+             * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl)))) AS score
+  FROM tf JOIN df USING (term) JOIN alldocs ad ON ad.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores
+ORDER BY score DESC, doc_id LIMIT 10""",
+    "q_bm25_dismax" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl))) AS c
+  FROM tf JOIN df USING (term) JOIN alldocs ad ON ad.doc_id = tf.doc_id CROSS JOIN stats s
+), scores AS (
+  SELECT doc_id, max(c) + 0.3 * (sum(c) - max(c)) AS score FROM contrib GROUP BY 1
+)
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM scores
+ORDER BY score DESC, doc_id LIMIT 10""",
+    "q_bm25_scan" -> bm25OracleSql(QueryAnd, and = true, limit = 1000000),
+    "q_facet_adjacency" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), m AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")})
+), joins AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE doc_id IN (SELECT doc_id FROM m) AND term IN ('join', 'merge')
+), vs AS (
+  SELECT doc_id FROM m
+  WHERE doc_id IN (SELECT doc_id FROM toks WHERE term = 'vector')
+    AND doc_id IN (SELECT doc_id FROM toks WHERE term = 'scan')
+)
+SELECT bucket, n_docs FROM (
+  SELECT 'joins' AS bucket, (SELECT count(*) FROM joins)::BIGINT AS n_docs
+  UNION ALL
+  SELECT 'vector_scan', (SELECT count(*) FROM vs)::BIGINT
+  UNION ALL
+  SELECT 'joins&vector_scan',
+         (SELECT count(*) FROM joins WHERE doc_id IN (SELECT doc_id FROM vs))::BIGINT
+) WHERE n_docs > 0 ORDER BY bucket""",
+    "q_sample_split" ->
+      """SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            WHEN b < 10000 THEN 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || 's1'), 1, 8))::BIGINT % 10000 AS b
+      FROM documents)""",
+    "q_sample_strat" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs
+FROM (SELECT lang,
+             ('0x' || substr(md5(doc_id::VARCHAR || 's2'), 1, 8))::BIGINT % 10000 AS b
+      FROM documents)
+WHERE b < (CASE WHEN lang = 'en' THEN 2000 ELSE 10000 END)
+GROUP BY 1""",
     "q_bm25_phrase" -> phraseOracleSql(QueryPhrase),
     "q_bm25_slop" -> phraseSlopOracleSql(QueryPhrase, 2),
     "q_bm25_slop3" -> phraseSlopOracleSql(Seq("spark", "merge", "window"), 4),

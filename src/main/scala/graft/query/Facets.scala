@@ -224,6 +224,40 @@ object Facets {
       attrFilter: AttrPred = null,
       mustNot: Seq[String] = Nil,
       minShouldMatch: Int = 1
+  ): DataFrame =
+    filtersWalk(spark, indexDir, queryTerms, mode, buckets, attrFilter,
+      mustNot, minShouldMatch, pairs = false)
+
+  /** ES `adjacency_matrix`: [[filtersAgg]]'s named buckets PLUS every
+    * pairwise intersection ("errors&web" — which filter combinations
+    * co-occur, the co-occurrence heat map). Same single walk: the
+    * per-doc bucket membership vector feeds singles and the upper
+    * triangle together; exchange nSlices × (B + B(B−1)/2) counts.
+    * Intersections are named `a&b` in bucket-list order (ES separator).
+    */
+  def adjacencyMatrixAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      buckets: Seq[(String, Seq[String], String)],
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame =
+    filtersWalk(spark, indexDir, queryTerms, mode, buckets, attrFilter,
+      mustNot, minShouldMatch, pairs = true)
+
+  private def filtersWalk(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      buckets: Seq[(String, Seq[String], String)],
+      attrFilter: AttrPred,
+      mustNot: Seq[String],
+      minShouldMatch: Int,
+      pairs: Boolean
   ): DataFrame = {
     import spark.implicits._
     require(buckets.nonEmpty, "no filter buckets")
@@ -245,6 +279,7 @@ object Facets {
     val msm = minShouldMatch
     val pred = attrFilter
     val segDir = indexDir
+    val emitPairs = pairs
     val allTerms = (terms ++ exTerms ++ buckets.flatMap(_._2)).distinct
 
     IndexBuilder.readPostings(spark, indexDir)
@@ -284,25 +319,47 @@ object Facets {
               if (present.isEmpty) null else Array(new PostingSet(present): DocSet)
             }
           }
-          val counts = new Array[Long](bkts.length)
+          val nB = bkts.length
+          val counts = new Array[Long](nB)
+          val pairCounts = if (emitPairs) new Array[Long](nB * nB) else null
+          val okArr = new Array[Boolean](nB)
           try {
             BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
               var b = 0
-              while (b < sets.length) {
+              while (b < nB) {
                 val ss = sets(b)
-                if (ss != null) {
-                  var ok = true
-                  var i = 0
-                  while (ok && i < ss.length) { ok = ss(i).matches(id); i += 1 }
-                  if (ok) counts(b) += 1L
-                }
+                var ok = ss != null
+                var i = 0
+                while (ok && i < ss.length) { ok = ss(i).matches(id); i += 1 }
+                okArr(b) = ok
+                if (ok) counts(b) += 1L
                 b += 1
               }
+              if (emitPairs) {
+                var a = 0
+                while (a < nB) {
+                  if (okArr(a)) {
+                    var c = a + 1
+                    while (c < nB) {
+                      if (okArr(c)) pairCounts(a * nB + c) += 1L
+                      c += 1
+                    }
+                  }
+                  a += 1
+                }
+              }
             }
-            bkts.indices.iterator
+            val singles = bkts.indices.iterator
               .filter(counts(_) > 0L)
               .map(i => (bkts(i)._1, counts(i)))
-              .toArray.iterator
+            val inter =
+              if (!emitPairs) Iterator.empty
+              else for {
+                a <- bkts.indices.iterator
+                c <- (a + 1 until nB).iterator
+                if pairCounts(a * nB + c) > 0L
+              } yield (s"${bkts(a)._1}&${bkts(c)._1}", pairCounts(a * nB + c))
+            (singles ++ inter).toArray.iterator
           } finally {
             predCursor match {
               case c: AutoCloseable => c.close()

@@ -844,6 +844,225 @@ object Search {
       .limit(k)
   }
 
+  /** ES `dis_max` over term queries: score = best sub-score +
+    * tieBreaker · (sum of the others) — "take the best field/term, don't
+    * reward redundancy" (tieBreaker 0 = pure max; 1 ≡ bool.should sum).
+    * Candidates = docs matching ANY term. Document-at-a-time walk with
+    * per-slice k-heaps (like [[synonymTopK]]: a max-combiner has no
+    * per-term additive bound, so no block-max gate; decode stays
+    * on-demand); filter context / must_not / tombstones compose.
+    */
+  def disMaxTopK(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      k: Int,
+      tieBreaker: Double = 0.0,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil
+  ): DataFrame = {
+    import spark.implicits._
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0, "tie_breaker in [0,1]")
+    val terms = queryTerms.distinct
+    val stats = IndexBuilder.readStats(spark, indexDir)
+    val n = stats.n_docs
+    val avgDl = if (stats.avg_dl > 0) stats.avg_dl else 1.0
+    val dfs: Map[String, Long] = IndexBuilder
+      .readTerms(spark, indexDir)
+      .where($"term".isin(terms: _*))
+      .collect()
+      .map(t => t.term -> t.doc_freq)
+      .toMap
+    val present = terms.filter(dfs.contains)
+    if (present.isEmpty) return spark.emptyDataset[QueryHit].toDF()
+    val idfs: Array[Double] = terms.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
+    val exTerms = mustNot.distinct
+    val bCtx = spark.sparkContext.broadcast((terms.toArray, idfs, exTerms.toArray))
+    val tomb = graft.index.Tombstones.handle(indexDir)
+    val idxDir = indexDir
+    val pred = attrFilter
+    val tb = tieBreaker
+    val kk = k
+
+    val blocks = IndexBuilder
+      .readPostings(spark, indexDir)
+      .where($"term".isin(terms ++ exTerms: _*))
+      .select(
+        $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
+      )
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
+
+    blocks.groupByKey(_._1).flatMapGroups { (slice, rows) =>
+      val (qTerms, qIdfs, exT) = bCtx.value
+      val byTerm = rows.toArray.groupBy(_._2)
+      def iterOf(t: String, idf: Double): Option[PostingIter] =
+        byTerm.get(t).map { rs =>
+          val refs = rs.sortBy(r => (r._4, r._3))
+            .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
+          new PostingIter(0, idf, refs, avgDl)
+        }
+      val iters = qTerms.iterator.zipWithIndex
+        .flatMap { case (t, ti) => iterOf(t, qIdfs(ti)) }.toArray
+      if (iters.isEmpty) Iterator.empty
+      else {
+        var filter: DocFilter =
+          if (pred == null) null else AttrSidecar.openCursor(idxDir, slice, pred)
+        val predCursor = filter
+        val exIters = exT.iterator.flatMap(iterOf(_, 0.0)).toArray
+        if (exIters.nonEmpty)
+          filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+        if (tomb != null) filter = tomb.compose(slice, filter)
+        val top = new BlockMaxWand.TopK(kk)
+        try {
+          var continue = iters.exists(!_.exhausted)
+          while (continue) {
+            var d = Long.MaxValue
+            var i = 0
+            while (i < iters.length) {
+              val it = iters(i)
+              if (!it.exhausted && it.doc < d) d = it.doc
+              i += 1
+            }
+            if (d == Long.MaxValue) continue = false
+            else {
+              if (filter == null || filter.contains(d)) {
+                var best = 0.0
+                var total = 0.0
+                i = 0
+                while (i < iters.length) {
+                  val it = iters(i)
+                  if (!it.exhausted && it.doc == d) {
+                    val s = it.score // idf · impact (idf carried per iter)
+                    total += s
+                    if (s > best) best = s
+                  }
+                  i += 1
+                }
+                top.offer(BlockMaxWand.Hit(d, best + tb * (total - best)))
+              }
+              i = 0
+              while (i < iters.length) {
+                val it = iters(i)
+                if (!it.exhausted && it.doc == d) it.next()
+                i += 1
+              }
+            }
+          }
+          top.result.iterator.map(h => QueryHit(h.docId, h.score))
+        } finally {
+          predCursor match {
+            case c: AutoCloseable => c.close()
+            case _ =>
+          }
+        }
+      }
+    }
+      .toDF()
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** ES scroll / point-in-time EXPORT: the query's FULL match set as a
+    * distributed DataFrame (doc_id, score) — no top-k, no driver
+    * materialization; the 10^9-row result of a selective query at
+    * 10^12 docs streams straight to the caller's sink (the
+    * feed-the-training-pipeline read ES serves with scroll batches).
+    * Per-slice [[BlockMaxWand.scoredMatches]] walk (scores exact BM25,
+    * block-decode-on-demand); output stays partitioned by slice until
+    * the caller repartitions/writes. filter/must_not/tombstones/msm
+    * compose as everywhere.
+    */
+  def exportMatches(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    val terms = queryTerms.distinct
+    val stats = IndexBuilder.readStats(spark, indexDir)
+    val n = stats.n_docs
+    val avgDl = if (stats.avg_dl > 0) stats.avg_dl else 1.0
+    val dfs: Map[String, Long] = IndexBuilder
+      .readTerms(spark, indexDir)
+      .where($"term".isin(terms: _*))
+      .collect()
+      .map(t => t.term -> t.doc_freq)
+      .toMap
+    val isAnd = mode == "and"
+    if (isAnd && terms.exists(t => !dfs.contains(t)))
+      return spark.emptyDataset[QueryHit].toDF()
+    val present = terms.filter(dfs.contains)
+    if (present.isEmpty || present.size < minShouldMatch)
+      return spark.emptyDataset[QueryHit].toDF()
+    val idfs: Array[Double] = terms.map(t => NaiveBm25.idf(n, dfs.getOrElse(t, 0L))).toArray
+    val exTerms = mustNot.distinct
+    val bCtx = spark.sparkContext.broadcast((terms.toArray, idfs, exTerms.toArray))
+    val tomb = graft.index.Tombstones.handle(indexDir)
+    val idxDir = indexDir
+    val pred = attrFilter
+    val msm = minShouldMatch
+
+    val blocks = IndexBuilder
+      .readPostings(spark, indexDir)
+      .where($"term".isin(terms ++ exTerms: _*))
+      .select(
+        $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
+      )
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
+
+    blocks.groupByKey(_._1).flatMapGroups { (slice, rows) =>
+      val (qTerms, qIdfs, exT) = bCtx.value
+      val byTerm = rows.toArray.groupBy(_._2)
+      def iterOf(t: String, ti: Int, idf: Double): Option[PostingIter] =
+        byTerm.get(t).map { rs =>
+          val refs = rs.sortBy(r => (r._4, r._3))
+            .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11))
+          new PostingIter(ti, idf, refs, avgDl)
+        }
+      val iters = qTerms.iterator.zipWithIndex
+        .flatMap { case (t, ti) => iterOf(t, ti, qIdfs(ti)) }.toArray
+      if (iters.isEmpty || (isAnd && iters.length < qTerms.length)) Iterator.empty
+      else {
+        var filter: DocFilter =
+          if (pred == null) null else AttrSidecar.openCursor(idxDir, slice, pred)
+        val predCursor = filter
+        val exIters = exT.iterator.flatMap(t => iterOf(t, 0, 0.0)).toArray
+        if (exIters.nonEmpty)
+          filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+        if (tomb != null) filter = tomb.compose(slice, filter)
+        // STREAM the walk (never buffer a slice's match set — it can be
+        // 10^8 rows on a hot term); the sidecar cursor closes when the
+        // consumer exhausts the iterator
+        val base = BlockMaxWand.scoredMatches(iters, isAnd, msm, filter)
+        var closed = false
+        def closeOnce(): Unit = if (!closed) {
+          closed = true
+          predCursor match {
+            case c: AutoCloseable => c.close()
+            case _ =>
+          }
+        }
+        new scala.collection.AbstractIterator[QueryHit] {
+          def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h) closeOnce()
+            h
+          }
+          def next(): QueryHit = {
+            val (id, s) = base.next()
+            QueryHit(id, s)
+          }
+        }
+      }
+    }.toDF()
+  }
+
   /** Query-time synonyms (ES `synonym_graph` at search time): each query
     * position is a GROUP of interchangeable terms, scored as ONE term —
     * Lucene SynonymQuery: tf = Σ member tfs in the doc, df = MAX member

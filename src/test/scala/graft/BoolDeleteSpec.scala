@@ -727,6 +727,126 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Search.phrasePrefixTopK(spark, dir.toString, Seq("w2", "zzz"), 10).count() == 0L)
   }
 
+  test("term boosts: ^boost scales each term's whole contribution (bounds stay exact)") {
+    val terms = Seq("w1", "w2", "w3")
+    val boosts = Seq(2.0, 1.0, 0.5)
+    // exhaustive: score = Σ boost_t · idf_t · impact
+    val analyzed = corpus.map { case (id, t) =>
+      val (dl, tfs) = Analyzer.termFreqs(t); (id, dl, tfs.toMap)
+    }
+    val n = corpus.size.toLong
+    val avgDl = analyzed.map(_._2.toLong).sum.toDouble / n
+    val idfOf = terms.map(t =>
+      t -> NaiveBm25.idf(n, analyzed.count(_._3.contains(t)).toLong)).toMap
+    val exp = analyzed.flatMap { case (id, dl, tfs) =>
+      val s = terms.zip(boosts).collect {
+        case (t, b) if tfs.contains(t) =>
+          b * idfOf(t) * (tfs(t) / (tfs(t) + graft.index.IndexBuilder.K1 *
+            (1 - graft.index.IndexBuilder.B + graft.index.IndexBuilder.B * dl / avgDl)))
+      }.sum
+      if (s > 0) Some((id, s)) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val gotB = got(Search.topK(spark, dir.toString, terms, "or", 10, boosts = boosts))
+    assert(gotB.map(_._1) == exp.map(_._1), s"boosted ranks: $gotB vs $exp")
+    gotB.zip(exp).foreach { case ((_, gs), (_, es)) =>
+      assert(math.abs(gs - es) < 1e-9, "boosted score")
+    }
+    // boost 1.0 everywhere ≡ unboosted
+    assert(got(Search.topK(spark, dir.toString, terms, "or", 10,
+      boosts = Seq(1.0, 1.0, 1.0))) == got(Search.topK(spark, dir.toString, terms, "or", 10)),
+      "unit boosts are the identity")
+  }
+
+  test("dis_max: best term + tie_breaker x the rest; tb=1 ≡ bool.should sum") {
+    val terms = Seq("w1", "w2", "w3")
+    val analyzed = corpus.map { case (id, t) =>
+      val (dl, tfs) = Analyzer.termFreqs(t); (id, dl, tfs.toMap)
+    }
+    val n = corpus.size.toLong
+    val avgDl = analyzed.map(_._2.toLong).sum.toDouble / n
+    val idfOf = terms.map(t =>
+      t -> NaiveBm25.idf(n, analyzed.count(_._3.contains(t)).toLong)).toMap
+    def expect(tb: Double) = analyzed.flatMap { case (id, dl, tfs) =>
+      val cs = terms.collect {
+        case t if tfs.contains(t) =>
+          idfOf(t) * (tfs(t) / (tfs(t) + graft.index.IndexBuilder.K1 *
+            (1 - graft.index.IndexBuilder.B + graft.index.IndexBuilder.B * dl / avgDl)))
+      }
+      if (cs.isEmpty) None
+      else Some((id, cs.max + tb * (cs.sum - cs.max)))
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    Seq(0.0, 0.3).foreach { tb =>
+      val exp = expect(tb)
+      val gotD = got(Search.disMaxTopK(spark, dir.toString, terms, 10, tieBreaker = tb))
+      assert(gotD.map(_._1) == exp.map(_._1), s"dis_max tb=$tb ranks")
+      gotD.zip(exp).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-9, s"dis_max tb=$tb score")
+      }
+    }
+    // tb=1 ranks exactly like the plain bool.should sum
+    assert(got(Search.disMaxTopK(spark, dir.toString, terms, 10, tieBreaker = 1.0)).map(_._1)
+      == got(Search.topK(spark, dir.toString, terms, "or", 10)).map(_._1),
+      "tb=1 ≡ sum")
+    // filter context composes
+    val expF = analyzed.flatMap { case (id, dl, tfs) =>
+      if (langOf(id) != "en") None
+      else {
+        val cs = terms.collect {
+          case t if tfs.contains(t) =>
+            idfOf(t) * (tfs(t) / (tfs(t) + graft.index.IndexBuilder.K1 *
+              (1 - graft.index.IndexBuilder.B + graft.index.IndexBuilder.B * dl / avgDl)))
+        }
+        if (cs.isEmpty) None else Some((id, cs.max))
+      }
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got(Search.disMaxTopK(spark, dir.toString, terms, 10,
+      attrFilter = graft.index.AttrPred.lang("en"))).map(_._1) == expF.map(_._1),
+      "dis_max attr filter")
+  }
+
+  test("export: the FULL match set streams out with exact scores (ES scroll role)") {
+    Seq(("or", Seq("w1", "w2")), ("and", Seq("w1", "w2"))).foreach { case (mode, terms) =>
+      val exp = NaiveBm25.topK(corpus, terms, mode, NDocs.toInt)
+        .map(h => (h.docId, h.score)).sortBy(_._1)
+      val gotE = Search.exportMatches(spark, dir.toString, terms, mode)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(gotE.map(_._1) == exp.map(_._1), s"$mode export id set")
+      gotE.zip(exp).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-9, s"$mode export score")
+      }
+    }
+    // must_not composes; tombstoned docs never export (delDir)
+    val expMn = NaiveBm25.topKFiltered(corpus, Seq("w1", "w2"), "or", NDocs.toInt,
+      id => !containsTerm(corpus(id.toInt)._2, Seq("w3"))).map(_.docId).sorted
+    assert(Search.exportMatches(spark, dir.toString, Seq("w1", "w2"), "or",
+      mustNot = Seq("w3")).collect().map(_.getLong(0)).sorted.toSeq == expMn, "export must_not")
+    val deleted = (id: Long) => langOf(id) == "de" || id == 0L
+    val expDel = NaiveBm25.topKFiltered(corpus, Seq("w1", "w2"), "or", NDocs.toInt,
+      id => !deleted(id)).map(_.docId).sorted
+    assert(Search.exportMatches(spark, delDir.toString, Seq("w1", "w2"), "or")
+      .collect().map(_.getLong(0)).sorted.toSeq == expDel, "export excludes tombstones")
+  }
+
+  test("adjacency_matrix: singles + pairwise intersections from one walk") {
+    import graft.query.Facets
+    val base = matchedIds(Seq("w1", "w2"), and = false).toSet
+    def hasAny(id: Long, ts: Seq[String]) =
+      ts.exists(Analyzer.tokenize(corpus(id.toInt)._2).toSet.contains)
+    val inHot = base.filter(hasAny(_, Seq("w0")))
+    val inW3 = base.filter(hasAny(_, Seq("w3")))
+    val exp = Map(
+      "hot" -> inHot.size.toLong,
+      "w3docs" -> inW3.size.toLong,
+      "hot&w3docs" -> (inHot intersect inW3).size.toLong
+    ).filter(_._2 > 0L)
+    val gotA = Facets.adjacencyMatrixAgg(spark, dir.toString, Seq("w1", "w2"), "or",
+      buckets = Seq(("hot", Seq("w0"), "or"), ("w3docs", Seq("w3"), "or")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotA == exp, s"adjacency: $gotA vs $exp")
+    assert(exp.contains("hot&w3docs") && exp("hot&w3docs") < exp("hot"),
+      "fixture has a non-trivial intersection")
+  }
+
   test("percentiles agg: exact nearest-rank values over the match set") {
     import graft.query.Facets
     val terms = Seq("w1", "w2")

@@ -211,6 +211,12 @@ class MiscOpsSpec extends AnyFunSuite {
       Seq(Seq("w2"), Seq("w3", "w5")), "or", 5)
       .collect().map(r => s"${r.getLong(0)}\t${r.getDouble(1)}").toSeq
     assert(cli("synonym-search", idxDir, "or", "5", "w2", "w3,w5") == synLib, "CLI synonym-search")
+    val dmLib = graft.query.Search.disMaxTopK(spark, idxDir, Seq("w1", "w2"), 5,
+      tieBreaker = 0.3)
+      .collect().map(r => s"${r.getLong(0)}\t${r.getDouble(1)}").toSeq
+    assert(cli("dismax-search", idxDir, "5", "w1", "w2", "--tie=30") == dmLib, "CLI dismax")
+    val nMatch = graft.query.Search.exportMatches(spark, idxDir, Seq("w1", "w2"), "or").count()
+    assert(cli("export", idxDir, "or", "w1", "w2") == Seq(s"matches\t$nMatch"), "CLI export count")
   }
 
   test("IndexJob CLI --retries: driver retry resumes from checkpoints to a complete index") {

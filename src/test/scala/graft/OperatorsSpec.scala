@@ -428,4 +428,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res(2L).getAs[String]("lang_pred") == "und")
     assert(res(3L).getAs[String]("lang_pred") == "ru")
   }
+
+  // ---- Deterministic sampling ------------------------------------------
+  test("sampling: md5-bucket membership matches an independent recompute; nested and stable") {
+    import graft.operators.Sampling
+    val df = spark.range(0L, 2000L).toDF("doc_id")
+    // independent oracle: java MessageDigest on the same (id ∥ salt)
+    def bucket(id: Long, salt: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id$salt".getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % Sampling.Buckets
+    }
+    val expIds = (0L until 2000L).filter(bucket(_, "t1") < 1000).toSet // rate 0.1
+    val gotIds = Sampling.sample(df, "doc_id", 0.1, "t1")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotIds == expIds, "membership ≡ independent md5 recompute")
+    // deterministic: same call → same rows
+    assert(Sampling.sample(df, "doc_id", 0.1, "t1")
+      .collect().map(_.getLong(0)).toSet == gotIds)
+    // nested: 10% ⊂ 20% at the same salt; different salt decorrelates
+    val got20 = Sampling.sample(df, "doc_id", 0.2, "t1").collect().map(_.getLong(0)).toSet
+    assert(gotIds.subsetOf(got20), "samples nest by rate")
+    val other = Sampling.sample(df, "doc_id", 0.1, "t2").collect().map(_.getLong(0)).toSet
+    assert((gotIds intersect other).size < gotIds.size / 2, "salts decorrelate")
+    // rate sanity: ~10% ± a loose band
+    assert(gotIds.size > 120 && gotIds.size < 280, s"rate off: ${gotIds.size}")
+  }
+
+  test("sampling: split is disjoint, covering (when fractions sum to 1), growth-stable") {
+    import graft.operators.Sampling
+    val df = spark.range(0L, 1000L).toDF("doc_id")
+    val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = Sampling.split(df, "doc_id", fr, "sA")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 1000, "fractions sum to 1 → every row assigned")
+    val byName = got.groupBy(_._2).map { case (k, v) => k -> v.size }
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > 700 && byName("val") > 50 && byName("test") > 50,
+      s"split sizes: $byName")
+    // growth stability: the assignment of existing ids is unchanged when
+    // the table doubles (the test→train contamination guard)
+    val bigger = spark.range(0L, 2000L).toDF("doc_id")
+    val got2 = Sampling.split(bigger, "doc_id", fr, "sA")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0L until 1000L).forall(id => got2(id) == got(id)), "assignments stable under growth")
+    // partial fractions drop the remainder
+    val part = Sampling.split(df, "doc_id", Seq(("sub", 0.3)), "sA").count()
+    assert(part < 400 && part > 200, s"partial split kept $part")
+  }
+
+  test("sampling: stratified rates apply per stratum (codegen CASE, no join)") {
+    import graft.operators.Sampling
+    val df = spark.range(0L, 3000L)
+      .select($"id".as("doc_id"),
+        when($"id" % 3 === 0, "en").when($"id" % 3 === 1, "de").otherwise("fr").as("lang"))
+    val got = Sampling.stratifiedSample(df, "doc_id", "lang",
+      rates = Map("en" -> 0.1, "de" -> 1.0), defaultRate = 0.5, salt = "sS")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("de") == 1000L, "rate 1.0 keeps the whole stratum")
+    assert(got("en") < 200L, s"rate 0.1 stratum: ${got("en")}")
+    assert(got("fr") > 350L && got("fr") < 650L, s"default rate stratum: ${got("fr")}")
+    // pure map: no exchange in the plan
+    val plan = Sampling.stratifiedSample(df, "doc_id", "lang",
+      rates = Map("en" -> 0.1), defaultRate = 0.5, salt = "sS")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "stratified sample must not shuffle")
+  }
 }
