@@ -44,6 +44,8 @@ import graft.query.Search
   *   phrase-prefix <indexDir> <k> term [term ...]                      # match_phrase_prefix (last term = prefix)
   *   synonym-search <indexDir> <and|or> <k> t1,t2 [t3 ...]             # query-time synonyms (each arg = one group)
   *   dismax-search <indexDir> <k> term [term ...] [--tie=30]           # ES dis_max (tie_breaker = tie/100)
+  *   facet-hist-stats <indexDir> <and|or> <numField> <hour|day|month> term [...]  # date_histogram + metric sub-agg
+  *   facet-card <indexDir> <and|or> <kwField> <distinctField> term [...]          # terms + cardinality sub-agg
   *   export <indexDir> <and|or> term [...] [--out=path] [--must-not=..]# full match set to parquet (ES scroll role)
   *   index-stats <indexDir>                                  # ES _stats analog: corpus/layout/deletes/lineage
   * }}}
@@ -275,6 +277,18 @@ object IndexJob {
           size = flag(args, "size", 10))
           .collect().foreach(r => println(
             s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getLong(3)}\t${r.getLong(4)}\t${r.getDouble(5)}"))
+      case Some("facet-hist-stats") =>
+        // date_histogram + metric sub-agg (avg <numField> per interval)
+        val Seq(indexDir, mode, numField, interval) = positional.take(4)
+        graft.query.Facets.dateHistogramStats(spark, indexDir, positional.drop(4), mode,
+          numField, interval)
+          .collect().foreach(r => println(
+            s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getLong(3)}\t${r.getLong(4)}\t${r.getDouble(5)}"))
+      case Some("facet-card") =>
+        // terms + cardinality sub-agg (distinct <field2> per <field1>)
+        val Seq(indexDir, mode, f1, f2) = positional.take(4)
+        graft.query.Facets.termsCardinalityAgg(spark, indexDir, positional.drop(4), mode, f1, f2)
+          .collect().foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}"))
       case Some("facet-multi") =>
         // ES multi_terms: composite keyword × keyword buckets
         val Seq(indexDir, mode, f1, f2) = positional.take(4)

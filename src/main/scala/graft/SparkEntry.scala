@@ -596,6 +596,36 @@ object SparkEntry {
         .groupBy($"lang").agg(count("*").as("n_docs"))
         .select($"lang", $"n_docs")
     },
+    // ES date_histogram + metric sub-agg (avg doc_len per day — the
+    // metric-line-over-time Kibana chart); one (n,sum,min,max) partial
+    // per (slice, bucket)
+    "q_facet_day_stats" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.dateHistogramStats(s, indexFor(s, dir), QueryOr, "or",
+        numField = "doc_len", interval = "day")
+        .select($"bucket", $"n_docs", $"min_v", $"max_v", $"sum_v",
+          round($"avg_v" * 10000).cast("long").as("avg_e4"))
+    },
+    // ES terms + cardinality sub-agg ("unique langs per source") — exact
+    // via the composite kw×kw walk; exchange = the distinct pair set
+    "q_facet_terms_card" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.termsCardinalityAgg(s, indexFor(s, dir), QueryAnd, "and",
+        kwField = "source", distinctField = "lang")
+        .select($"source", $"n_distinct", $"n_docs")
+    },
+    // token-budget shard packing (LLM training sharding): contiguous
+    // prefix-sum rule, deterministic in doc order, DenseId-style
+    // two-pass — no global window
+    "q_pack_shards" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("n_tokens",
+          when($"text" === "", 0L).otherwise(size(split($"text", " ")).cast("long")))
+      graft.operators.Packing.assignShards(docs, "doc_id", "n_tokens",
+        budget = 2000L, numPartitions = 8)
+        .select($"doc_id", $"shard")
+    },
     // bool.should minimum_should_match: candidates must match ≥2 of the 3
     // query terms; scores unchanged (still summed over matched terms)
     "q_bm25_msm" -> { (s, dir) =>
@@ -1812,6 +1842,43 @@ FROM (SELECT lang,
       FROM documents)
 WHERE b < (CASE WHEN lang = 'en' THEN 2000 ELSE 10000 END)
 GROUP BY 1""",
+    "q_facet_day_stats" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS doc_len
+  FROM documents
+), m AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")})
+)
+SELECT strftime(epoch_ms(1609459200000 + d.doc_id * 60000), '%Y%m%d') AS bucket,
+       count(*)::BIGINT AS n_docs, min(dl.doc_len)::BIGINT AS min_v,
+       max(dl.doc_len)::BIGINT AS max_v, sum(dl.doc_len)::BIGINT AS sum_v,
+       round((sum(dl.doc_len)::DOUBLE / count(*)::DOUBLE) * 10000)::BIGINT AS avg_e4
+FROM documents d JOIN dl ON dl.doc_id = d.doc_id
+WHERE d.doc_id IN (SELECT doc_id FROM m)
+GROUP BY 1""",
+    "q_facet_terms_card" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), m AS (
+  SELECT doc_id FROM toks
+  WHERE term IN (${QueryAnd.map(t => s"'$t'").mkString(", ")})
+  GROUP BY doc_id HAVING count(DISTINCT term) = ${QueryAnd.distinct.size}
+)
+SELECT source, count(DISTINCT lang)::BIGINT AS n_distinct, count(*)::BIGINT AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM m)
+GROUP BY 1""",
+    "q_pack_shards" ->
+      """SELECT doc_id,
+       (coalesce(sum(n) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // 2000)::BIGINT AS shard
+FROM (SELECT doc_id,
+             CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS n
+      FROM documents)""",
     "q_bm25_phrase" -> phraseOracleSql(QueryPhrase),
     "q_bm25_slop" -> phraseSlopOracleSql(QueryPhrase, 2),
     "q_bm25_slop3" -> phraseSlopOracleSql(Seq("spark", "merge", "window"), 4),

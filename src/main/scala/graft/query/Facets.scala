@@ -205,6 +205,70 @@ object Facets {
     base.orderBy(ord.desc, asc(kwField)).limit(size)
   }
 
+  /** ES `date_histogram` + metric sub-agg ("avg doc_len per day" — the
+    * single most common Kibana chart: a metric line over time, not just
+    * counts). Same one-walk shape as [[termsStatsAgg]] with the UTC time
+    * bucket as the key: one (n, sum, min, max) partial per
+    * (slice, bucket). Returns (bucket, n_docs, min_v, max_v, sum_v,
+    * avg_v) ordered by bucket.
+    */
+  def dateHistogramStats(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      numField: String,
+      interval: String = "day",
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    val pattern = interval match {
+      case "hour"  => "yyyyMMddHH"
+      case "day"   => "yyyyMMdd"
+      case "month" => "yyyyMM"
+      case other   => throw new IllegalArgumentException(s"unknown interval $other")
+    }
+    aggregate(spark, Seq(indexDir), queryTerms, mode, attrFilter, mustNot,
+      minShouldMatch, keyPattern = pattern, kwField = null, numField = null,
+      numWidth = 0L, metricField = numField)
+      .select(col("k1").as("bucket"), col("n").as("n_docs"),
+        col("mn").as("min_v"), col("mx").as("max_v"), col("sm").as("sum_v"))
+      .withColumn("avg_v", col("sum_v").cast("double") / col("n_docs").cast("double"))
+      .orderBy("bucket")
+  }
+
+  /** ES `terms` + `cardinality` sub-agg ("unique users per server"):
+    * distinct values of a SECOND keyword field inside each bucket of the
+    * first. Exact — rides the composite (kw × kw) walk, so the exchange
+    * is the DISTINCT PAIR set (bounded by the two keyword cardinalities'
+    * product, the declared-keyword contract), never the match count;
+    * the per-bucket distinct count is a tiny second aggregation over
+    * that pair frame. For an unbounded second field, [[cardinalityAgg]]
+    * (HLL sketches) is the swap-in. Returns (<kwField>, n_distinct,
+    * n_docs) ordered by n_distinct desc, value asc.
+    */
+  def termsCardinalityAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      kwField: String,
+      distinctField: String,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    require(kwField != distinctField, "terms and cardinality fields must differ")
+    aggregate(spark, Seq(indexDir), queryTerms, mode, attrFilter, mustNot,
+      minShouldMatch, keyPattern = null, kwField = kwField, numField = null,
+      numWidth = 0L, kwField2 = distinctField)
+      .groupBy(col("k1"))
+      .agg(countDistinct(col("k2")).as("n_distinct"), sum(col("n")).as("n_docs"))
+      .select(col("k1").as(kwField), col("n_distinct"), col("n_docs"))
+      .orderBy(desc("n_distinct"), asc(kwField))
+  }
+
   /** ES `filters` aggregation: NAMED buckets, each its own term query
     * ("errors" / "warnings" / "timeouts"), counted over the base query's
     * match set — the hand-labelled dashboard split `terms` can't express.

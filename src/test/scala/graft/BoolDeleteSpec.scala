@@ -639,6 +639,15 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.toMap == exp, "composite buckets")
       // ES order: count desc, then keys asc
       assert(got.sortBy { case ((s, l), n) => (-n, s, l) }.toSeq == got.toSeq, "bucket order")
+      // terms + cardinality sub-agg rides the same pair walk: distinct
+      // langs (and doc counts) per site
+      val expCard = ids.groupBy(sOf).map { case (site, g) =>
+        site -> ((g.map(lOf).distinct.size.toLong, g.size.toLong))
+      }
+      val gotCard = Facets.termsCardinalityAgg(spark, mtDir.toString, Seq("w1", "w2"), "or",
+        kwField = "site", distinctField = "lang")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(gotCard == expCard, s"terms cardinality: $gotCard vs $expCard")
     } finally {
       import scala.reflect.io.Directory
       new Directory(mtDir.toFile).deleteRecursively()
@@ -845,6 +854,27 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotA == exp, s"adjacency: $gotA vs $exp")
     assert(exp.contains("hot&w3docs") && exp("hot&w3docs") < exp("hot"),
       "fixture has a non-trivial intersection")
+  }
+
+  test("date_histogram + metric sub-agg: per-bucket stats over time") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val dlOf = corpus.map { case (id, t) => id -> Analyzer.tokenCount(t).toLong }.toMap
+    val exp = matchedIds(terms, and = false).groupBy(bucketOf(_, "yyyyMM")).map {
+      case (b, g) =>
+        val vs = g.map(dlOf)
+        b -> ((g.size.toLong, vs.min, vs.max, vs.sum, vs.sum.toDouble / g.size))
+    }
+    val got = Facets.dateHistogramStats(spark, dir.toString, terms, "or", "doc_len",
+      interval = "month")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == exp.keySet, "bucket set")
+    got.foreach { case (b, (n, mn, mx, sm, avg)) =>
+      val (en, emn, emx, esm, eavg) = exp(b)
+      assert((n, mn, mx, sm) == ((en, emn, emx, esm)), s"bucket $b stats")
+      assert(math.abs(avg - eavg) < 1e-9, s"bucket $b avg")
+    }
   }
 
   test("percentiles agg: exact nearest-rank values over the match set") {

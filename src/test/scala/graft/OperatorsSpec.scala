@@ -495,4 +495,38 @@ class OperatorsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "stratified sample must not shuffle")
   }
+
+  // ---- Token-budget shard packing --------------------------------------
+  test("packing: contiguous prefix-sum shards, layout-independent, bounded overflow") {
+    import graft.operators.Packing
+    // deterministic ragged token counts
+    val rows = (0L until 500L).map(i => (i, 1L + (i * 37 % 113)))
+    val df = rows.toDF("doc_id", "n_tokens")
+    val budget = 1000L
+    // in-test oracle: running total BEFORE each doc, floor-divided
+    var acc = 0L
+    val exp = rows.map { case (id, t) =>
+      val s = acc / budget; acc += t; id -> s
+    }.toMap
+    val got = Packing.assignShards(df, "doc_id", "n_tokens", budget, numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == exp, "greedy contiguous rule")
+    // parallelism independence: different partition counts, same shards
+    val got7 = Packing.assignShards(df.repartition(13), "doc_id", "n_tokens", budget,
+      numPartitions = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got7 == exp, "layout-independent")
+    // every full shard holds >= budget - (maxTok - 1) and < budget + maxTok
+    val maxTok = rows.map(_._2).max
+    val byShard = rows.map { case (id, t) => (exp(id), t) }.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val lastShard = byShard.keys.max
+    byShard.foreach { case (s, tot) =>
+      if (s != lastShard)
+        assert(tot >= budget - (maxTok - 1) && tot < budget + maxTok, s"shard $s total $tot")
+    }
+    // shards are contiguous in doc order
+    val ordered = rows.map { case (id, _) => exp(id) }
+    assert(ordered == ordered.sorted, "contiguity")
+  }
 }
