@@ -317,6 +317,28 @@ object OpsQueries {
           col("out_h").cast("long").as("out_h")
         )
     },
+    // REAL PNG pixel path end-to-end: encode deterministic small images
+    // (real zlib IDAT, CRC'd chunks) → decode (inflate + defilter) →
+    // integer pixel aggregates. DuckDB expands the pixel generator
+    // formula independently, so a wrong filter reconstruction, stride,
+    // or inflate boundary fails the hash — the codec is gated on its
+    // PIXELS, not just its header
+    "q_media_pixels" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .map(id => (id, Multimodal.synthesizePngImage(id)))
+        .toDF("id", "media")
+      Multimodal.pixelStats(media, "id", "media")
+        .select(col("id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_samples"), col("pixel_sum"),
+          col("min_v").cast("long").as("min_v"),
+          col("max_v").cast("long").as("max_v"))
+    },
     // multimodal frame sampling: every-4th frame index per video blob —
     // frame count derives from the fake payload length, so DuckDB
     // recomputes the expected (id, frame_idx) set independently
@@ -539,6 +561,24 @@ object OpsQueries {
       """SELECT source, 'idx-' || source || '-prod' AS index_name
          FROM (SELECT DISTINCT source FROM documents)
          WHERE regexp_matches(source, '^src[0-9]+$')""",
+    "q_media_pixels" ->
+      """WITH dims AS (
+           SELECT doc_id, (4 + (doc_id * 7919) % 16)::BIGINT AS w,
+                  (4 + (doc_id * 104729) % 16)::BIGINT AS h,
+                  (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::BIGINT AS ch
+           FROM documents),
+         px AS (
+           SELECT d.doc_id, d.w, d.h, d.ch,
+                  ((d.doc_id + 3 * x.x + 7 * y.y + 11 * c.c) % 256) AS v
+           FROM dims d
+           JOIN generate_series(0, 19) AS x(x) ON x.x < d.w
+           JOIN generate_series(0, 19) AS y(y) ON y.y < d.h
+           JOIN generate_series(0, 3) AS c(c) ON c.c < d.ch)
+         SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+                any_value(ch) AS channels, count(*)::BIGINT AS n_samples,
+                sum(v)::BIGINT AS pixel_sum, min(v)::BIGINT AS min_v,
+                max(v)::BIGINT AS max_v
+         FROM px GROUP BY 1""",
     "q_media_frames" ->
       """WITH v AS (
            SELECT doc_id AS id, ((64 + (doc_id * 997) % 4096) // 16)::INT AS frames

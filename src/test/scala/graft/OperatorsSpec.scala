@@ -496,6 +496,82 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "stratified sample must not shuffle")
   }
 
+  // ---- Full PNG pixel codec --------------------------------------------
+  test("PNG pixel codec: encode→decode round trip for every supported color type") {
+    import graft.operators.Multimodal
+    Seq(1, 2, 3, 4).foreach { ch =>
+      val (w, h) = (23, 17)
+      val px = Array.tabulate(w * h * ch)(i => ((i * 31 + ch * 7) % 256).toByte)
+      val png = Multimodal.encodePng(w, h, ch, px)
+      val Some((m, out)) = Multimodal.decodePngPixels(42L, png)
+      assert((m.width, m.height, m.channels) == ((w, h, ch)), s"ch=$ch dims")
+      assert(out.toSeq == px.toSeq, s"ch=$ch pixels")
+    }
+  }
+
+  test("PNG pixel codec: interchange with javax.imageio both directions (all 5 filters)") {
+    import graft.operators.Multimodal
+    // our encoder's output is a real PNG: ImageIO reads it back pixel-exact
+    val (w, h) = (31, 19)
+    val gray = Array.tabulate(w * h)(i => ((i * 13) % 256).toByte)
+    val ours = Multimodal.encodePng(w, h, 1, gray)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(img != null, "ImageIO must accept our PNG")
+    assert(img.getWidth == w && img.getHeight == h)
+    val back = new Array[Byte](w * h)
+    img.getRaster.getDataElements(0, 0, w, h, back)
+    assert(back.toSeq == gray.toSeq, "ImageIO round trip")
+    // ImageIO's own writer (adaptive row filters — exercises Sub/Up/
+    // Average/Paeth reconstruction, not just filter 0) → our decoder
+    val rgb = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      rgb.setRGB(x, y, ((x * 37 + y) % 256 << 16) | ((y * 91 + x) % 256 << 8) | ((x * y + 7) % 256))
+    })
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos)
+    val Some((m2, out2)) = Multimodal.decodePngPixels(7L, bos.toByteArray)
+    assert((m2.width, m2.height, m2.channels) == ((w, h, 3)), "ImageIO PNG dims")
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      val argb = rgb.getRGB(x, y)
+      val base = (y * w + x) * 3
+      assert((out2(base) & 0xff) == ((argb >> 16) & 0xff), s"R($x,$y)")
+      assert((out2(base + 1) & 0xff) == ((argb >> 8) & 0xff), s"G($x,$y)")
+      assert((out2(base + 2) & 0xff) == (argb & 0xff), s"B($x,$y)")
+    })
+  }
+
+  test("PNG pixel codec: corrupt input returns None, never throws") {
+    import graft.operators.Multimodal
+    val good = Multimodal.synthesizePngImage(5L)
+    assert(Multimodal.decodePngPixels(5L, good).isDefined)
+    // truncated IDAT
+    assert(Multimodal.decodePngPixels(5L, good.take(good.length - 20)).isEmpty)
+    // flipped payload byte breaks the chunk CRC
+    val bad = good.clone(); bad(50) = (bad(50) ^ 0x5a).toByte
+    assert(Multimodal.decodePngPixels(5L, bad).isEmpty)
+    // not a PNG at all
+    assert(Multimodal.decodePngPixels(5L, Array.fill[Byte](64)(7)).isEmpty)
+    // header-only synth (no IDAT) doesn't decode pixels but still header-parses
+    val headerOnly = Multimodal.synthesizePng(6L)
+    assert(Multimodal.decodePngPixels(6L, headerOnly).isEmpty)
+    assert(Multimodal.decodePngHeader(6L, headerOnly).isDefined)
+  }
+
+  test("pixelStats matches the generator formula (the q_media_pixels contract)") {
+    import graft.operators.Multimodal
+    val df = (0L until 60L).map(id => (id, Multimodal.synthesizePngImage(id))).toDF("id", "media")
+    val got = Multimodal.pixelStats(df, "id", "media").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+    (0L until 60L).foreach { id =>
+      val w = 4 + (id * 7919 % 16).toInt
+      val h = 4 + (id * 104729 % 16).toInt
+      val ch = Array(1, 3, 4)((id % 3).toInt)
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch) s += (id + 3 * x + 7 * y + 11 * c) % 256
+      assert(got(id) == ((w, h, ch, (w * h * ch).toLong, s)), s"id $id")
+    }
+  }
+
   // ---- Token-budget shard packing --------------------------------------
   test("packing: contiguous prefix-sum shards, layout-independent, bounded overflow") {
     import graft.operators.Packing
