@@ -626,6 +626,39 @@ object SparkEntry {
         budget = 2000L, numPartitions = 8)
         .select($"doc_id", $"shard")
     },
+    // ES moving_fn pipeline agg: trailing 3-bucket average over the hour
+    // histogram (window on the reduced bucket frame, not the match set;
+    // hourly so the sf0.01 corpus actually spans >window buckets)
+    "q_facet_movavg" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.movingAvg(s, indexFor(s, dir), QueryOr, "or", "hour", window = 3)
+        .select($"bucket", $"n_docs", round($"mov_avg" * 10000).cast("long").as("avg_e4"))
+    },
+    // ES composite agg with after-key paging (THE bounded bucket-space
+    // read): page 2 = the 10 (source, day) buckets strictly after page
+    // 1's last key
+    "q_facet_composite_page" -> { (s, dir) =>
+      import s.implicits._
+      val idx = indexFor(s, dir)
+      val p1 = graft.query.Facets.compositePage(s, idx, QueryAnd, "and",
+        kwField = "source", interval = "day", size = 10).collect()
+      val last = p1.last
+      graft.query.Facets.compositePage(s, idx, QueryAnd, "and",
+        kwField = "source", interval = "day", size = 10,
+        afterKey = (last.getString(0), last.getString(1)))
+        .select($"source", $"bucket", $"n_docs")
+    },
+    // train/eval n-gram decontamination (the benchmark-leak check):
+    // eval docs (doc_id%10==0) whose distinct 3-grams appear in the
+    // train split — distinct leaked count + the doc's n-gram total
+    "q_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Decontaminate.ngramOverlap(
+        docs.where($"doc_id" % 10 =!= 0), docs.where($"doc_id" % 10 === 0),
+        "doc_id", "text", n = 3)
+        .select($"doc_id", $"n_hit", $"n_ngrams")
+    },
     // bool.should minimum_should_match: candidates must match ≥2 of the 3
     // query terms; scores unchanged (still summed over matched terms)
     "q_bm25_msm" -> { (s, dir) =>
@@ -1879,6 +1912,51 @@ GROUP BY 1""",
 FROM (SELECT doc_id,
              CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS n
       FROM documents)""",
+    "q_facet_movavg" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), hist AS (
+  SELECT strftime(epoch_ms(1609459200000 + doc_id * 60000), '%Y%m%d%H') AS bucket,
+         count(*)::BIGINT AS n_docs
+  FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
+                   WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+  GROUP BY 1
+)
+SELECT bucket, n_docs,
+       round(avg(n_docs) OVER (ORDER BY bucket
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000)::BIGINT AS avg_e4
+FROM hist""",
+    "q_facet_composite_page" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+)
+SELECT source, strftime(epoch_ms(1609459200000 + doc_id * 60000), '%Y%m%d') AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM toks
+                 WHERE term IN (${QueryAnd.map(t => s"'$t'").mkString(", ")})
+                 GROUP BY doc_id HAVING count(DISTINCT term) = ${QueryAnd.distinct.size})
+GROUP BY 1, 2
+ORDER BY source, bucket LIMIT 10 OFFSET 10""",
+    "q_decontaminate" ->
+      """WITH tr AS (
+  SELECT string_split(text, ' ') AS l FROM documents WHERE doc_id % 10 <> 0 AND text <> ''
+), ev AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id % 10 = 0 AND text <> ''
+), trg AS (
+  SELECT DISTINCT l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+  FROM (SELECT l, unnest(generate_series(1, len(l) - 2)) AS i FROM tr)
+), evg AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM ev)
+), tot AS (
+  SELECT doc_id, count(*)::BIGINT AS n_ngrams FROM evg GROUP BY 1
+)
+SELECT e.doc_id, count(*)::BIGINT AS n_hit, any_value(t.n_ngrams) AS n_ngrams
+FROM evg e JOIN tot t USING (doc_id)
+WHERE e.g IN (SELECT g FROM trg)
+GROUP BY 1""",
     "q_bm25_phrase" -> phraseOracleSql(QueryPhrase),
     "q_bm25_slop" -> phraseSlopOracleSql(QueryPhrase, 2),
     "q_bm25_slop3" -> phraseSlopOracleSql(Seq("spark", "merge", "window"), 4),

@@ -1083,6 +1083,67 @@ object Facets {
       .withColumn("deriv", $"n_docs" - lag($"n_docs", 1).over(w))
   }
 
+  /** ES `moving_fn`/`moving_avg` pipeline agg over a [[dateHistogram]]:
+    * trailing-window average of per-bucket counts (window includes the
+    * current bucket; shorter at the series head, like ES before the
+    * window fills). Same scale note as every pipeline agg: the window
+    * runs on the ALREADY-REDUCED bucket frame (≤ |buckets| rows), never
+    * the match set. Returns (bucket, n_docs, mov_avg).
+    */
+  def movingAvg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      interval: String = "day",
+      window: Int = 5,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    require(window >= 1, "window must be positive")
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+      .rowsBetween(-(window - 1), 0)
+    dateHistogram(spark, indexDir, queryTerms, mode, interval, attrFilter,
+      mustNot, minShouldMatch)
+      .withColumn("mov_avg", avg($"n_docs").over(w))
+  }
+
+  /** ES `composite` aggregation with `after`-key paging — THE bounded
+    * way to read a large bucket space (Kibana exports and rollups page
+    * with this, not with a giant `terms.size`): buckets ordered by the
+    * full (value, bucket) key tuple, page = the `size` buckets strictly
+    * AFTER `afterKey` (null → first page). The walk recomputes partials
+    * per page but each RESPONSE is size-bounded — exactly ES's
+    * contract (every composite page re-runs the agg with an after
+    * filter; state never accumulates server-side). Returns
+    * (<kwField>, bucket, n_docs) key-ordered.
+    */
+  def compositePage(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      kwField: String = "lang",
+      interval: String = "day",
+      size: Int = 10,
+      afterKey: (String, String) = null,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    require(size >= 1, "size must be positive")
+    val base = termsDateHistogram(spark, indexDir, queryTerms, mode, kwField,
+      interval, attrFilter, mustNot, minShouldMatch)
+    val paged =
+      if (afterKey == null) base
+      else base.where(
+        col(kwField) > afterKey._1 ||
+          (col(kwField) === afterKey._1 && col("bucket") > afterKey._2))
+    paged.orderBy(asc(kwField), asc("bucket")).limit(size)
+  }
+
   /** Match walk emitting numeric partials. `histogram=false`: one
     * (n, sum, min, max) row per (segment, slice) — the stats shape.
     * `histogram=true`: per-slice (value → count) rows — the percentile

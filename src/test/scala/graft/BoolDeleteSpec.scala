@@ -877,6 +877,40 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("moving_avg + composite paging over the bucket space") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    // moving_avg: trailing-3 average ≡ recompute over the bucket series
+    val hist = matchedIds(terms, and = false).groupBy(bucketOf(_, "yyyyMM"))
+      .map { case (b, g) => (b, g.size.toLong) }.toSeq.sortBy(_._1)
+    val expMa = hist.zipWithIndex.map { case ((b, n), i) =>
+      val w = hist.slice(math.max(0, i - 2), i + 1).map(_._2)
+      (b, n, w.sum.toDouble / w.size)
+    }
+    val gotMa = Facets.movingAvg(spark, dir.toString, terms, "or", "month", window = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(gotMa.map(t => (t._1, t._2)) == expMa.map(t => (t._1, t._2)), "mov_avg buckets")
+    gotMa.zip(expMa).foreach { case ((_, _, g), (_, _, e)) =>
+      assert(math.abs(g - e) < 1e-9, "mov_avg value")
+    }
+    // composite paging: pages tile the key-ordered bucket space exactly
+    val all = Facets.termsDateHistogram(spark, dir.toString, terms, "or", "lang", "month")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val size = 4
+    var after: (String, String) = null
+    val paged = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (!done) {
+      val page = Facets.compositePage(spark, dir.toString, terms, "or", "lang", "month",
+        size = size, afterKey = after)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      paged ++= page
+      if (page.size < size) done = true else after = (page.last._1, page.last._2)
+    }
+    assert(paged.toSeq == all, "composite pages tile the bucket space without gaps/overlaps")
+  }
+
   test("percentiles agg: exact nearest-rank values over the match set") {
     import graft.query.Facets
     val terms = Seq("w1", "w2")

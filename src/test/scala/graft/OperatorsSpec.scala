@@ -572,6 +572,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Train/eval decontamination --------------------------------------
+  test("decontamination: distinct leaked n-grams per eval doc ≡ exhaustive recompute") {
+    import graft.operators.Decontaminate
+    val docs = Seq(
+      (1L, "a b c d e f"),       // train
+      (2L, "x y z w v"),         // train
+      (3L, "q r s"),             // train
+      (10L, "a b c q q q"),      // eval: leaks "a b c"
+      (20L, "x y z w k"),        // eval: leaks "x y z", "y z w"
+      (30L, "no overlap here at all"), // eval: clean
+      (40L, "ab"),               // eval: too short for 3-grams
+      (50L, "")                  // eval: empty
+    ).toDF("doc_id", "text")
+    val train = docs.where($"doc_id" < 10)
+    val eval = docs.where($"doc_id" >= 10)
+    val got = Decontaminate.ngramOverlap(train, eval, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(10L -> ((1L, 4L)), 20L -> ((2L, 3L))), s"got $got")
+    // duplicate n-grams in one doc count once (distinct semantics)
+    val rep = Seq((100L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val got2 = Decontaminate.ngramOverlap(train, rep, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    // distinct 3-grams of the repeat doc: "a b c","b c a","c a b" → 3;
+    // only "a b c" leaks
+    assert(got2 == ((1L, 3L)), s"distinct semantics: $got2")
+  }
+
   // ---- Token-budget shard packing --------------------------------------
   test("packing: contiguous prefix-sum shards, layout-independent, bounded overflow") {
     import graft.operators.Packing
