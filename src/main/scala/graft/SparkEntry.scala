@@ -659,6 +659,32 @@ object SparkEntry {
         "doc_id", "text", n = 3)
         .select($"doc_id", $"n_hit", $"n_ngrams")
     },
+    // ES query_string (the Kibana search bar): parsed mini-language →
+    // composed tree eval — keyword-filter pushdown into every leaf walk,
+    // OR-group, scoring must_not as an anti join
+    "q_qs_bool" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.QueryString.topK(s, indexFor(s, dir),
+        "source:src1 AND (spark OR merge) -batch", 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // query_string nested groups with a leaf boost: score = sum of the
+    // matching groups' term scores (Lucene bool sum; ^2 folds into idf)
+    "q_qs_nested" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.QueryString.topK(s, indexFor(s, dir),
+        "(spark AND merge) OR (window AND batch^2)", 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // query_string pure-filter root (KQL-style): compiled to ONE sidecar
+    // AttrPred — keyword equality AND inclusive numeric range, no
+    // postings touched; ids ascending (all scores 0)
+    "q_qs_filter" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.QueryString.topK(s, indexFor(s, dir),
+        "source:src2 AND doc_len:[40 TO 60]", 10)
+        .select($"doc_id")
+    },
     // bool.should minimum_should_match: candidates must match ≥2 of the 3
     // query terms; scores unchanged (still summed over matched terms)
     "q_bm25_msm" -> { (s, dir) =>
@@ -1957,6 +1983,53 @@ SELECT e.doc_id, count(*)::BIGINT AS n_hit, any_value(t.n_ngrams) AS n_ngrams
 FROM evg e JOIN tot t USING (doc_id)
 WHERE e.g IN (SELECT g FROM trg)
 GROUP BY 1""",
+    "q_qs_bool" -> bm25OracleSql(Seq("spark", "merge"), and = false,
+      candWhere = "source = 'src1'", mustNot = Seq("batch")),
+    "q_qs_nested" ->
+      """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('spark', 'merge', 'window', 'batch') GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), ts AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl)) AS sc
+  FROM tf JOIN df USING (term) JOIN alldocs ad ON ad.doc_id = tf.doc_id CROSS JOIN stats s
+), pd AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'spark' THEN sc END) AS s_spark,
+         max(CASE WHEN term = 'merge' THEN sc END) AS s_merge,
+         max(CASE WHEN term = 'window' THEN sc END) AS s_window,
+         max(CASE WHEN term = 'batch' THEN sc END) AS s_batch
+  FROM ts GROUP BY 1
+), sc AS (
+  SELECT doc_id,
+         (CASE WHEN s_spark IS NOT NULL AND s_merge IS NOT NULL
+               THEN s_spark + s_merge ELSE 0 END)
+       + (CASE WHEN s_window IS NOT NULL AND s_batch IS NOT NULL
+               THEN s_window + 2 * s_batch ELSE 0 END) AS score
+  FROM pd
+  WHERE (s_spark IS NOT NULL AND s_merge IS NOT NULL)
+     OR (s_window IS NOT NULL AND s_batch IS NOT NULL)
+)
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4
+FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
+    "q_qs_filter" ->
+      """SELECT doc_id
+FROM (SELECT doc_id, source,
+             CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS dl
+      FROM documents)
+WHERE source = 'src2' AND dl BETWEEN 40 AND 60
+ORDER BY doc_id LIMIT 10""",
     "q_bm25_phrase" -> phraseOracleSql(QueryPhrase),
     "q_bm25_slop" -> phraseSlopOracleSql(QueryPhrase, 2),
     "q_bm25_slop3" -> phraseSlopOracleSql(Seq("spark", "merge", "window"), 4),
