@@ -599,6 +599,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2 == ((1L, 3L)), s"distinct semantics: $got2")
   }
 
+  // ---- Hybrid RRF fusion ------------------------------------------------
+  test("rrf: reciprocal-rank fusion ≡ hand-computed; per-qid batched variant") {
+    import graft.query.Hybrid
+    // list A ranks: d1=1 d2=2 d3=3; list B ranks: d3=1 d2=2 d4=3
+    val a = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("doc_id", "score")
+    val b = Seq((3L, 0.9), (2L, 0.5), (4L, 0.1)).toDF("doc_id", "score")
+    def r(ranks: Int*) = ranks.map(x => 1.0 / (60 + x)).sum
+    val exp = Map(1L -> r(1), 2L -> r(2, 2), 3L -> r(3, 1), 4L -> r(3))
+    val got = Hybrid.rrf(Seq(a, b), 10).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (id, e) => assert(math.abs(got(id) - e) < 1e-12, s"doc $id") }
+    // ordering: d2 and d3 tie exactly (r(2,2)=r(3,1)? no: 1/62+1/62 vs 1/63+1/61)
+    val order = Hybrid.rrf(Seq(a, b), 10).collect().map(_.getLong(0)).toSeq
+    assert(order == exp.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1))
+    // score-tie breaks by doc_id: two lists each ranking one distinct doc first
+    val t1 = Seq((7L, 1.0)).toDF("doc_id", "score")
+    val t2 = Seq((5L, 1.0)).toDF("doc_id", "score")
+    assert(Hybrid.rrf(Seq(t1, t2), 10).collect().map(_.getLong(0)).toSeq == Seq(5L, 7L))
+    // batched: qids fuse independently
+    val qa = Seq((0L, 1L, 9.0), (0L, 2L, 5.0), (1L, 9L, 3.0)).toDF("qid", "doc_id", "score")
+    val qb = Seq((0L, 2L, 0.9), (1L, 8L, 0.8)).toDF("qid", "doc_id", "score")
+    val byQ = Hybrid.rrfByQuery(Seq(qa, qb), 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(math.abs(byQ((0L, 1L)) - r(1)) < 1e-12)
+    assert(math.abs(byQ((0L, 2L)) - r(2, 1)) < 1e-12)
+    assert(math.abs(byQ((1L, 9L)) - r(1)) < 1e-12)
+    assert(math.abs(byQ((1L, 8L)) - r(1)) < 1e-12)
+  }
+
   // ---- Token-budget shard packing --------------------------------------
   test("packing: contiguous prefix-sum shards, layout-independent, bounded overflow") {
     import graft.operators.Packing
