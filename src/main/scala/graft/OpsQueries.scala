@@ -62,6 +62,33 @@ object OpsQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII redaction (email → ipv4 → phone, fixed stage order): the corpus
+    // text is wrapped with deterministic synthesized PII so the scrub has
+    // real matches; output = per-doc redacted-text digest + stage counts
+    "q_pii_redact" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select(
+        $"doc_id",
+        concat(
+          lit("contact u"), $"doc_id".cast("string"), lit("@example.com or +1-555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+          lit(" ip 10.0."), ($"doc_id" % 256).cast("string"), lit(".7 "),
+          $"text").as("text"))
+      graft.operators.Redact.redact(d, "doc_id", "text")
+        .select($"doc_id", md5($"redacted").as("red_md5"),
+          $"n_email", $"n_ip", $"n_phone")
+    },
+    // Gopher repetition quality signals: top-bigram fraction + duplicate-
+    // trigram fraction per doc (≥3-token docs)
+    "q_quality_repetition" -> { (s, dir) =>
+      TextAnalysis.repetition(docs(s, dir), "doc_id", "text")
+    },
+    // CCNet-style chunk-level dedup over the dup'd corpus: every chunk
+    // occurs ≥2× by construction plus any organic intra-corpus repeats
+    "q_dedup_chunks" -> { (s, dir) =>
+      Dedup.chunkDedup(dupCorpus(s, dir), "doc_id", "text", chunkTokens = 10)
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"))
+    },
     // exact dedup: hash-groupBy, keep lowest id
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(dupCorpus(s, dir), "doc_id", "text")
@@ -362,6 +389,65 @@ object OpsQueries {
   private val enSw = Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "a")
 
   def oracleSql: Map[String, String] = Map(
+    "q_pii_redact" -> {
+      val em = graft.operators.Redact.EmailRe
+      val ip = graft.operators.Redact.Ipv4Re
+      val ph = graft.operators.Redact.PhoneRe
+      s"""WITH aug AS (
+  SELECT doc_id,
+         'contact u' || doc_id || '@example.com or +1-555-' ||
+         lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+         ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.7 ' || text AS text
+  FROM documents
+), st AS (
+  SELECT doc_id, text AS t0,
+         regexp_replace(text, '$em', '<EMAIL>', 'g') AS t1
+  FROM aug
+), st2 AS (
+  SELECT doc_id, t0, t1, regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM st
+)
+SELECT doc_id,
+       md5(regexp_replace(t2, '$ph', '<PHONE>', 'g')) AS red_md5,
+       len(regexp_extract_all(t0, '$em'))::BIGINT AS n_email,
+       len(regexp_extract_all(t1, '$ip'))::BIGINT AS n_ip,
+       len(regexp_extract_all(t2, '$ph'))::BIGINT AS n_phone
+FROM st2"""
+    },
+    "q_quality_repetition" ->
+      """WITH tl AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE text <> '' AND len(string_split(text, ' ')) >= 3
+), big AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS g
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM tl)
+), bstat AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot
+  FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2) GROUP BY 1
+), tri AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM tl)
+), tstat AS (
+  SELECT doc_id, count(DISTINCT g) AS dist, count(*) AS tot FROM tri GROUP BY 1
+)
+SELECT b.doc_id,
+       round(b.mx * 1e6 / b.tot)::BIGINT AS top_bigram_e6,
+       round((t.tot - t.dist) * 1e6 / t.tot)::BIGINT AS dup_trigram_e6
+FROM bstat b JOIN tstat t USING (doc_id)""",
+    "q_dedup_chunks" ->
+      """WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE text <> ''
+  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE text <> ''
+), tl AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM corpus
+), ch AS (
+  SELECT doc_id, array_to_string(l[(i - 1) * 10 + 1:i * 10], ' ') AS chunk
+  FROM (SELECT doc_id, l, unnest(generate_series(1, (len(l) + 9) // 10)) AS i FROM tl)
+), cnt AS (
+  SELECT chunk, count(*) AS c FROM ch GROUP BY 1
+)
+SELECT ch.doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
+FROM ch JOIN cnt USING (chunk) GROUP BY 1""",
     "q_dedup_exact" ->
       """WITH u AS (SELECT doc_id, text FROM documents
                     UNION ALL SELECT doc_id + 100000, text FROM documents)

@@ -239,6 +239,37 @@ object TextFeatures extends Serializable {
     count
   }
 
+  // ---- repetition (Gopher-style quality signals) --------------------------
+  /** Per-doc n-gram repetition stats (Rae et al. 2021 "Gopher" repetition
+    * filters, public methodology): returns (maxBigramCount, totalBigrams,
+    * distinctTrigrams, totalTrigrams). Callers derive
+    * top-bigram-fraction = max/total and duplicate-trigram-fraction =
+    * 1 − distinct/total — the two signals that catch boilerplate/spam
+    * pages ordinary length/stopword filters miss. One pass, two bounded
+    * hash maps; map-side only.
+    */
+  def repetition(tokens: Array[String]): (Long, Long, Long, Long) = {
+    val n = tokens.length
+    if (n < 3) return (0L, 0L, 0L, 0L)
+    val big = new java.util.HashMap[Long, Int]()
+    var maxBig = 0
+    var i = 0
+    while (i < n - 1) {
+      val h = mix64(hashString(tokens(i)) * 31 + hashString(tokens(i + 1)))
+      val c = big.merge(h, 1, (a, b) => a + b)
+      if (c > maxBig) maxBig = c
+      i += 1
+    }
+    val tri = new java.util.HashSet[Long]()
+    i = 0
+    while (i < n - 2) {
+      tri.add(mix64(mix64(hashString(tokens(i)) * 31 + hashString(tokens(i + 1))) * 31 +
+        hashString(tokens(i + 2))))
+      i += 1
+    }
+    (maxBig.toLong, (n - 1).toLong, tri.size.toLong, (n - 2).toLong)
+  }
+
   // ---- fingerprinting ----------------------------------------------------
   /** Order-sensitive rolling polynomial fingerprint over tokens (doc
     * identity under exact token sequence; differs from SimHash which is

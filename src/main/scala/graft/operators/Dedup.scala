@@ -322,6 +322,46 @@ object Dedup {
       .select($"id_a", $"id_b", $"jaccard")
   }
 
+  /** Chunk-level exact dedup (the CCNet / RefinedWeb "line-level"
+    * pass, adapted to token windows): split each doc into consecutive
+    * `chunkTokens`-token chunks (trailing partial kept), hash each, and
+    * count per doc how many of its chunk OCCURRENCES are duplicated
+    * (global hash multiplicity ≥ 2 — within-doc repeats count). Returns
+    * (idCol, n_chunks, n_dup_chunks); callers threshold on the fraction
+    * to drop boilerplate-heavy docs.
+    *
+    * Scale shape: chunking is a codegen'd map (split/slice/transform, no
+    * UDF); only (id, hash64) pairs shuffle — 16 bytes per chunk, never
+    * the strings; the multiplicity count is a partial-agg groupBy. A
+    * 64-bit collision can only OVER-count a duplicate (the conservative
+    * direction for a quality filter) — documented, not pretended away.
+    */
+  def chunkDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 10
+  ): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be positive")
+    val toks = split(col(textCol), " ")
+    val nChunks = floor((size(toks) + lit(chunkTokens - 1)) / lit(chunkTokens)).cast("int")
+    val chunks = transform(
+      sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")
+    )
+    val ch = docs
+      .where(col(textCol) =!= "")
+      .select(col(idCol), explode(chunks).as("chunk"))
+      .select(col(idCol), xxhash64(col("chunk")).as("h"))
+    val counts = ch.groupBy("h").agg(count(lit(1)).as("c"))
+    ch.join(counts, "h")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_chunks")
+      )
+  }
+
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, candidate
     * generation via random-hyperplane LSH (sign sketch) so the verify
     * join is bucketed, not all-pairs. Embeddings assumed L2-comparable.

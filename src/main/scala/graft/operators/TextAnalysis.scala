@@ -57,4 +57,28 @@ object TextAnalysis {
       }
       .toDF()
   }
+
+  /** Gopher-style repetition quality signals per doc (docs with < 3
+    * tokens are dropped — both fractions undefined):
+    * (doc_id, top_bigram_e6, dup_trigram_e6) where top_bigram =
+    * max-bigram-count / total-bigrams and dup_trigram =
+    * 1 − distinct/total trigrams. Pure map stage (tokenize once).
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val (maxBig, totBig, distTri, totTri) =
+          TextFeatures.repetition(Analyzer.tokenize(text))
+        if (totTri == 0L) None
+        // float-op order mirrors the SQL oracle exactly: (x * 1e6) / tot
+        else Some((id,
+          math.round(maxBig * 1e6 / totBig),
+          math.round((totTri - distTri) * 1e6 / totTri)))
+      }
+      .toDF("doc_id", "top_bigram_e6", "dup_trigram_e6")
+  }
 }

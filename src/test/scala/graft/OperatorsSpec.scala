@@ -599,6 +599,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2 == ((1L, 3L)), s"distinct semantics: $got2")
   }
 
+  // ---- PII redaction ------------------------------------------------------
+  test("redact: fixed stage order, counts per stage, overlaps deterministic") {
+    import graft.operators.Redact
+    val d = Seq(
+      (1L, "mail a.b+c@ex.co and x@y.io, ip 192.168.0.1, call +49-030-123456"),
+      (2L, "no pii here"),
+      (3L, "ip inside mail 1.2.3.4@host.com stays one email")
+    ).toDF("doc_id", "text")
+    val got = Redact.redact(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L)._1 == "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>")
+    assert((got(1L)._2, got(1L)._3, got(1L)._4) == ((2L, 1L, 1L)))
+    assert(got(2L) == (("no pii here", 0L, 0L, 0L)))
+    // the dotted quad is consumed by the email stage → no <IP> double-count
+    assert(got(3L)._1 == "ip inside mail <EMAIL> stays one email")
+    assert((got(3L)._2, got(3L)._3) == ((1L, 0L)))
+  }
+
+  // ---- Gopher repetition signals -------------------------------------------
+  test("repetition: top-bigram and dup-trigram fractions ≡ hand-computed") {
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab ba ab ba ab → top 'a b'=3/5; trigrams: aba bab aba bab → dist 2 of 4
+      (2L, "x y z w"),       // all distinct: top bigram 1/3, dup trigrams 0/2
+      (3L, "p q"),           // <3 tokens → dropped
+      (4L, "")               // empty → dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((math.round(3 * 1e6 / 5), math.round(2 * 1e6 / 4))))
+    assert(got(2L) == ((math.round(1 * 1e6 / 3), 0L)))
+  }
+
+  // ---- chunk-level dedup ----------------------------------------------------
+  test("chunkDedup: occurrence-level duplicate counts, partial tail chunk") {
+    import graft.operators.Dedup
+    // chunk size 2: doc1 = [a b][c d][e]; doc2 shares [a b] and [e]-tail;
+    // doc3 repeats [q q] twice within itself
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b z z e"),
+      (3L, "q q q q")
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(d, "doc_id", "text", chunkTokens = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: chunks "a b","c d","e" → dup: "a b" (with doc2), "e" (with doc2 tail)
+    assert(got(1L) == ((3L, 2L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((3L, 2L)), s"doc2: ${got(2L)}")
+    // doc3: "q q","q q" → both occurrences duplicated
+    assert(got(3L) == ((2L, 2L)), s"doc3: ${got(3L)}")
+  }
+
   // ---- Hybrid RRF fusion ------------------------------------------------
   test("rrf: reciprocal-rank fusion ≡ hand-computed; per-qid batched variant") {
     import graft.query.Hybrid
