@@ -417,6 +417,23 @@ object SparkEntry {
         .select($"n_docs", $"min_v", $"max_v", $"sum_v",
           round($"avg_v" * 10000).cast("long").as("avg_e4"))
     },
+    // ES extended_stats: exact integer Σv/Σv² partials → population
+    // variance and std deviation (ES definitions), one row
+    "q_facet_extstats" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.extendedStatsAgg(s, indexFor(s, dir), QueryOr, "or", "doc_len")
+        .select($"n_docs", $"min_v", $"max_v", $"sum_v", $"sum_sq",
+          round($"variance_v" * 10000).cast("long").as("var_e4"),
+          round($"std_dev_v" * 10000).cast("long").as("std_e4"))
+    },
+    // ES percentile_ranks (inverse percentiles), exact: % of match-set
+    // doc_len values ≤ each probe
+    "q_facet_pct_ranks" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.percentileRanksAgg(s, indexFor(s, dir), QueryOr, "or",
+        "doc_len", values = Seq(30L, 60L, 90L, 120L))
+        .select($"value", $"pct_e4")
+    },
     // ES percentiles agg, exact nearest-rank over the match set's doc_len
     // values (per-slice value-histogram partials; cumulative walk over
     // distinct values)
@@ -1487,6 +1504,46 @@ SELECT count(*)::BIGINT AS n_docs, min(doc_len)::BIGINT AS min_v,
        max(doc_len)::BIGINT AS max_v, sum(doc_len)::BIGINT AS sum_v,
        round((sum(doc_len)::DOUBLE / count(*)::DOUBLE) * 10000)::BIGINT AS avg_e4
 FROM m""",
+    "q_facet_extstats" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS doc_len
+  FROM documents
+), m AS (
+  SELECT dl.doc_len FROM dl
+  WHERE dl.doc_id IN (SELECT DISTINCT doc_id FROM toks
+                      WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+), sel AS (
+  SELECT count(*)::BIGINT AS n_docs, min(doc_len)::BIGINT AS min_v,
+         max(doc_len)::BIGINT AS max_v, sum(doc_len)::BIGINT AS sum_v,
+         sum(doc_len * doc_len)::BIGINT AS sum_sq
+  FROM m
+)
+SELECT n_docs, min_v, max_v, sum_v, sum_sq,
+       round(((sum_sq::DOUBLE / n_docs::DOUBLE)
+              - (sum_v::DOUBLE / n_docs::DOUBLE) * (sum_v::DOUBLE / n_docs::DOUBLE)) * 10000)::BIGINT AS var_e4,
+       round(sqrt((sum_sq::DOUBLE / n_docs::DOUBLE)
+              - (sum_v::DOUBLE / n_docs::DOUBLE) * (sum_v::DOUBLE / n_docs::DOUBLE)) * 10000)::BIGINT AS std_e4
+FROM sel""",
+    "q_facet_pct_ranks" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS doc_len
+  FROM documents
+), mv AS (
+  SELECT dl.doc_len AS v FROM dl
+  WHERE dl.doc_id IN (SELECT DISTINCT doc_id FROM toks
+                      WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+), tot AS (
+  SELECT count(*)::BIGINT AS n FROM mv
+), probes AS (
+  SELECT unnest([30, 60, 90, 120])::BIGINT AS value
+)
+SELECT p.value,
+       round((SELECT count(*) FROM mv WHERE mv.v <= p.value) * 1e6 / tot.n)::BIGINT AS pct_e4
+FROM probes p CROSS JOIN tot ORDER BY value""",
     "q_facet_pct" ->
       s"""WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''

@@ -657,6 +657,78 @@ object Facets {
         when($"n_docs" > 0, $"sum_v".cast("double") / $"n_docs".cast("double")))
   }
 
+  /** ES `extended_stats`: [[statsAgg]] plus sum-of-squares, population
+    * variance and std deviation (ES definitions: variance =
+    * sum_of_sqrs/n − mean², std = √variance). Partials stay one row per
+    * (segment, slice) — Σv and Σv² are EXACT integer sums, so the final
+    * double arithmetic is order-independent and SQL-mirrorable. Σv²
+    * overflow fails loudly (addExact) — the provisioned numeric fields
+    * (lengths, ports, durations) are small-magnitude; an epoch-millis
+    * field belongs on the documented double/t-digest swap-in instead.
+    */
+  def extendedStatsAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      numField: String,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    numericWalk(spark, Seq(indexDir), queryTerms, mode, numField, attrFilter,
+      mustNot, minShouldMatch, histogram = false)
+      .agg(
+        coalesce(sum($"n"), lit(0L)).as("n_docs"),
+        min($"mn").as("min_v"),
+        max($"mx").as("max_v"),
+        sum($"sm").as("sum_v"),
+        sum($"s2").as("sum_sq"))
+      .withColumn("avg_v",
+        when($"n_docs" > 0, $"sum_v".cast("double") / $"n_docs".cast("double")))
+      .withColumn("variance_v",
+        when($"n_docs" > 0,
+          $"sum_sq".cast("double") / $"n_docs".cast("double") - $"avg_v" * $"avg_v"))
+      .withColumn("std_dev_v", when($"n_docs" > 0, sqrt($"variance_v")))
+  }
+
+  /** ES `percentile_ranks` (the inverse of [[percentilesAgg]]), exact:
+    * for each probe value, the percentage of match-set values ≤ it —
+    * 100·|{v ≤ probe}|/n. Same per-slice value-histogram partials; the
+    * global side touches only DISTINCT values (the declared-numeric
+    * cardinality contract). Returns (value, pct_e4) ordered by value.
+    */
+  def percentileRanksAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      numField: String,
+      values: Seq[Long],
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    require(values.nonEmpty, "percentile_ranks needs probe values")
+    val hist = numericWalk(spark, Seq(indexDir), queryTerms, mode, numField,
+      attrFilter, mustNot, minShouldMatch, histogram = true)
+      .groupBy($"v").agg(sum($"n").as("n"))
+    val totalRow = hist.agg(sum($"n")).head()
+    if (totalRow.isNullAt(0))
+      return spark.emptyDataset[(Long, Long)].toDF("value", "pct_e4")
+    val total = totalRow.getLong(0)
+    val probes = values.distinct.sorted.toDF("value")
+    probes.join(hist, hist("v") <= probes("value"), "left")
+      .groupBy($"value")
+      .agg(coalesce(sum($"n"), lit(0L)).as("cnt"))
+      // pct_e4 = percent × 1e4; integer cnt/total → one double division,
+      // mirrored verbatim by the SQL oracle
+      .select($"value", round($"cnt" * lit(1e6) / lit(total.toDouble)).cast("long").as("pct_e4"))
+      .orderBy($"value")
+  }
+
   /** ES `percentiles` on a declared numeric field, EXACT nearest-rank
     * semantics: for each p, the value at rank ⌈p/100 · n⌉ of the sorted
     * match values. Slices emit (value → count) histogram partials; the
@@ -1168,7 +1240,8 @@ object Facets {
     val exTerms = mustNot.distinct
     val emptyOut =
       if (histogram) spark.emptyDataset[(Long, Long)].toDF("v", "n")
-      else spark.emptyDataset[(Long, Long, Long, Long)].toDF("n", "sm", "mn", "mx")
+      else spark.emptyDataset[(Long, Long, Long, Long, Long)]
+        .toDF("n", "sm", "mn", "mx", "s2")
     if (terms.isEmpty || terms.size < minShouldMatch) return emptyOut
 
     val bCtx = spark.sparkContext.broadcast((terms.toArray, exTerms.toArray))
@@ -1229,19 +1302,24 @@ object Facets {
                   counts.update(v, counts.getOrElse(v, 0L) + 1L)
                 }
               }
-              counts.iterator.map { case (v, n) => (v, n, 0L, 0L) }.toArray.iterator
+              counts.iterator.map { case (v, n) => (v, n, 0L, 0L, 0L) }.toArray.iterator
             } else {
-              var n = 0L; var sm = 0L
+              var n = 0L; var sm = 0L; var s2 = 0L
               var mn = Long.MaxValue; var mx = Long.MinValue
               BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
                 if (reader.seek(id)) {
                   val v = reader.numValue(numIdx)
                   n += 1; sm += v
+                  // exact integer Σv² partials keep extended_stats
+                  // deterministic across slice orders; overflow is LOUD
+                  // (a warc_ts-scale field needs the double/t-digest
+                  // path, not a silent wrap)
+                  s2 = Math.addExact(s2, Math.multiplyExact(v, v))
                   if (v < mn) mn = v
                   if (v > mx) mx = v
                 }
               }
-              if (n == 0) Iterator.empty else Iterator.single((n, sm, mn, mx))
+              if (n == 0) Iterator.empty else Iterator.single((n, sm, mn, mx, s2))
             }
           } finally {
             reader.close()
@@ -1252,8 +1330,8 @@ object Facets {
           }
         }
       }
-    if (asHist) partials.toDF("v", "n", "_a", "_b").select($"v", $"n")
-    else partials.toDF("n", "sm", "mn", "mx")
+    if (asHist) partials.toDF("v", "n", "_a", "_b", "_c").select($"v", $"n")
+    else partials.toDF("n", "sm", "mn", "mx", "s2")
   }
 
   /** [[dateHistogram]] over a FIELDED query (ES: aggs next to a

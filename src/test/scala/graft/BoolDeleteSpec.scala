@@ -923,6 +923,29 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp, s"percentiles: $got vs $exp")
   }
 
+  test("extended_stats and percentile_ranks ≡ exhaustive recompute") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val dlOf = corpus.map { case (id, t) => id -> Analyzer.tokenCount(t).toLong }.toMap
+    val vs = matchedIds(terms, and = false).map(dlOf)
+    val n = vs.size.toLong
+    val (sm, s2) = (vs.sum, vs.map(v => v * v).sum)
+    val avg = sm.toDouble / n
+    val variance = s2.toDouble / n - avg * avg
+    val row = Facets.extendedStatsAgg(spark, dir.toString, terms, "or", "doc_len").head()
+    assert(row.getLong(0) == n && row.getLong(1) == vs.min && row.getLong(2) == vs.max)
+    assert(row.getLong(3) == sm && row.getLong(4) == s2)
+    assert(math.abs(row.getAs[Double]("variance_v") - variance) < 1e-9)
+    assert(math.abs(row.getAs[Double]("std_dev_v") - math.sqrt(variance)) < 1e-9)
+
+    val probes = Seq(0L, 40L, 80L, 10000L)
+    val exp = probes.map(p => p -> math.round(vs.count(_ <= p) * 1e6 / n)).toMap
+    val got = Facets.percentileRanksAgg(spark, dir.toString, terms, "or", "doc_len", probes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"pct_ranks: $got vs $exp")
+    assert(got(10000L) == 1000000L, "probe above max = 100%")
+  }
+
   test("significant_terms background is bounded by the foreground key set") {
     import graft.query.Facets
     // the fixture corpus has several langs; a foreground of ONE key must
