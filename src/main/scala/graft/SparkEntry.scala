@@ -719,6 +719,23 @@ object SparkEntry {
       graft.query.Hybrid.rrf(Seq(lex, dense), 10)
         .select($"doc_id", round($"score" * 1e9).cast("long").as("rrf_e9"))
     },
+    // ES 8 `linear` retriever: weighted min-max-normalized fusion of the
+    // same two lists (scores pre-quantized to e4 ints so the arithmetic
+    // is reproducible across engines — see Hybrid.linear's caveat)
+    "q_hybrid_linear" -> { (s, dir) =>
+      import s.implicits._
+      val lex = Search.topK(s, indexFor(s, dir), QueryOr, "or", 20)
+        .select($"doc_id", round($"score" * 10000).cast("long").cast("double").as("score"))
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.where($"vec_id" === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val dense = graft.operators.Ann
+        .bruteForceTopK(q, e, "qid", "qvec", "vec_id", "embedding", 20)
+        .select($"id".as("doc_id"),
+          round($"cosine" * 10000).cast("long").cast("double").as("score"))
+      graft.query.Hybrid.linear(Seq((lex, 0.7), (dense, 0.3)), 10)
+        .select($"doc_id", round($"score" * 1000000).cast("long").as("lin_e6"))
+    },
     // bool.should minimum_should_match: candidates must match ≥2 of the 3
     // query terms; scores unchanged (still summed over matched terms)
     "q_bm25_msm" -> { (s, dir) =>
@@ -2092,6 +2109,47 @@ GROUP BY 1""",
 )
 SELECT doc_id, round(sum(1.0 / (60 + rank)) * 1e9)::BIGINT AS rrf_e9
 FROM u GROUP BY 1 ORDER BY sum(1.0 / (60 + rank)) DESC, doc_id LIMIT 10""",
+    "q_hybrid_linear" ->
+      """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN alldocs ad ON ad.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+), lex AS (
+  SELECT doc_id, round(score * 10000)::DOUBLE AS s
+  FROM scores ORDER BY score DESC, doc_id LIMIT 20
+), dense AS (
+  SELECT doc_id, round(c * 10000)::DOUBLE AS s
+  FROM (SELECT vec_id AS doc_id,
+               list_cosine_similarity(embedding,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS c
+        FROM embeddings)
+  ORDER BY c DESC, doc_id LIMIT 20
+), lmm AS (SELECT min(s) AS mn, max(s) AS mx FROM lex
+), dmm AS (SELECT min(s) AS mn, max(s) AS mx FROM dense
+), u AS (
+  SELECT doc_id, 0.7 * (CASE WHEN mx > mn THEN (s - mn) / (mx - mn) ELSE 1.0 END) AS sc
+  FROM lex CROSS JOIN lmm
+  UNION ALL
+  SELECT doc_id, 0.3 * (CASE WHEN mx > mn THEN (s - mn) / (mx - mn) ELSE 1.0 END) AS sc
+  FROM dense CROSS JOIN dmm
+)
+SELECT doc_id, round(sum(sc) * 1000000)::BIGINT AS lin_e6
+FROM u GROUP BY 1 ORDER BY sum(sc) DESC, doc_id LIMIT 10""",
     "q_qs_bool" -> bm25OracleSql(Seq("spark", "merge"), and = false,
       candWhere = "source = 'src1'", mustNot = Seq("batch")),
     "q_qs_nested" ->

@@ -39,6 +39,33 @@ object Hybrid {
       .limit(k)
   }
 
+  /** ES 8 `linear` retriever: weighted sum of per-list MIN-MAX
+    * normalized scores — norm(s) = (s − min)/(max − min) over the list's
+    * own top-w window (a constant-score list normalizes to 1.0, the ES
+    * degenerate-case choice), fused = Σ weight·norm over the lists
+    * containing the doc. Unlike [[rrf]] this is score-sensitive, so
+    * callers who need cross-engine reproducibility should quantize the
+    * input scores first (raw BM25 doubles differ in the last ulp across
+    * engines; ranks don't).
+    */
+  def linear(lists: Seq[(DataFrame, Double)], k: Int): DataFrame = {
+    require(lists.nonEmpty, "linear fusion needs at least one list")
+    require(lists.forall(_._2 >= 0.0), "weights must be non-negative")
+    val normed = lists.map { case (df, weight) =>
+      val mm = df.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+      df.crossJoin(broadcast(mm))
+        .select(col("doc_id"),
+          (lit(weight) * when(col("mx") > col("mn"),
+            (col("score") - col("mn")) / (col("mx") - col("mn")))
+            .otherwise(lit(1.0))).as("score"))
+    }
+    normed.reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(sum(col("score")).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Batched variant: lists carry (qid, doc_id, score); ranks are
     * per-qid, output is top-k per qid. The window partitions by qid, so
     * a thousand-query batch fans across the cluster.

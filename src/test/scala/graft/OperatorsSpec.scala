@@ -682,6 +682,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(byQ((1L, 8L)) - r(1)) < 1e-12)
   }
 
+  // ---- linear (min-max) fusion ------------------------------------------
+  test("linear fusion: weighted min-max normalization, constant list → 1.0") {
+    import graft.query.Hybrid
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0)).toDF("doc_id", "score")
+    val b = Seq((3L, 7.0), (2L, 7.0)).toDF("doc_id", "score") // constant list
+    val got = Hybrid.linear(Seq((a, 0.7), (b, 0.3)), 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // a normalizes to 1.0/0.5/0.0; b is constant → every member gets 1.0
+    assert(math.abs(got(1L) - 0.7) < 1e-12)
+    assert(math.abs(got(2L) - (0.7 * 0.5 + 0.3)) < 1e-12)
+    assert(math.abs(got(3L) - 0.3) < 1e-12)
+  }
+
   // ---- Token-budget shard packing --------------------------------------
   test("packing: contiguous prefix-sum shards, layout-independent, bounded overflow") {
     import graft.operators.Packing
