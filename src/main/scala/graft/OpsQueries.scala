@@ -89,6 +89,16 @@ object OpsQueries {
       Dedup.chunkDedup(dupCorpus(s, dir), "doc_id", "text", chunkTokens = 10)
         .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"))
     },
+    // ES percolator (reverse search / alerting): registered queries
+    // broadcast, docs stream through map-side — which alerts fire per doc
+    "q_percolate" -> { (s, dir) =>
+      import graft.operators.Percolate
+      val qs = Seq(
+        Percolate.Query(1L, Seq("spark", "merge"), "and", 1),
+        Percolate.Query(2L, Seq("window", "batch", "stream"), "or", 2),
+        Percolate.Query(3L, Seq("vector"), "or", 1))
+      Percolate.percolate(docs(s, dir), "doc_id", "text", qs)
+    },
     // exact dedup: hash-groupBy, keep lowest id
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(dupCorpus(s, dir), "doc_id", "text")
@@ -448,6 +458,21 @@ FROM bstat b JOIN tstat t USING (doc_id)""",
 SELECT ch.doc_id, count(*)::BIGINT AS n_chunks,
        sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
 FROM ch JOIN cnt USING (chunk) GROUP BY 1""",
+    "q_percolate" ->
+      """WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text <> ''
+), m1 AS (
+  SELECT doc_id, 1 AS query_id FROM toks WHERE term IN ('spark', 'merge')
+  GROUP BY 1 HAVING count(DISTINCT term) = 2
+), m2 AS (
+  SELECT doc_id, 2 AS query_id FROM toks WHERE term IN ('window', 'batch', 'stream')
+  GROUP BY 1 HAVING count(DISTINCT term) >= 2
+), m3 AS (
+  SELECT doc_id, 3 AS query_id FROM toks WHERE term = 'vector' GROUP BY 1
+)
+SELECT doc_id, query_id::BIGINT AS query_id
+FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)""",
     "q_dedup_exact" ->
       """WITH u AS (SELECT doc_id, text FROM documents
                     UNION ALL SELECT doc_id + 100000, text FROM documents)

@@ -682,6 +682,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(byQ((1L, 8L)) - r(1)) < 1e-12)
   }
 
+  // ---- percolation (reverse search) ---------------------------------------
+  test("percolate: and/or/msm matching, early exit, loud validation") {
+    import graft.operators.Percolate
+    import graft.operators.Percolate.Query
+    val d = Seq(
+      (1L, "a b c"), (2L, "a x y"), (3L, "b c d"), (4L, ""), (5L, "x y z")
+    ).toDF("doc_id", "text")
+    val qs = Seq(
+      Query(10L, Seq("a", "b"), "and", 1), // docs with both a and b → 1
+      Query(20L, Seq("a", "b", "c"), "or", 2), // ≥2 of {a,b,c} → 1, 3
+      Query(30L, Seq("z"), "or", 1) // 5
+    )
+    val got = Percolate.percolate(d, "doc_id", "text", qs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 20L), (3L, 20L), (5L, 30L)), s"got $got")
+    intercept[IllegalArgumentException](
+      Percolate.percolate(d, "doc_id", "text", Seq(Query(1L, Seq("a"), "xor", 1))))
+    intercept[IllegalArgumentException](
+      Percolate.percolate(d, "doc_id", "text", Seq(Query(1L, Seq("a"), "or", 2))))
+  }
+
   // ---- linear (min-max) fusion ------------------------------------------
   test("linear fusion: weighted min-max normalization, constant list → 1.0") {
     import graft.query.Hybrid
