@@ -399,6 +399,20 @@ object SparkEntry {
         kwField = "source", interval = "day")
         .select($"source", $"bucket", $"n_docs")
     },
+    // the Kibana dashboard shape end-to-end: a query_string drives an
+    // aggregation — the search-bar text compiles to the engine's flat
+    // bool (terms/mode/must_not/attr filter) and ANY facet runs behind it
+    "q_facet_qs" -> { (s, dir) =>
+      import s.implicits._
+      val idx = indexFor(s, dir)
+      val attrs = graft.index.IndexBuilder.readMeta(idx).attrs.map(a => a.name -> a.kind).toMap
+      val f = graft.query.QueryString
+        .compileFlat("lang:en AND (spark OR merge) -batch", attrs)
+        .getOrElse(sys.error("expected a flat query"))
+      graft.query.Facets.dateHistogram(s, idx, f.terms, f.mode, "day",
+        f.attrFilter, f.mustNot, f.minShouldMatch)
+        .select($"bucket", $"n_docs")
+    },
     // ES significant_terms (JLH) on the custom keyword: which sources are
     // OVERREPRESENTED among docs matching the query vs the whole corpus —
     // the diagnostic agg of the event-log read path
@@ -1487,6 +1501,17 @@ WHERE doc_id IN (SELECT doc_id FROM toks
                  WHERE term IN (${QueryAnd.map(t => s"'$t'").mkString(", ")})
                  GROUP BY doc_id HAVING count(DISTINCT term) = ${QueryAnd.distinct.size})
 GROUP BY 1, 2""",
+    "q_facet_qs" ->
+      """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+)
+SELECT strftime(epoch_ms(1609459200000 + doc_id * 60000), '%Y%m%d') AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents
+WHERE lang = 'en'
+  AND doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'merge'))
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'batch')
+GROUP BY 1""",
     "q_significant_src" ->
       s"""WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''

@@ -502,17 +502,44 @@ object QueryString {
     }
   }
 
-  /** Flat bool of plain terms (+ AND-able filters) → [[Search.topK]]:
-    * the WAND fast path with block-max gates. Mixed must+should, fuzzy,
-    * patterns, phrases, or nested groups fall through to the tree.
+  /** A FLAT query compiled to the engine's standard bool vocabulary —
+    * the handle that lets the whole aggregation/facet layer (and any
+    * other (terms, mode, msm, mustNot, attrFilter)-shaped API) run
+    * behind the Kibana search bar: `Facets.dateHistogram(spark, idx,
+    * f.terms, f.mode, "day", f.attrFilter, f.mustNot, f.minShouldMatch)`.
     */
-  private def fastPath(spark: SparkSession, indexDir: String, b: Bool, k: Int): Option[DataFrame] = {
+  final case class Flat(
+      terms: Seq[String],
+      boosts: Seq[Double],
+      mode: String,
+      minShouldMatch: Int,
+      mustNot: Seq[String],
+      attrFilter: AttrPred // null = none
+  )
+
+  /** Compile `q` to [[Flat]] when it IS flat: plain term leaves (no
+    * fuzzy/pattern/phrase/nesting), AND-able filters, scoring must_nots.
+    * None when the query needs the tree evaluator.
+    */
+  def compileFlat(q: String, attrs: Map[String, String]): Option[Flat] =
+    compileFlat(parse(q, attrs))
+
+  private def compileFlat(b: Bool): Option[Flat] = {
     def plainTerm(n: Node): Option[(String, Double)] =
       n match { case TermLeaf(t, boost, 0) => Some((t, boost)); case _ => None }
     val (filterMusts, scoringMusts) = b.must.partition(asFilter(_).isDefined)
     val (filterNots, scoringNots) = b.mustNot.partition(asFilter(_).isDefined)
-    val mustTerms = scoringMusts.map(plainTerm)
-    val shouldTerms = b.should.map(plainTerm)
+    // `filter AND (a OR b)` — THE Kibana shape — is flat too: a single
+    // scoring must that is itself a pure-should group of plain terms
+    // unwraps to (or, its terms)
+    val unwrapped = scoringMusts match {
+      case Seq(Bool(Nil, groupShould, Nil)) if b.should.isEmpty &&
+        groupShould.forall(plainTerm(_).isDefined) =>
+        Bool(Nil, groupShould, b.mustNot)
+      case _ => b
+    }
+    val mustTerms = (if (unwrapped eq b) scoringMusts else Nil).map(plainTerm)
+    val shouldTerms = unwrapped.should.map(plainTerm)
     val notTerms = scoringNots.map(plainTerm)
     if ((mustTerms ++ shouldTerms ++ notTerms).exists(_.isEmpty)) return None
     if (mustTerms.nonEmpty && shouldTerms.nonEmpty) return None // mixed: tree path
@@ -522,8 +549,18 @@ object QueryString {
       if (mustTerms.nonEmpty) (mustTerms.flatten, "and") else (shouldTerms.flatten, "or")
     if (terms.isEmpty) return None // pure filter → tree path handles
     if (terms.map(_._1).distinct.size != terms.size) return None // dup terms: tree sums per clause
-    Some(Search.topK(spark, indexDir, terms.map(_._1), mode, k,
-      attrFilter = pred0, mustNot = notTerms.flatten.map(_._1),
-      boosts = terms.map(_._2)))
+    Some(Flat(terms.map(_._1), terms.map(_._2), mode, 1,
+      notTerms.flatten.map(_._1), pred0))
   }
+
+  /** Flat bool of plain terms (+ AND-able filters) → [[Search.topK]]:
+    * the WAND fast path with block-max gates. Mixed must+should, fuzzy,
+    * patterns, phrases, or nested groups fall through to the tree.
+    */
+  private def fastPath(spark: SparkSession, indexDir: String, b: Bool, k: Int): Option[DataFrame] =
+    compileFlat(b).map { f =>
+      Search.topK(spark, indexDir, f.terms, f.mode, k,
+        attrFilter = f.attrFilter, mustNot = f.mustNot, boosts = f.boosts,
+        minShouldMatch = f.minShouldMatch)
+    }
 }
