@@ -409,7 +409,7 @@ object SparkEntry {
       val f = graft.query.QueryString
         .compileFlat("lang:en AND (spark OR merge) -batch", attrs)
         .getOrElse(sys.error("expected a flat query"))
-      graft.query.Facets.dateHistogram(s, idx, f.terms, f.mode, "day",
+      graft.query.Facets.dateHistogram(s, idx, f.terms, f.mode, "hour",
         f.attrFilter, f.mustNot, f.minShouldMatch)
         .select($"bucket", $"n_docs")
     },
@@ -1505,7 +1505,7 @@ GROUP BY 1, 2""",
       """WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
 )
-SELECT strftime(epoch_ms(1609459200000 + doc_id * 60000), '%Y%m%d') AS bucket,
+SELECT strftime(epoch_ms(1609459200000 + doc_id * 60000), '%Y%m%d%H') AS bucket,
        count(*)::BIGINT AS n_docs
 FROM documents
 WHERE lang = 'en'
