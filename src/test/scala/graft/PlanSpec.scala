@@ -153,4 +153,49 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = executedPlan(df)
     assert(plan.contains("BroadcastHashJoin"), s"q_dict_join not broadcast:\n$plan")
   }
+
+  test("query_string tree eval: equi-joins only, term predicates pushed") {
+    val df = graft.query.QueryString.topK(spark, dir, "(w1 AND w2) OR (w3 AND -w4)", 10)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"query_string plan has a non-equi join:\n$plan")
+    assert("PushedFilters: [^\\n]*term".r.findFirstIn(plan).isDefined,
+      "leaf walks must push term predicates to the postings scan")
+    // filter pushdown: an AND-reachable attr filter rides the sidecar
+    // cursor, so the plan scans no docs table and adds no exchange vs
+    // the unfiltered tree
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).size
+    val filtered = graft.query.QueryString.topK(spark, dir,
+      "lang:ru AND ((w1 AND w2) OR (w3 AND -w4))", 10)
+    assert(exchanges(executedPlan(filtered)) == exchanges(plan),
+      "sidecar filter must not add exchanges to the query_string tree")
+  }
+
+  test("percolate is a pure map: zero exchanges, zero joins") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"w$i common")).toDF("doc_id", "text")
+    val out = graft.operators.Percolate.percolate(docs, "doc_id", "text",
+      Seq(graft.operators.Percolate.Query(1L, Seq("common", "w3"), "and", 1)))
+    val plan = executedPlan(out)
+    assert(!plan.contains("Exchange"), s"percolate must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"percolate must not join:\n$plan")
+  }
+
+  test("decontaminate and chunkDedup shuffle only bare hashes (equi-joins, no strings)") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"w$i w${i + 1} w${i + 2} w${i + 3}")).toDF("doc_id", "text")
+    val dec = graft.operators.Decontaminate.ngramOverlap(
+      docs.where($"doc_id" % 2 === 0), docs.where($"doc_id" % 2 === 1), "doc_id", "text", 3)
+    val decPlan = executedPlan(dec)
+    assert(!decPlan.contains("CartesianProduct") && !decPlan.contains("BroadcastNestedLoop"),
+      s"decontaminate non-equi join:\n$decPlan")
+    // the join key must be the xxhash64 column, not the n-gram string
+    assert("hashpartitioning\\(gh".r.findFirstIn(decPlan.toLowerCase).isDefined ||
+      decPlan.contains("[gh"), s"decontaminate must join on the hash column:\n$decPlan")
+
+    val cd = graft.operators.Dedup.chunkDedup(docs, "doc_id", "text", 2)
+    val cdPlan = executedPlan(cd)
+    assert(!cdPlan.contains("CartesianProduct") && !cdPlan.contains("BroadcastNestedLoop"),
+      s"chunkDedup non-equi join:\n$cdPlan")
+  }
 }
