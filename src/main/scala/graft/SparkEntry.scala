@@ -750,6 +750,15 @@ object SparkEntry {
       graft.query.Hybrid.linear(Seq((lex, 0.7), (dense, 0.3)), 10)
         .select($"doc_id", round($"score" * 1000000).cast("long").as("lin_e6"))
     },
+    // query_string with a FIELDED scoring leaf: title:spark walks the
+    // title field's own index (own df/dl/avgdl — per-field BM25), merge
+    // walks the body; AND composes across fields on the shared doc space
+    "q_qs_fielded" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.QueryString.topK(s, indexFor(s, dir), "title:spark AND merge", 10,
+        textFields = Map("title" -> titleIndexFor(s, dir)))
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
     // bool.should minimum_should_match: candidates must match ≥2 of the 3
     // query terms; scores unchanged (still summed over matched terms)
     "q_bm25_msm" -> { (s, dir) =>
@@ -2175,6 +2184,38 @@ FROM u GROUP BY 1 ORDER BY sum(1.0 / (60 + rank)) DESC, doc_id LIMIT 10""",
 )
 SELECT doc_id, round(sum(sc) * 1000000)::BIGINT AS lin_e6
 FROM u GROUP BY 1 ORDER BY sum(sc) DESC, doc_id LIMIT 10""",
+    "q_qs_fielded" ->
+      """WITH tdoc AS (
+  SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS text
+  FROM documents
+), btoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), ttoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM tdoc WHERE text <> ''
+), bdl AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY 1
+), tdl AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY 1
+), ball AS (SELECT d.doc_id, coalesce(bdl.dl, 0) AS dl FROM documents d LEFT JOIN bdl USING (doc_id)
+), tall AS (SELECT d.doc_id, coalesce(tdl.dl, 0) AS dl FROM documents d LEFT JOIN tdl USING (doc_id)
+), bstats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM ball
+), tstats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM tall
+), ttf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM ttoks WHERE term = 'spark' GROUP BY 1
+), tdf AS (SELECT count(*)::DOUBLE AS df FROM ttf
+), btf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM btoks WHERE term = 'merge' GROUP BY 1
+), bdf AS (SELECT count(*)::DOUBLE AS df FROM btf
+), tsc AS (
+  SELECT ttf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * ttf.tf / (ttf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.dl / s.avgdl)) AS sc
+  FROM ttf CROSS JOIN tdf d JOIN tall ad ON ad.doc_id = ttf.doc_id CROSS JOIN tstats s
+), bsc AS (
+  SELECT btf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * btf.tf / (btf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.dl / s.avgdl)) AS sc
+  FROM btf CROSS JOIN bdf d JOIN ball ad ON ad.doc_id = btf.doc_id CROSS JOIN bstats s
+)
+SELECT t.doc_id, round((t.sc + b.sc) * 10000)::BIGINT AS score_e4
+FROM tsc t JOIN bsc b USING (doc_id)
+ORDER BY (t.sc + b.sc) DESC, t.doc_id LIMIT 10""",
     "q_qs_bool" -> bm25OracleSql(Seq("spark", "merge"), and = false,
       candWhere = "source = 'src1'", mustNot = Seq("batch")),
     "q_qs_nested" ->

@@ -62,11 +62,16 @@ object QueryString {
 
   // ---------------------------------------------------------------- AST
   sealed trait Node
-  /** Scoring term on the default analyzed field; fuzzy > 0 = `~edits`. */
-  final case class TermLeaf(text: String, boost: Double = 1.0, fuzzy: Int = 0) extends Node
+  /** Scoring term; fuzzy > 0 = `~edits`. `field` = None scores the
+    * default analyzed field; Some(f) scores text field f's own index
+    * (per-field BM25 stats — the ES fielded-term reading).
+    */
+  final case class TermLeaf(text: String, boost: Double = 1.0, fuzzy: Int = 0,
+                            field: Option[String] = None) extends Node
   final case class PhraseLeaf(terms: Seq[String], boost: Double = 1.0) extends Node
   /** `*`/`?` pattern — Lucene wildcard, scoring_boolean rewrite. */
-  final case class PatternLeaf(pattern: String, boost: Double = 1.0) extends Node
+  final case class PatternLeaf(pattern: String, boost: Double = 1.0,
+                               field: Option[String] = None) extends Node
   /** Non-scoring filter on a declared sidecar attribute. */
   final case class FilterLeaf(pred: AttrPred) extends Node
   final case class Bool(must: Seq[Node], should: Seq[Node], mustNot: Seq[Node]) extends Node
@@ -139,29 +144,36 @@ object QueryString {
   }
 
   // ------------------------------------------------------------- parser
-  /** Parse against the index's declared attribute schema (field leaves
-    * must name a declared kw/num attr — anything else fails loudly).
+  /** Parse against the index's declared attribute schema: `field:` must
+    * name a declared kw/num attr (→ filter) or a registered TEXT field
+    * (→ per-field scoring leaf) — anything else fails loudly.
     */
-  def parse(q: String, attrs: Map[String, String]): Bool = {
+  def parse(q: String, attrs: Map[String, String],
+            textFields: Set[String] = Set.empty): Bool = {
+    textFields.intersect(attrs.keySet).foreach { f =>
+      throw new IllegalArgumentException(
+        s"'$f' is declared both as an attribute and a text field")
+    }
     val toks = lex(q)
-    val (node, rest) = parseOr(toks, attrs)
+    val (node, rest) = parseOr(toks, attrs, textFields)
     require(rest.isEmpty, s"trailing tokens after query: $rest")
     node
   }
 
   private type Signed = (Char, Node) // '+' must, '~' should, '-' mustNot
 
-  private def parseOr(toks: List[Tok], attrs: Map[String, String]): (Bool, List[Tok]) = {
-    val (first, r0) = parseAnd(toks, attrs)
+  private def parseOr(toks: List[Tok], attrs: Map[String, String],
+                      tf: Set[String]): (Bool, List[Tok]) = {
+    val (first, r0) = parseAnd(toks, attrs, tf)
     var rest = r0
     val items = scala.collection.mutable.ListBuffer[Signed](first: _*)
     var done = false
     while (!done) rest match {
       case OrTok :: tl =>
-        val (nxt, r) = parseAnd(tl, attrs); items ++= nxt; rest = r
+        val (nxt, r) = parseAnd(tl, attrs, tf); items ++= nxt; rest = r
       case (LP | NotTok | PlusTok | MinusTok | _: Word | _: Quoted) :: _ =>
         // juxtaposition = default OR (Lucene default operator)
-        val (nxt, r) = parseAnd(rest, attrs); items ++= nxt; rest = r
+        val (nxt, r) = parseAnd(rest, attrs, tf); items ++= nxt; rest = r
       case _ => done = true
     }
     (toBool(items.toList), rest)
@@ -170,15 +182,16 @@ object QueryString {
   /** andExpr returns SIGNED items: `a AND b` promotes unmarked items to
     * must; explicit '-'/NOT marks survive (`a AND -b` = must a, not b).
     */
-  private def parseAnd(toks: List[Tok], attrs: Map[String, String]): (List[Signed], List[Tok]) = {
-    var (item, rest) = parseClause(toks, attrs)
+  private def parseAnd(toks: List[Tok], attrs: Map[String, String],
+                       tf: Set[String]): (List[Signed], List[Tok]) = {
+    var (item, rest) = parseClause(toks, attrs, tf)
     var items = List(item)
     var explicitAnd = false
     var done = false
     while (!done) rest match {
       case AndTok :: tl =>
         explicitAnd = true
-        val (nxt, r) = parseClause(tl, attrs); items :+= nxt; rest = r
+        val (nxt, r) = parseClause(tl, attrs, tf); items :+= nxt; rest = r
       case _ => done = true
     }
     val signed =
@@ -187,18 +200,20 @@ object QueryString {
     (signed, rest)
   }
 
-  private def parseClause(toks: List[Tok], attrs: Map[String, String]): (Signed, List[Tok]) =
+  private def parseClause(toks: List[Tok], attrs: Map[String, String],
+                          tf: Set[String]): (Signed, List[Tok]) =
     toks match {
-      case PlusTok :: tl  => val (n, r) = parsePrimary(tl, attrs); (('+', n), r)
-      case MinusTok :: tl => val (n, r) = parsePrimary(tl, attrs); (('-', n), r)
-      case NotTok :: tl   => val (n, r) = parsePrimary(tl, attrs); (('-', n), r)
-      case _              => val (n, r) = parsePrimary(toks, attrs); (('~', n), r)
+      case PlusTok :: tl  => val (n, r) = parsePrimary(tl, attrs, tf); (('+', n), r)
+      case MinusTok :: tl => val (n, r) = parsePrimary(tl, attrs, tf); (('-', n), r)
+      case NotTok :: tl   => val (n, r) = parsePrimary(tl, attrs, tf); (('-', n), r)
+      case _              => val (n, r) = parsePrimary(toks, attrs, tf); (('~', n), r)
     }
 
-  private def parsePrimary(toks: List[Tok], attrs: Map[String, String]): (Node, List[Tok]) =
+  private def parsePrimary(toks: List[Tok], attrs: Map[String, String],
+                           tf: Set[String]): (Node, List[Tok]) =
     toks match {
       case LP :: tl =>
-        val (inner, rest) = parseOr(tl, attrs)
+        val (inner, rest) = parseOr(tl, attrs, tf)
         rest match {
           case RP :: r2 => (inner, r2)
           case _        => throw new IllegalArgumentException("unbalanced parenthesis")
@@ -207,22 +222,34 @@ object QueryString {
         val terms = body.trim.split("\\s+").filter(_.nonEmpty).toSeq
         require(terms.nonEmpty, "empty phrase")
         (PhraseLeaf(terms, boost), tl)
-      case Word(w) :: tl => (parseWord(w, attrs), tl)
+      case Word(w) :: tl => (parseWord(w, attrs, tf), tl)
       case t => throw new IllegalArgumentException(s"expected a clause, got $t")
     }
 
-  private def parseWord(w: String, attrs: Map[String, String]): Node = {
+  private def parseWord(w: String, attrs: Map[String, String], tf: Set[String]): Node = {
     val colon = w.indexOf(':')
     if (colon > 0) {
       val field = w.substring(0, colon)
       val value = w.substring(colon + 1)
-      val kind = attrs.getOrElse(field,
-        throw new IllegalArgumentException(
-          s"'$field' is not a declared attribute (have: ${attrs.keys.toSeq.sorted.mkString(", ")})"))
       require(value.nonEmpty, s"empty value for field '$field'")
-      return FilterLeaf(fieldPred(field, kind, value))
+      if (attrs.contains(field))
+        return FilterLeaf(fieldPred(field, attrs(field), value))
+      if (tf.contains(field)) {
+        require(!value.contains("\""),
+          s"quoted values are not supported on text field '$field' (term/wildcard/fuzzy only)")
+        return bareLeaf(value, Some(field))
+      }
+      throw new IllegalArgumentException(
+        s"'$field' is neither a declared attribute (${attrs.keys.toSeq.sorted.mkString(", ")}) " +
+          s"nor a registered text field (${tf.toSeq.sorted.mkString(", ")})")
     }
-    // boost suffix
+    bareLeaf(w, None)
+  }
+
+  /** A bare value (no `field:` prefix handled here) with its optional
+    * `^boost` / `~fuzzy` / wildcard shape, bound to `field`.
+    */
+  private def bareLeaf(w: String, field: Option[String]): Node = {
     var body = w
     var boost = 1.0
     val caret = body.lastIndexOf('^')
@@ -230,16 +257,15 @@ object QueryString {
       boost = body.substring(caret + 1).toDouble
       body = body.substring(0, caret)
     }
-    // fuzzy suffix
     val tilde = body.lastIndexOf('~')
     if (tilde > 0) {
       val tail = body.substring(tilde + 1)
       val edits = if (tail.isEmpty) 1 else tail.toInt
       require(edits >= 0 && edits <= 2, "ES caps fuzziness at 2 edits")
-      return TermLeaf(body.substring(0, tilde), boost, fuzzy = edits)
+      return TermLeaf(body.substring(0, tilde), boost, fuzzy = edits, field)
     }
-    if (body.exists(c => c == '*' || c == '?')) PatternLeaf(body, boost)
-    else TermLeaf(body, boost)
+    if (body.exists(c => c == '*' || c == '?')) PatternLeaf(body, boost, field)
+    else TermLeaf(body, boost, 0, field)
   }
 
   /** `field:value` → typed predicate. Ranges on num fields:
@@ -403,32 +429,35 @@ object QueryString {
   /** Evaluate to the full (doc_id, score) match set; `ctx` is the
     * AND-context filter pushed into every walk below this node.
     */
-  private def eval(spark: SparkSession, indexDir: String, node: Node,
-                   ctx: AttrPred, maxExpansions: Int): DataFrame = {
+  private def eval(spark: SparkSession, indexDir: String, fields: Map[String, String],
+                   node: Node, ctx: AttrPred, maxExpansions: Int): DataFrame = {
     import spark.implicits._
     def boosted(df: DataFrame, b: Double): DataFrame =
       if (b == 1.0) df else df.withColumn("score", $"score" * b)
+    // a fielded leaf walks ITS index (own postings, stats, sidecar — the
+    // shared doc-id space makes the combines field-agnostic)
+    def dirOf(f: Option[String]): String = f.map(fields).getOrElse(indexDir)
     node match {
-      case TermLeaf(t, b, 0) =>
-        boosted(Search.exportMatches(spark, indexDir, Seq(t), "or", attrFilter = ctx), b)
-      case TermLeaf(t, b, edits) =>
-        val exp = expandFuzzy(spark, indexDir, t, edits, maxExpansions)
+      case TermLeaf(t, b, 0, f) =>
+        boosted(Search.exportMatches(spark, dirOf(f), Seq(t), "or", attrFilter = ctx), b)
+      case TermLeaf(t, b, edits, f) =>
+        val exp = expandFuzzy(spark, dirOf(f), t, edits, maxExpansions)
         if (exp.isEmpty) spark.emptyDataset[Search.QueryHit].toDF()
-        else boosted(Search.exportMatches(spark, indexDir, exp, "or", attrFilter = ctx), b)
-      case PatternLeaf(p, b) =>
-        val exp = expandPattern(spark, indexDir, p, maxExpansions)
+        else boosted(Search.exportMatches(spark, dirOf(f), exp, "or", attrFilter = ctx), b)
+      case PatternLeaf(p, b, f) =>
+        val exp = expandPattern(spark, dirOf(f), p, maxExpansions)
         if (exp.isEmpty) spark.emptyDataset[Search.QueryHit].toDF()
-        else boosted(Search.exportMatches(spark, indexDir, exp, "or", attrFilter = ctx), b)
+        else boosted(Search.exportMatches(spark, dirOf(f), exp, "or", attrFilter = ctx), b)
       case PhraseLeaf(terms, b) =>
         boosted(exportPhrase(spark, indexDir, terms, ctx), b)
       case FilterLeaf(p) =>
         filterDocIds(spark, indexDir, conj(ctx, p))
-      case b: Bool => evalBool(spark, indexDir, b, ctx, maxExpansions)
+      case b: Bool => evalBool(spark, indexDir, fields, b, ctx, maxExpansions)
     }
   }
 
-  private def evalBool(spark: SparkSession, indexDir: String, b: Bool,
-                       ctx: AttrPred, maxExpansions: Int): DataFrame = {
+  private def evalBool(spark: SparkSession, indexDir: String, fields: Map[String, String],
+                       b: Bool, ctx: AttrPred, maxExpansions: Int): DataFrame = {
     import spark.implicits._
     // 1. every pure-filter MUST / MUST_NOT folds into the pushdown context
     val (filterMusts, scoringMusts) = b.must.partition(asFilter(_).isDefined)
@@ -436,7 +465,7 @@ object QueryString {
     val ctx2 = (filterMusts.flatMap(asFilter) ++ filterNots.flatMap(asFilter).map(AttrPred.Not))
       .foldLeft(ctx)(conj)
 
-    val mustDfs = scoringMusts.map(eval(spark, indexDir, _, ctx2, maxExpansions))
+    val mustDfs = scoringMusts.map(eval(spark, indexDir, fields, _, ctx2, maxExpansions))
     val hasMust = mustDfs.nonEmpty || filterMusts.nonEmpty || filterNots.nonEmpty
 
     // 2. SHOULD clauses: with a MUST present, a pure-filter should is a
@@ -445,7 +474,7 @@ object QueryString {
     val shouldChildren =
       if (mustDfs.nonEmpty || filterMusts.nonEmpty) b.should.filter(asFilter(_).isEmpty)
       else b.should
-    val shouldDfs = shouldChildren.map(eval(spark, indexDir, _, ctx2, maxExpansions))
+    val shouldDfs = shouldChildren.map(eval(spark, indexDir, fields, _, ctx2, maxExpansions))
     val shouldSum =
       if (shouldDfs.isEmpty) None
       else Some(
@@ -474,7 +503,7 @@ object QueryString {
 
     // 5. scoring MUST_NOTs: one union'd anti join
     if (scoringNots.nonEmpty) {
-      val ex = scoringNots.map(eval(spark, indexDir, _, null, maxExpansions))
+      val ex = scoringNots.map(eval(spark, indexDir, fields, _, null, maxExpansions))
         .reduce(_ unionByName _)
       base = base.join(ex.select($"doc_id"), Seq("doc_id"), "left_anti")
     }
@@ -491,12 +520,13 @@ object QueryString {
     * [[Search.topK]] path; anything composed takes the tree evaluator.
     */
   def topK(spark: SparkSession, indexDir: String, q: String, k: Int,
-           maxExpansions: Int = 128): DataFrame = {
+           maxExpansions: Int = 128,
+           textFields: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     val attrs = IndexBuilder.readMeta(indexDir).attrs.map(a => a.name -> a.kind).toMap
-    val ast = parse(q, attrs)
+    val ast = parse(q, attrs, textFields.keySet)
     fastPath(spark, indexDir, ast, k).getOrElse {
-      eval(spark, indexDir, ast, null, maxExpansions)
+      eval(spark, indexDir, textFields, ast, null, maxExpansions)
         .orderBy(desc("score"), asc("doc_id"))
         .limit(k)
     }
@@ -526,7 +556,7 @@ object QueryString {
 
   private def compileFlat(b: Bool): Option[Flat] = {
     def plainTerm(n: Node): Option[(String, Double)] =
-      n match { case TermLeaf(t, boost, 0) => Some((t, boost)); case _ => None }
+      n match { case TermLeaf(t, boost, 0, None) => Some((t, boost)); case _ => None }
     val (filterMusts, scoringMusts) = b.must.partition(asFilter(_).isDefined)
     val (filterNots, scoringNots) = b.mustNot.partition(asFilter(_).isDefined)
     // `filter AND (a OR b)` — THE Kibana shape — is flat too: a single

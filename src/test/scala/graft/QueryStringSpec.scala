@@ -230,6 +230,58 @@ class QueryStringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotW.nonEmpty, "wildcard group found docs")
   }
 
+  test("fielded scoring leaf: title:term uses the title index's own stats") {
+    // title field = first 3 tokens of each doc, its own index over the
+    // same doc-id space
+    val titleDir = Files.createTempDirectory("graft-qs-title")
+    try {
+      implicit val pageEnc = org.apache.spark.sql.Encoders.product[Page]
+      IndexBuilder.build(spark,
+        PagesGen.pages(spark, NDocs, 8).map { p =>
+          val t = p.text.split(" ").filter(_.nonEmpty).take(3).mkString(" ")
+          Page(p.url, p.warc_ts, graft.sources.HtmlText.wrap(p.url, t), t, p.lang)
+        },
+        titleDir.toString,
+        BuildConfig(nPartitions = 8, nGroups = 2, nSlices = 4, blockSize = 64))
+      // parse: title:w1 is a scoring leaf, lang:ru stays a filter
+      val ast = parse("title:w1 AND w2", attrs, Set("title"))
+      assert(ast.must == Seq(TermLeaf("w1", 1.0, 0, Some("title")), TermLeaf("w2")))
+      intercept[IllegalArgumentException](parse("title:w1", attrs, Set.empty))
+      // exhaustive recompute: per-field BM25 (title stats from the
+      // 3-token corpus), AND across fields
+      // EXACTLY the transform the title build applied
+      val titleCorpus = corpus.map { case (id, t) =>
+        (id, t.split(" ").filter(_.nonEmpty).take(3).mkString(" "))
+      }
+      val tAnalyzed = titleCorpus.map { case (id, t) =>
+        val (dl, tfs) = Analyzer.termFreqs(t); (id, dl, tfs.toMap)
+      }
+      val tAvg = {
+        val tot = tAnalyzed.map(_._2.toLong).sum
+        if (tot > 0) tot.toDouble / NDocs else 1.0
+      }
+      val tDf = tAnalyzed.count(_._3.contains("w1")).toLong
+      val tIdf = NaiveBm25.idf(NDocs, tDf)
+      def tScore(id: Long): Option[Double] = {
+        val (_, dl, tfs) = tAnalyzed(id.toInt)
+        tfs.get("w1").map(tf => tIdf * tf / (tf + K1 * (1 - B + B * dl / tAvg)))
+      }
+      val exp = topOf(analyzed.flatMap { case (id, _, tfs) =>
+        (tScore(id), tfs.contains("w2")) match {
+          case (Some(ts1), true) => Some(id -> (ts1 + ts(id, "w2")))
+          case _ => None
+        }
+      }.toMap)
+      val gotF = QueryString.topK(spark, dir.toString, "title:w1 AND w2", 10,
+        textFields = Map("title" -> titleDir.toString))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assertRank(gotF, exp, "fielded-and")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(titleDir.toFile).deleteRecursively()
+    }
+  }
+
   test("fast path and tree path agree on the same flat query") {
     // force the tree path by wrapping in a redundant group
     val fast = got("w1 w2 -w3")
