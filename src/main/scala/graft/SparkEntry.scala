@@ -707,6 +707,17 @@ object SparkEntry {
         "(spark AND merge) OR (window AND batch^2)", 10)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
+    // the SAME composed query_string over a two-segment FAMILY: leaves
+    // walk both segments with family-global stats, ids are global — the
+    // single-index oracle applies unchanged (rank-identity to merged)
+    "q_qs_family" -> { (s, dir) =>
+      import s.implicits._
+      val (a, b) = splitIndexesFor(s, dir)
+      val ms = new graft.query.MultiSearcher(s, Seq(a, b))
+      graft.query.QueryString.topKFamily(ms,
+        "(spark AND merge) OR (window AND batch^2)", 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
     // query_string pure-filter root (KQL-style): compiled to ONE sidecar
     // AttrPred — keyword equality AND inclusive numeric range, no
     // postings touched; ids ascending (all scores 0)
@@ -1375,6 +1386,45 @@ SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM merged ORDER BY sco
 )
 SELECT doc_id, round(score * 10000)::BIGINT AS score_e4 FROM merged ORDER BY score DESC, doc_id LIMIT 10"""
   }
+
+  private val QsNestedOracle: String =
+    """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('spark', 'merge', 'window', 'batch') GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), ts AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl)) AS sc
+  FROM tf JOIN df USING (term) JOIN alldocs ad ON ad.doc_id = tf.doc_id CROSS JOIN stats s
+), pd AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'spark' THEN sc END) AS s_spark,
+         max(CASE WHEN term = 'merge' THEN sc END) AS s_merge,
+         max(CASE WHEN term = 'window' THEN sc END) AS s_window,
+         max(CASE WHEN term = 'batch' THEN sc END) AS s_batch
+  FROM ts GROUP BY 1
+), sc AS (
+  SELECT doc_id,
+         (CASE WHEN s_spark IS NOT NULL AND s_merge IS NOT NULL
+               THEN s_spark + s_merge ELSE 0 END)
+       + (CASE WHEN s_window IS NOT NULL AND s_batch IS NOT NULL
+               THEN s_window + 2 * s_batch ELSE 0 END) AS score
+  FROM pd
+  WHERE (s_spark IS NOT NULL AND s_merge IS NOT NULL)
+     OR (s_window IS NOT NULL AND s_batch IS NOT NULL)
+)
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4
+FROM sc ORDER BY score DESC, doc_id LIMIT 10"""
 
   def oracleSql: Map[String, String] = OpsQueries.oracleSql ++ Map(
     "q_doc_stats" ->
@@ -2218,44 +2268,8 @@ FROM tsc t JOIN bsc b USING (doc_id)
 ORDER BY (t.sc + b.sc) DESC, t.doc_id LIMIT 10""",
     "q_qs_bool" -> bm25OracleSql(Seq("spark", "merge"), and = false,
       candWhere = "source = 'src1'", mustNot = Seq("batch")),
-    "q_qs_nested" ->
-      """WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
-), dl AS (
-  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
-), alldocs AS (
-  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
-), stats AS (
-  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
-), tf AS (
-  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
-  WHERE term IN ('spark', 'merge', 'window', 'batch') GROUP BY 1, 2
-), df AS (
-  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
-), ts AS (
-  SELECT tf.doc_id, tf.term,
-         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl)) AS sc
-  FROM tf JOIN df USING (term) JOIN alldocs ad ON ad.doc_id = tf.doc_id CROSS JOIN stats s
-), pd AS (
-  SELECT doc_id,
-         max(CASE WHEN term = 'spark' THEN sc END) AS s_spark,
-         max(CASE WHEN term = 'merge' THEN sc END) AS s_merge,
-         max(CASE WHEN term = 'window' THEN sc END) AS s_window,
-         max(CASE WHEN term = 'batch' THEN sc END) AS s_batch
-  FROM ts GROUP BY 1
-), sc AS (
-  SELECT doc_id,
-         (CASE WHEN s_spark IS NOT NULL AND s_merge IS NOT NULL
-               THEN s_spark + s_merge ELSE 0 END)
-       + (CASE WHEN s_window IS NOT NULL AND s_batch IS NOT NULL
-               THEN s_window + 2 * s_batch ELSE 0 END) AS score
-  FROM pd
-  WHERE (s_spark IS NOT NULL AND s_merge IS NOT NULL)
-     OR (s_window IS NOT NULL AND s_batch IS NOT NULL)
-)
-SELECT doc_id, round(score * 10000)::BIGINT AS score_e4
-FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
+    "q_qs_nested" -> QsNestedOracle,
+    "q_qs_family" -> QsNestedOracle,
     "q_qs_filter" ->
       """SELECT doc_id
 FROM (SELECT doc_id, source,

@@ -40,8 +40,27 @@ import graft.query.BlockMaxWand.{BlockRef, FilterIter, PostingIter}
   * non-selected segments are tiny — posting blocks of pruned segments are
   * still never opened.)
   */
+/** Iterator wrapper used by the family export walks: offsets local ids
+  * to global and closes the sidecar cursor on exhaustion. Top-level (not
+  * an inner class) so task closures don't capture the MultiSearcher.
+  */
+private[query] final class GlobalHitIterator(
+    base: Iterator[(Long, Double)], docBase: Long, onExhausted: () => Unit
+) extends Iterator[Search.QueryHit] {
+  private var closed = false
+  def hasNext: Boolean = {
+    val h = base.hasNext
+    if (!h && !closed) { closed = true; onExhausted() }
+    h
+  }
+  def next(): Search.QueryHit = {
+    val (id, s) = base.next()
+    Search.QueryHit(docBase + id, s)
+  }
+}
+
 final class MultiSearcher(
-    spark: SparkSession,
+    val spark: SparkSession,
     segmentDirs: Seq[String],
     explicitBases: Option[Seq[Long]] = None,
     statsFamily: Option[Seq[String]] = None
@@ -362,5 +381,185 @@ final class MultiSearcher(
       }
 
     localTopK.toDF().orderBy(desc("score"), asc("doc_id")).limit(k)
+  }
+
+  /** Declared attribute schema (name → kind) — segments of one family
+    * share it by construction (merges regenerate sidecars from the same
+    * spec), so the head segment's meta is authoritative.
+    */
+  def attrSchema: Map[String, String] =
+    IndexBuilder.readMeta(segmentDirs.head).attrs.map(a => a.name -> a.kind).toMap
+
+  /** Public expansion lists for the composed-query layer (same global-df
+    * ordering as the family rewrites above).
+    */
+  def expandPatternTerms(pattern: String, maxExpansions: Int): Seq[String] = {
+    require(pattern.nonEmpty, "empty wildcard pattern")
+    val sb = new StringBuilder
+    pattern.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    val prefix = pattern.takeWhile(c => c != '*' && c != '?')
+    val base = $"term".rlike(s"^(?:${sb.toString()})$$")
+    expand(if (prefix.isEmpty) base else $"term".startsWith(prefix) && base, maxExpansions)
+  }
+
+  def expandFuzzyTerms(term: String, maxEdits: Int, maxExpansions: Int): Seq[String] = {
+    require(term.nonEmpty, "empty term")
+    require(maxEdits >= 0 && maxEdits <= 2, "ES caps fuzziness at 2 edits")
+    expand(
+      abs(length($"term") - lit(term.length)) <= maxEdits &&
+        levenshtein($"term", lit(term)) <= maxEdits,
+      maxExpansions)
+  }
+
+  /** FULL match set (global doc_id, exact BM25 score) — the family dual
+    * of [[Search.exportMatches]], the building block the composed
+    * query_string tree needs. Streams each (segment, slice)'s walk; no
+    * top-k cut, no block-max gate (no threshold exists).
+    */
+  def exportMatches(
+      queryTerms: Seq[String],
+      mode: String,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    val terms = queryTerms.distinct
+    val dfs = dfOf(terms)
+    val isAnd = mode == "and"
+    if (isAnd && terms.exists(t => !dfs.contains(t)))
+      return spark.emptyDataset[Search.QueryHit].toDF()
+    val present = terms.filter(dfs.contains)
+    if (present.isEmpty || present.size < minShouldMatch)
+      return spark.emptyDataset[Search.QueryHit].toDF()
+    val idfs = terms.map(t => NaiveBm25.idf(nDocs, dfs.getOrElse(t, 0L))).toArray
+    val exTerms = mustNot.distinct
+    val bTerms = spark.sparkContext.broadcast((terms.toArray, idfs, exTerms.toArray))
+    val bBases = spark.sparkContext.broadcast(bases.toArray)
+    val bTombs = spark.sparkContext.broadcast(
+      segmentDirs.map(graft.index.Tombstones.handle).toArray)
+    val bDirs = spark.sparkContext.broadcast(segmentDirs.toArray)
+    val avg = avgDl
+    val msm = minShouldMatch
+    val pred = attrFilter
+
+    segBlocks(present ++ exTerms)
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key, rows) =>
+        val (seg, slice) = key
+        val (qTerms, qIdfs, exT) = bTerms.value
+        val byTerm = rows.toArray.groupBy(_._3)
+        def iterOf(t: String, ti: Int, idf: Double): Option[PostingIter] =
+          byTerm.get(t).map { rs =>
+            val refs = rs.sortBy(r => (r._5, r._4))
+              .map(r => BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11,
+                IndexBuilder.impact(r._12, r._13, avg)))
+            new PostingIter(ti, idf, refs, avg)
+          }
+        val iters = qTerms.iterator.zipWithIndex
+          .flatMap { case (t, ti) => iterOf(t, ti, qIdfs(ti)) }.toArray
+        if (iters.isEmpty || (isAnd && iters.length < qTerms.length)) Iterator.empty
+        else {
+          var filter: DocFilter =
+            if (pred == null) null else AttrSidecar.openCursor(bDirs.value(seg), slice, pred)
+          val predCursor = filter
+          val exIters = exT.iterator.flatMap(t => iterOf(t, 0, 0.0)).toArray
+          if (exIters.nonEmpty)
+            filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+          val tomb = bTombs.value(seg)
+          if (tomb != null) filter = tomb.compose(slice, filter)
+          val docBase = bBases.value(seg)
+          val baseIt = BlockMaxWand.scoredMatches(iters, isAnd, msm, filter)
+          new GlobalHitIterator(baseIt, docBase, () => predCursor match {
+            case c: AutoCloseable => c.close()
+            case _ =>
+          })
+        }
+      }
+      .toDF()
+  }
+
+  /** FULL exact-phrase match set over the family (global ids, BM25
+    * phrase-freq scores at the GLOBAL avgdl) — the family dual of the
+    * single-index phrase export.
+    */
+  def exportPhrase(
+      phraseTerms: Seq[String],
+      attrFilter: AttrPred = null
+  ): DataFrame = {
+    val distinctTerms = phraseTerms.distinct
+    val offsets: Array[Array[Int]] = distinctTerms.map { t =>
+      phraseTerms.zipWithIndex.collect { case (pt, i) if pt == t => i }.toArray
+    }.toArray
+    val dfs = dfOf(distinctTerms)
+    if (distinctTerms.exists(t => !dfs.contains(t)))
+      return spark.emptyDataset[Search.QueryHit].toDF()
+    val idfSum = phraseTerms.map(t => NaiveBm25.idf(nDocs, dfs(t))).sum
+    val bCtx = spark.sparkContext.broadcast((distinctTerms.toArray, offsets, idfSum))
+    val bBases = spark.sparkContext.broadcast(bases.toArray)
+    val bTombs = spark.sparkContext.broadcast(
+      segmentDirs.map(graft.index.Tombstones.handle).toArray)
+    val bDirs = spark.sparkContext.broadcast(segmentDirs.toArray)
+    val avg = avgDl
+    val pred = attrFilter
+    segBlocks(distinctTerms)
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key, rows) =>
+        val (seg, slice) = key
+        val (qTerms, offs, idfS) = bCtx.value
+        val byTerm = rows.toArray.groupBy(_._3)
+        if (!qTerms.forall(byTerm.contains)) Iterator.empty
+        else {
+          def refsOf(t: String) = byTerm(t).sortBy(r => (r._5, r._4))
+            .map(r => BlockRef(r._5, r._6, r._7, r._8, r._9, r._10, r._11, 0.0))
+          val iters = qTerms.map(t => new PostingIter(0, 0.0, refsOf(t), avg))
+          var filter: DocFilter =
+            if (pred == null) null else AttrSidecar.openCursor(bDirs.value(seg), slice, pred)
+          val cur = filter
+          val tomb = bTombs.value(seg)
+          if (tomb != null) filter = tomb.compose(slice, filter)
+          val docBase = bBases.value(seg)
+          val out = BlockMaxWand.phraseMatches(iters, offs, filter)
+            .map { case (id, freq, dl) =>
+              Search.QueryHit(docBase + id, idfS * IndexBuilder.impact(freq, dl, avg))
+            }
+          cur match { case c: AutoCloseable => c.close(); case _ => }
+          out
+        }
+      }
+      .toDF()
+  }
+
+  /** Global doc ids admitted by a pure filter, score 0 — per-segment
+    * sidecar enumeration (tombstones composed), base-offset to global.
+    */
+  def filterDocIds(pred: AttrPred): DataFrame = {
+    val slicesOf = segmentDirs.map(d => IndexBuilder.readMeta(d).nSlices)
+    val tasks = segmentDirs.indices.flatMap(s => (0 until slicesOf(s)).map(sl => (s, sl)))
+    val bBases = spark.sparkContext.broadcast(bases.toArray)
+    val bTombs = spark.sparkContext.broadcast(
+      segmentDirs.map(graft.index.Tombstones.handle).toArray)
+    val bDirs = spark.sparkContext.broadcast(segmentDirs.toArray)
+    spark.createDataset(tasks).repartition(math.min(tasks.size, 32))
+      .flatMap { case (seg, slice) =>
+        val cursor = AttrSidecar.openCursor(bDirs.value(seg), slice, pred)
+        val tomb = bTombs.value(seg)
+        val f: DocFilter = if (tomb == null) cursor else tomb.compose(slice, cursor)
+        val docBase = bBases.value(seg)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Search.QueryHit]
+        var t = 0L
+        var done = false
+        while (!done) {
+          val nxt = f.ceil(t)
+          if (nxt == Long.MaxValue) done = true
+          else { buf += Search.QueryHit(docBase + nxt, 0.0); t = nxt + 1 }
+        }
+        cursor.close()
+        buf
+      }
+      .toDF()
   }
 }

@@ -425,39 +425,84 @@ object QueryString {
     }.toDF()
   }
 
+  // ------------------------------------------------------------ backends
+  /** Execution target for the tree evaluator: a single index or a whole
+    * segment family — the tree logic is identical, only the leaf walks
+    * differ (per-index vs family-global stats).
+    */
+  private trait Backend {
+    def spark: SparkSession
+    def exportTerms(terms: Seq[String], ctx: AttrPred, field: Option[String]): DataFrame
+    def exportPhrase(terms: Seq[String], ctx: AttrPred): DataFrame
+    def filterIds(pred: AttrPred): DataFrame
+    def expandPattern(p: String, max: Int, field: Option[String]): Seq[String]
+    def expandFuzzy(t: String, edits: Int, max: Int, field: Option[String]): Seq[String]
+  }
+
+  private final class IndexBackend(
+      val spark: SparkSession, indexDir: String, fields: Map[String, String]
+  ) extends Backend {
+    // a fielded leaf walks ITS index (own postings, stats, sidecar — the
+    // shared doc-id space makes the combines field-agnostic)
+    private def dirOf(f: Option[String]): String = f.map(fields).getOrElse(indexDir)
+    def exportTerms(terms: Seq[String], ctx: AttrPred, field: Option[String]): DataFrame =
+      Search.exportMatches(spark, dirOf(field), terms, "or", attrFilter = ctx)
+    def exportPhrase(terms: Seq[String], ctx: AttrPred): DataFrame =
+      QueryString.exportPhrase(spark, indexDir, terms, ctx)
+    def filterIds(pred: AttrPred): DataFrame =
+      filterDocIds(spark, indexDir, pred)
+    def expandPattern(p: String, max: Int, field: Option[String]): Seq[String] =
+      QueryString.expandPattern(spark, dirOf(field), p, max)
+    def expandFuzzy(t: String, edits: Int, max: Int, field: Option[String]): Seq[String] =
+      QueryString.expandFuzzy(spark, dirOf(field), t, edits, max)
+  }
+
+  private final class FamilyBackend(
+      val spark: SparkSession, ms: MultiSearcher, fields: Map[String, MultiSearcher]
+  ) extends Backend {
+    private def msOf(f: Option[String]): MultiSearcher = f.map(fields).getOrElse(ms)
+    def exportTerms(terms: Seq[String], ctx: AttrPred, field: Option[String]): DataFrame =
+      msOf(field).exportMatches(terms, "or", attrFilter = ctx)
+    def exportPhrase(terms: Seq[String], ctx: AttrPred): DataFrame =
+      ms.exportPhrase(terms, ctx)
+    def filterIds(pred: AttrPred): DataFrame = ms.filterDocIds(pred)
+    def expandPattern(p: String, max: Int, field: Option[String]): Seq[String] =
+      msOf(field).expandPatternTerms(p, max)
+    def expandFuzzy(t: String, edits: Int, max: Int, field: Option[String]): Seq[String] =
+      msOf(field).expandFuzzyTerms(t, edits, max)
+  }
+
   // ----------------------------------------------------------- tree eval
   /** Evaluate to the full (doc_id, score) match set; `ctx` is the
     * AND-context filter pushed into every walk below this node.
     */
-  private def eval(spark: SparkSession, indexDir: String, fields: Map[String, String],
-                   node: Node, ctx: AttrPred, maxExpansions: Int): DataFrame = {
+  private def eval(be: Backend, node: Node, ctx: AttrPred, maxExpansions: Int): DataFrame = {
+    val spark = be.spark
     import spark.implicits._
     def boosted(df: DataFrame, b: Double): DataFrame =
       if (b == 1.0) df else df.withColumn("score", $"score" * b)
-    // a fielded leaf walks ITS index (own postings, stats, sidecar — the
-    // shared doc-id space makes the combines field-agnostic)
-    def dirOf(f: Option[String]): String = f.map(fields).getOrElse(indexDir)
     node match {
       case TermLeaf(t, b, 0, f) =>
-        boosted(Search.exportMatches(spark, dirOf(f), Seq(t), "or", attrFilter = ctx), b)
+        boosted(be.exportTerms(Seq(t), ctx, f), b)
       case TermLeaf(t, b, edits, f) =>
-        val exp = expandFuzzy(spark, dirOf(f), t, edits, maxExpansions)
+        val exp = be.expandFuzzy(t, edits, maxExpansions, f)
         if (exp.isEmpty) spark.emptyDataset[Search.QueryHit].toDF()
-        else boosted(Search.exportMatches(spark, dirOf(f), exp, "or", attrFilter = ctx), b)
+        else boosted(be.exportTerms(exp, ctx, f), b)
       case PatternLeaf(p, b, f) =>
-        val exp = expandPattern(spark, dirOf(f), p, maxExpansions)
+        val exp = be.expandPattern(p, maxExpansions, f)
         if (exp.isEmpty) spark.emptyDataset[Search.QueryHit].toDF()
-        else boosted(Search.exportMatches(spark, dirOf(f), exp, "or", attrFilter = ctx), b)
+        else boosted(be.exportTerms(exp, ctx, f), b)
       case PhraseLeaf(terms, b) =>
-        boosted(exportPhrase(spark, indexDir, terms, ctx), b)
+        boosted(be.exportPhrase(terms, ctx), b)
       case FilterLeaf(p) =>
-        filterDocIds(spark, indexDir, conj(ctx, p))
-      case b: Bool => evalBool(spark, indexDir, fields, b, ctx, maxExpansions)
+        be.filterIds(conj(ctx, p))
+      case b: Bool => evalBool(be, b, ctx, maxExpansions)
     }
   }
 
-  private def evalBool(spark: SparkSession, indexDir: String, fields: Map[String, String],
+  private def evalBool(be: Backend,
                        b: Bool, ctx: AttrPred, maxExpansions: Int): DataFrame = {
+    val spark = be.spark
     import spark.implicits._
     // 1. every pure-filter MUST / MUST_NOT folds into the pushdown context
     val (filterMusts, scoringMusts) = b.must.partition(asFilter(_).isDefined)
@@ -465,7 +510,7 @@ object QueryString {
     val ctx2 = (filterMusts.flatMap(asFilter) ++ filterNots.flatMap(asFilter).map(AttrPred.Not))
       .foldLeft(ctx)(conj)
 
-    val mustDfs = scoringMusts.map(eval(spark, indexDir, fields, _, ctx2, maxExpansions))
+    val mustDfs = scoringMusts.map(eval(be, _, ctx2, maxExpansions))
     val hasMust = mustDfs.nonEmpty || filterMusts.nonEmpty || filterNots.nonEmpty
 
     // 2. SHOULD clauses: with a MUST present, a pure-filter should is a
@@ -474,7 +519,7 @@ object QueryString {
     val shouldChildren =
       if (mustDfs.nonEmpty || filterMusts.nonEmpty) b.should.filter(asFilter(_).isEmpty)
       else b.should
-    val shouldDfs = shouldChildren.map(eval(spark, indexDir, fields, _, ctx2, maxExpansions))
+    val shouldDfs = shouldChildren.map(eval(be, _, ctx2, maxExpansions))
     val shouldSum =
       if (shouldDfs.isEmpty) None
       else Some(
@@ -491,8 +536,7 @@ object QueryString {
         }
       else shouldSum.getOrElse {
         require(hasMust, "query has no positive clause")
-        filterDocIds(spark, indexDir,
-          if (ctx2 != null) ctx2 else AttrPred.And(Nil))
+        be.filterIds(if (ctx2 != null) ctx2 else AttrPred.And(Nil))
       }
 
     // 4. optional should boost on top of musts (left join, coalesce)
@@ -503,7 +547,7 @@ object QueryString {
 
     // 5. scoring MUST_NOTs: one union'd anti join
     if (scoringNots.nonEmpty) {
-      val ex = scoringNots.map(eval(spark, indexDir, fields, _, null, maxExpansions))
+      val ex = scoringNots.map(eval(be, _, null, maxExpansions))
         .reduce(_ unionByName _)
       base = base.join(ex.select($"doc_id"), Seq("doc_id"), "left_anti")
     }
@@ -522,11 +566,31 @@ object QueryString {
   def topK(spark: SparkSession, indexDir: String, q: String, k: Int,
            maxExpansions: Int = 128,
            textFields: Map[String, String] = Map.empty): DataFrame = {
-    import spark.implicits._
     val attrs = IndexBuilder.readMeta(indexDir).attrs.map(a => a.name -> a.kind).toMap
     val ast = parse(q, attrs, textFields.keySet)
     fastPath(spark, indexDir, ast, k).getOrElse {
-      eval(spark, indexDir, textFields, ast, null, maxExpansions)
+      eval(new IndexBackend(spark, indexDir, textFields), ast, null, maxExpansions)
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(k)
+    }
+  }
+
+  /** [[topK]] over a SEGMENT FAMILY (streaming-ingest segments, upserted
+    * families): every leaf walks all segments with family-global stats
+    * (N/avgdl/Σdf), ids are global — answers rank-identical to querying
+    * the physically merged index. Flat term queries (all boosts 1) take
+    * the family WAND fast path; everything composed takes the tree.
+    */
+  def topKFamily(ms: MultiSearcher, q: String, k: Int,
+                 maxExpansions: Int = 128,
+                 textFields: Map[String, MultiSearcher] = Map.empty): DataFrame = {
+    val ast = parse(q, ms.attrSchema, textFields.keySet)
+    val fast = compileFlat(ast).filter(_.boosts.forall(_ == 1.0)).map { f =>
+      ms.topK(f.terms, f.mode, k, attrFilter = f.attrFilter,
+        mustNot = f.mustNot, minShouldMatch = f.minShouldMatch)
+    }
+    fast.getOrElse {
+      eval(new FamilyBackend(ms.spark, ms, textFields), ast, null, maxExpansions)
         .orderBy(desc("score"), asc("doc_id"))
         .limit(k)
     }

@@ -282,6 +282,49 @@ class QueryStringSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("segment family ≡ single index for every query_string shape") {
+    import graft.query.MultiSearcher
+    // two url-ordered halves of the SAME corpus: family global ids equal
+    // the single index's doc ids, so results must be identical
+    val urls = (0L until NDocs).map(PagesGen.pageFor(_).url).sorted
+    val mid = urls((NDocs / 2).toInt)
+    val dirA = Files.createTempDirectory("graft-qs-famA")
+    val dirB = Files.createTempDirectory("graft-qs-famB")
+    try {
+      val cfg = BuildConfig(nPartitions = 8, nGroups = 2, nSlices = 4, blockSize = 64)
+      IndexBuilder.build(spark, PagesGen.pages(spark, NDocs, 8).filter(_.url < mid),
+        dirA.toString, cfg)
+      IndexBuilder.build(spark, PagesGen.pages(spark, NDocs, 8).filter(_.url >= mid),
+        dirB.toString, cfg)
+      val ms = new MultiSearcher(spark, Seq(dirA.toString, dirB.toString))
+      val shapes = Seq(
+        "w1 w2 -w3",                       // flat (family WAND fast path)
+        "(w1 AND w2) OR (w3 AND w4^2)",    // nested groups + boost (tree)
+        "\"w1 w2\" OR w7",                 // phrase compose
+        "lang:ru AND (w1 OR w2)",          // filter pushdown
+        "w9 OR lang:ru",                   // filter in OR position
+        "rareterm7* AND w1"                // wildcard expansion (global df)
+      )
+      shapes.foreach { q =>
+        val single = got(q)
+        val fam = QueryString.topKFamily(ms, q, 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(fam.map(_._1) == single.map(_._1), s"[$q] ids: fam=$fam single=$single")
+        fam.zip(single).foreach { case ((_, a), (_, b)) =>
+          assert(math.abs(a - b) < 1e-9, s"[$q] score $a vs $b")
+        }
+      }
+      // pure-filter root over the family
+      val famF = QueryString.topKFamily(ms, "lang:ru AND doc_len:>50", 10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(famF == got("lang:ru AND doc_len:>50").map(_._1), "family filter root")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dirA.toFile).deleteRecursively()
+      new Directory(dirB.toFile).deleteRecursively()
+    }
+  }
+
   test("fast path and tree path agree on the same flat query") {
     // force the tree path by wrapping in a redundant group
     val fast = got("w1 w2 -w3")
