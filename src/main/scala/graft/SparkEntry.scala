@@ -770,6 +770,16 @@ object SparkEntry {
         textFields = Map("title" -> titleIndexFor(s, dir)))
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
+    // BATCHED retrieval: three queries in ONE job (one postings scan over
+    // the term union, one shuffle, per-slice walks per query) — the
+    // offline-eval / RAG-training shape; exact per-query top-k
+    "q_bm25_batch" -> { (s, dir) =>
+      import s.implicits._
+      Search.batchTopK(s, indexFor(s, dir), Seq(
+        (1L, QueryOr, "or"), (2L, QueryAnd, "and"),
+        (3L, Seq("window", "batch"), "or")), 10)
+        .select($"qid", $"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
     // bool.should minimum_should_match: candidates must match ≥2 of the 3
     // query terms; scores unchanged (still summed over matched terms)
     "q_bm25_msm" -> { (s, dir) =>
@@ -2270,6 +2280,10 @@ ORDER BY (t.sc + b.sc) DESC, t.doc_id LIMIT 10""",
       candWhere = "source = 'src1'", mustNot = Seq("batch")),
     "q_qs_nested" -> QsNestedOracle,
     "q_qs_family" -> QsNestedOracle,
+    "q_bm25_batch" ->
+      s"""SELECT 1::BIGINT AS qid, * FROM (${bm25OracleSql(QueryOr, and = false)})
+UNION ALL SELECT 2::BIGINT AS qid, * FROM (${bm25OracleSql(QueryAnd, and = true)})
+UNION ALL SELECT 3::BIGINT AS qid, * FROM (${bm25OracleSql(Seq("window", "batch"), and = false)})""",
     "q_qs_filter" ->
       """SELECT doc_id
 FROM (SELECT doc_id, source,

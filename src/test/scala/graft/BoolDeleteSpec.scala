@@ -923,6 +923,28 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp, s"percentiles: $got vs $exp")
   }
 
+  test("batchTopK: many queries, one job ≡ per-query naive top-k") {
+    val batch = Seq(
+      (1L, Seq("w1", "w2"), "or"),
+      (2L, Seq("w1", "w2"), "and"),
+      (3L, Seq("w0"), "or"),
+      (4L, Seq("rareterm7", "w4"), "or"),
+      (5L, Seq("nosuchterm"), "or"),          // unmatched → absent
+      (6L, Seq("w1", "nosuchterm"), "and")    // AND with missing term → absent
+    )
+    val got = Search.batchTopK(spark, dir.toString, batch, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (-t._3, t._2)).toSeq).toMap
+    batch.take(4).foreach { case (qid, ts, mode) =>
+      val exp = NaiveBm25.topK(corpus, ts, mode, 10)
+      assert(got(qid).map(_._2) == exp.map(_.docId), s"qid $qid ids")
+      got(qid).zip(exp).foreach { case ((_, _, s), e) =>
+        assert(math.abs(s - e.score) < 1e-9, s"qid $qid score")
+      }
+    }
+    assert(!got.contains(5L) && !got.contains(6L), "unmatchable queries absent")
+  }
+
   test("extended_stats and percentile_ranks ≡ exhaustive recompute") {
     import graft.query.Facets
     val terms = Seq("w1", "w2")
