@@ -159,4 +159,24 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"))
       .select($"day.start".as("day"), $"term", $"n")
   }
+
+  /** Standing alerts on the ingest stream (ES percolate / Watcher): the
+    * registered query set rides every micro-batch as a broadcast,
+    * matching is stateless map-side ([[graft.operators.Percolate]]), so
+    * it composes with any sink and adds zero shuffle to the pipeline.
+    * Emits (doc_id = xxhash64(url), query_id) per firing alert.
+    */
+  def percolateStream(
+      spark: SparkSession,
+      inputDir: String,
+      queries: Seq[graft.operators.Percolate.Query]
+  ): DataFrame = {
+    import spark.implicits._
+    val schema = spark.emptyDataset[Page].schema
+    val pages = spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .select(xxhash64($"url").as("doc_id"), $"text")
+    graft.operators.Percolate.percolate(pages, "doc_id", "text", queries)
+  }
 }

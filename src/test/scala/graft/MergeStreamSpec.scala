@@ -389,6 +389,33 @@ class MergeStreamSpec extends AnyFunSuite {
     assert(n2 == distinctAll, s"after restart: $n2 != $distinctAll (state must survive the restart)")
   }
 
+  test("streaming percolation: alerts on the ingest stream ≡ batch percolate") {
+    import graft.operators.Percolate
+    import graft.operators.Percolate.Query
+    val inDir = Files.createTempDirectory("stream-perc").toString + "/in"
+    pagesWithPrefix("p", 0, 200).coalesce(2).write.parquet(inDir)
+    val alerts = Seq(
+      Query(1L, Seq("w1", "w2"), "and", 1),
+      Query(2L, Seq("w3", "w4", "w5"), "or", 2),
+      Query(3L, Seq("rareterm7"), "or", 1))
+    val q = StreamingIngest.percolateStream(spark, inDir, alerts)
+      .writeStream
+      .format("memory")
+      .queryName("alerts")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("alerts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Percolate.percolate(
+      spark.read.parquet(inDir).select(xxhash64($"url").as("doc_id"), $"text"),
+      "doc_id", "text", alerts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, "stream alerts ≡ batch percolate")
+    assert(streamed.nonEmpty, "fixture fires at least one alert")
+  }
+
   test("streaming windowed term counts with watermark (memory sink)") {
     val inDir = Files.createTempDirectory("stream-agg").toString + "/in"
     pagesWithPrefix("t", 0, 100).coalesce(1).write.parquet(inDir)
