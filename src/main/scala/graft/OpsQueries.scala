@@ -99,6 +99,16 @@ object OpsQueries {
         Percolate.Query(3L, Seq("vector"), "or", 1))
       Percolate.percolate(docs(s, dir), "doc_id", "text", qs)
     },
+    // CCNet-style LM quality scoring: bigram LM trained on the train
+    // split (doc_id%10≠0, the curated-reference stand-in), eval split
+    // scored by e6 fixed-point log-probability (order-free integer sums)
+    "q_lm_score" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir)
+      val model = graft.operators.LmScore.train(d.where($"doc_id" % 10 =!= 0), "text")
+      graft.operators.LmScore.score(d.where($"doc_id" % 10 === 0), "doc_id", "text", model)
+        .select($"doc_id", $"n_bigrams", $"logp_e6")
+    },
     // exact dedup: hash-groupBy, keep lowest id
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(dupCorpus(s, dir), "doc_id", "text")
@@ -458,6 +468,30 @@ FROM bstat b JOIN tstat t USING (doc_id)""",
 SELECT ch.doc_id, count(*)::BIGINT AS n_chunks,
        sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
 FROM ch JOIN cnt USING (chunk) GROUP BY 1""",
+    "q_lm_score" ->
+      """WITH tr AS (
+  SELECT string_split(text, ' ') AS l FROM documents WHERE doc_id % 10 <> 0 AND text <> ''
+), uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(l) AS w FROM tr) GROUP BY 1
+), v AS (
+  SELECT count(*)::BIGINT AS vocab FROM uni
+), bi AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2, count(*) AS c
+  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM tr) GROUP BY 1, 2
+), ev AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE doc_id % 10 = 0 AND text <> '' AND len(string_split(text, ' ')) >= 2
+), evb AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM ev)
+)
+SELECT e.doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(round(ln((coalesce(b.c, 0) + 1)::DOUBLE / (coalesce(u.c, 0) + v.vocab)::DOUBLE) * 1e6))::BIGINT AS logp_e6
+FROM evb e
+LEFT JOIN bi b ON b.w1 = e.w1 AND b.w2 = e.w2
+LEFT JOIN uni u ON u.w = e.w1
+CROSS JOIN v
+GROUP BY 1""",
     "q_percolate" ->
       """WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term

@@ -682,6 +682,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(byQ((1L, 8L)) - r(1)) < 1e-12)
   }
 
+  // ---- LM quality scoring ---------------------------------------------------
+  test("lm score: bigram Laplace log-prob ≡ hand-computed; short docs dropped") {
+    import graft.operators.LmScore
+    val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // unigrams: a=3, b=2, c=1 → V=3; bigrams: (a,b)=2, (b,a)=1, (a,c)=1
+    val m = LmScore.train(train, "text")
+    assert(m.vocab == 3 && m.unigrams("a") == 3L && m.bigrams(("a", "b")) == 2L)
+    def lp(c12: Long, c1: Long) = math.round(math.log((c12 + 1).toDouble / (c1 + 3)) * 1e6)
+    val eval = Seq((10L, "a b c"), (20L, "x"), (30L, "")).toDF("doc_id", "text")
+    val got = LmScore.score(eval, "doc_id", "text", m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 10 bigrams: (a,b) c12=2 c1=3; (b,c) c12=0 c1=2
+    assert(got == Map(10L -> ((2L, lp(2, 3) + lp(0, 2)))), s"got $got")
+  }
+
   // ---- percolation (reverse search) ---------------------------------------
   test("percolate: and/or/msm matching, early exit, loud validation") {
     import graft.operators.Percolate
