@@ -160,6 +160,39 @@ object QueryString {
     node
   }
 
+  /** Render an AST back to query_string syntax (parse ∘ print = id for
+    * the printable subset — pinned by the round-trip property spec).
+    * Printable: single-value KeyIn, finite NumRange, fuzzy ≤ 2; Bool
+    * children are parenthesized, leaves stay bare.
+    */
+  def print(n: Node): String = n match {
+    case b: Bool =>
+      (b.must.map(c => "+" + printChild(c)) ++
+        b.should.map(printChild) ++
+        b.mustNot.map(c => "-" + printChild(c))).mkString(" ")
+    case other => printChild(other)
+  }
+
+  private def printChild(n: Node): String = n match {
+    case b: Bool => "(" + print(b) + ")"
+    case TermLeaf(t, boost, fz, field) =>
+      field.map(_ + ":").getOrElse("") + t +
+        (if (fz > 0) s"~$fz" else "") + boostSuffix(boost)
+    case PhraseLeaf(ts, boost) => "\"" + ts.mkString(" ") + "\"" + boostSuffix(boost)
+    case PatternLeaf(p, boost, field) =>
+      field.map(_ + ":").getOrElse("") + p + boostSuffix(boost)
+    case FilterLeaf(AttrPred.KeyIn(f, vs)) =>
+      require(vs.size == 1, s"printable KeyIn needs one value: $vs")
+      s"$f:${vs.head}"
+    case FilterLeaf(AttrPred.NumRange(f, lo, hi)) =>
+      require(lo != Long.MinValue && hi != Long.MaxValue, "printable range must be finite")
+      s"$f:[$lo TO ${hi - 1}]"
+    case FilterLeaf(p) =>
+      throw new IllegalArgumentException(s"unprintable composed filter: $p")
+  }
+
+  private def boostSuffix(b: Double): String = if (b == 1.0) "" else s"^$b"
+
   private type Signed = (Char, Node) // '+' must, '~' should, '-' mustNot
 
   private def parseOr(toks: List[Tok], attrs: Map[String, String],
