@@ -203,4 +203,26 @@ object SegmentFamily {
       p = planRun(segs.map(_.n_docs), mergeFactor, tierFactor)
     }
   }
+
+  /** Point-in-time SNAPSHOT of the family (ES `_snapshot` role): read
+    * the manifest ONCE (atomic — a consistent segment list), copy each
+    * listed segment directory (immutable once manifested; their CURRENT
+    * tombstone generations ride along) to `dst`, then write the same
+    * manifest there. The snapshot is itself a fully functional family —
+    * "restore" is just pointing a searcher (or a new serving root) at
+    * it, optionally [[Fsx.copyTree]]-ing it back. Works across Hadoop
+    * filesystems (local → HDFS → s3a). Single-writer contract applies:
+    * snapshot while a concurrent writer is mutating tombstones of
+    * LISTED segments may capture a newer tombstone generation than the
+    * manifest read saw — still a consistent, serveable family (deletes
+    * are monotone), just not a strict point in time.
+    */
+  def snapshot(root: String, dst: String): Seq[Seg] = {
+    val segs = read(root)
+    require(segs.nonEmpty, s"nothing to snapshot at $root")
+    Fsx.mkdirs(dst)
+    segs.foreach { s => Fsx.copyTree(s.dir, s"$dst/${segName(s.dir)}") }
+    write(dst, segs.map(s => Seg(s"$dst/${segName(s.dir)}", s.n_docs)))
+    read(dst)
+  }
 }

@@ -140,6 +140,18 @@ object Fsx {
   }
 
   /** Non-recursive child names (empty for a missing dir). */
+  /** Recursive tree copy via Hadoop FileUtil — works across schemes
+    * (local → HDFS, HDFS → s3a…). Fails loudly on partial copies.
+    */
+  def copyTree(src: String, dst: String): Unit = {
+    val (sfs, sp) = fs(src)
+    val (dfs, dp) = fs(dst)
+    require(sfs.exists(sp), s"copyTree source missing: $src")
+    val ok = org.apache.hadoop.fs.FileUtil.copy(
+      sfs, sp, dfs, dp, /*deleteSource=*/ false, /*overwrite=*/ true, sfs.getConf)
+    require(ok, s"copyTree failed: $src -> $dst")
+  }
+
   def listNames(path: String): Seq[String] = {
     val (f, p) = fs(path)
     if (!f.exists(p)) Nil

@@ -12,6 +12,36 @@ class MiscOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("family snapshot: point-in-time copy serves identical results, isolated from source mutations") {
+    import graft.index.SegmentFamily
+    import graft.sources.HtmlText
+    val root = Files.createTempDirectory("fam-snap").toString
+    val dst = Files.createTempDirectory("fam-snap-dst").toString + "/snap"
+    val cfg = BuildConfig(nPartitions = 4, nGroups = 1, nSlices = 2, blockSize = 32)
+    def pagesOf(from: Long, until: Long) =
+      spark.createDataset((from until until).map { i =>
+        val t = PagesGen.textFor(i)
+        val url = f"s/$i%08d"
+        Page(url, new java.sql.Timestamp(1609459200000L + i), HtmlText.wrap(url, t), t, "en")
+      })
+    SegmentFamily.upsert(spark, root, pagesOf(0, 150), "seg-a", cfg)
+    // overwrite some urls → tombstones in seg-a must ride the snapshot
+    SegmentFamily.upsert(spark, root, pagesOf(100, 200), "seg-b", cfg)
+    val before = SegmentFamily.searcher(spark, root).topK(Seq("w1", "w2"), "or", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val segs = SegmentFamily.snapshot(root, dst)
+    assert(segs.map(s => s.dir.substring(s.dir.lastIndexOf('/') + 1)) == Seq("seg-a", "seg-b"))
+    val snapGot = SegmentFamily.searcher(spark, dst).topK(Seq("w1", "w2"), "or", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(snapGot == before, "snapshot serves the same ranking")
+    // mutate the SOURCE after the snapshot: upsert everything away
+    SegmentFamily.upsert(spark, root, pagesOf(0, 200), "seg-c", cfg)
+    val snapAfter = SegmentFamily.searcher(spark, dst).topK(Seq("w1", "w2"), "or", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(snapAfter == before, "snapshot unaffected by source mutations")
+    assert(SegmentFamily.read(dst).map(_.n_docs) == SegmentFamily.read(root).map(_.n_docs).take(2))
+  }
+
   test("variant renderer golden cases (P9 semantics)") {
     assert(render(U) == "")
     assert(render(S("hello")) == "hello")
