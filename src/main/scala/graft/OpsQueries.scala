@@ -109,6 +109,23 @@ object OpsQueries {
       graft.operators.LmScore.score(d.where($"doc_id" % 10 === 0), "doc_id", "text", model)
         .select($"doc_id", $"n_bigrams", $"logp_e6")
     },
+    // URL canonicalization + URL-level dedup (the first pass of every
+    // crawl pipeline): synthesized url shapes — mixed-case scheme/host,
+    // tracking params, unordered params, fragments — must collapse
+    "q_url_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select(
+        $"doc_id",
+        concat(
+          when($"doc_id" % 2 === 0, lit("HTTP://Site")).otherwise(lit("http://site")),
+          ($"doc_id" % 7).cast("string"), lit(".Example.COM/p/"),
+          ($"doc_id" % 50).cast("string"),
+          when($"doc_id" % 3 === 0, lit("?utm_source=x&b=2&a=1#frag"))
+            .when($"doc_id" % 3 === 1, lit("?a=1&b=2&fbclid=zz"))
+            .otherwise(lit("?b=2&a=1"))).as("url"))
+      graft.operators.UrlOps.dedupByUrl(d, "doc_id", "url")
+        .select($"canon_url", $"keep_id", $"n_dups")
+    },
     // exact dedup: hash-groupBy, keep lowest id
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(dupCorpus(s, dir), "doc_id", "text")
@@ -468,6 +485,35 @@ FROM bstat b JOIN tstat t USING (doc_id)""",
 SELECT ch.doc_id, count(*)::BIGINT AS n_chunks,
        sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
 FROM ch JOIN cnt USING (chunk) GROUP BY 1""",
+    "q_url_dedup" ->
+      """WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://Site' ELSE 'http://site' END)
+         || (doc_id % 7)::VARCHAR || '.Example.COM/p/' || (doc_id % 50)::VARCHAR
+         || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1#frag'
+                  WHEN doc_id % 3 = 1 THEN '?a=1&b=2&fbclid=zz'
+                  ELSE '?b=2&a=1' END) AS url
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         regexp_extract(regexp_replace(url, '#.*$', ''), '^([^?]*)', 1) AS base,
+         regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1) AS q
+  FROM u
+), c2 AS (
+  SELECT doc_id, base,
+         regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1) AS sh, q
+  FROM c
+), canon AS (
+  SELECT doc_id,
+         lower(sh) || substr(base, length(sh) + 1) ||
+         (CASE WHEN sorted = '' THEN '' ELSE '?' || sorted END) AS canon_url
+  FROM (SELECT doc_id, base, sh,
+               array_to_string(list_sort(list_filter(string_split(q, '&'),
+                 p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=') AND p <> '')), '&') AS sorted
+        FROM c2)
+)
+SELECT canon_url, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+FROM canon GROUP BY 1""",
     "q_lm_score" ->
       """WITH tr AS (
   SELECT string_split(text, ' ') AS l FROM documents WHERE doc_id % 10 <> 0 AND text <> ''

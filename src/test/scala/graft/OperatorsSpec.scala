@@ -682,6 +682,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(byQ((1L, 8L)) - r(1)) < 1e-12)
   }
 
+  // ---- URL canonicalization ---------------------------------------------------
+  test("url canonicalize: case, fragments, tracking params, param order") {
+    import graft.operators.UrlOps
+    val d = Seq(
+      (1L, "HTTP://WWW.Example.COM/Path/A?b=2&utm_source=x&a=1#frag"),
+      (2L, "http://www.example.com/Path/A?a=1&b=2"),
+      (3L, "http://www.example.com/path/a?a=1&b=2"), // path case differs → distinct
+      (4L, "https://ex.com/p"),                       // no query
+      (5L, "https://ex.com/p?gclid=1&fbclid=2&ref=3") // all tracking → bare
+    ).toDF("doc_id", "url")
+    val got = d.select($"doc_id", UrlOps.canonicalize($"url").as("c")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "http://www.example.com/Path/A?a=1&b=2")
+    assert(got(1L) == got(2L), "case+tracking+order collapse")
+    assert(got(3L) == "http://www.example.com/path/a?a=1&b=2" && got(3L) != got(2L))
+    assert(got(4L) == "https://ex.com/p" && got(5L) == "https://ex.com/p")
+    val dd = UrlOps.dedupByUrl(d, "doc_id", "url").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dd(got(1L)) == ((1L, 2L)) && dd(got(4L)) == ((4L, 2L)) && dd(got(3L)) == ((3L, 1L)))
+  }
+
   // ---- LM quality scoring ---------------------------------------------------
   test("lm score: bigram Laplace log-prob ≡ hand-computed; short docs dropped") {
     import graft.operators.LmScore
