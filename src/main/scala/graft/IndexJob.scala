@@ -27,6 +27,7 @@ import graft.query.Search
   *   collapse-search <indexDir> <and|or> <k> <kwField> term [term ...]  # ES collapse: one best hit per keyword value
   *   significant <indexDir> <and|or> <kwField> term [term ...]          # ES significant_terms (JLH)
   *   facet-split <indexDir> <and|or> <kwField> <hour|day|month> term [term ...]  # terms × date_histogram
+  *   query      <indexDir> <k> <query_string ...>                   # the Kibana search bar (bool/phrase/wildcard/boost/field:)
   *   count       <indexDir> <and|or> term [term ...]                # ES _count over the match set
   *   wildcard-search <indexDir> <k> <pattern>  # * = any run, ? = one char
   *   regexp-search   <indexDir> <k> <regex>    # anchored Java regex
@@ -160,6 +161,12 @@ object IndexJob {
         printHits(Search.topK(spark, indexDir, terms, mode, k.toInt,
           attrFilter = attrFilter, mustNot = mustNot,
           minShouldMatch = flag(args, "min-match", 1)))
+      case Some("query") =>
+        // the Kibana search bar from spark-submit: full query_string
+        // mini-language (bool/phrases/wildcards/boosts/field filters)
+        val Seq(indexDir, k) = positional.take(2)
+        val q = positional.drop(2).mkString(" ")
+        printHits(graft.query.QueryString.topK(spark, indexDir, q, k.toInt))
       case Some("phrase") =>
         // --slop=N: proximity match (greedy ordered chain, Lucene
         // 1/(1+displacement) weights); 0 = exact adjacency

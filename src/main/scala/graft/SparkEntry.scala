@@ -440,6 +440,13 @@ object SparkEntry {
           round($"variance_v" * 10000).cast("long").as("var_e4"),
           round($"std_dev_v" * 10000).cast("long").as("std_e4"))
     },
+    // ES auto_date_histogram: the interval ladder picks 'hour' for this
+    // corpus span at the default target; selection logic replayed in SQL
+    "q_facet_autohist" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.autoDateHistogram(s, indexFor(s, dir), QueryOr, "or")
+        .select($"interval", $"bucket", $"n_docs")
+    },
     // ES percentile_ranks (inverse percentiles), exact: % of match-set
     // doc_len values ≤ each probe
     "q_facet_pct_ranks" -> { (s, dir) =>
@@ -1637,6 +1644,30 @@ SELECT n_docs, min_v, max_v, sum_v, sum_sq,
        round(sqrt((sum_sq::DOUBLE / n_docs::DOUBLE)
               - (sum_v::DOUBLE / n_docs::DOUBLE) * (sum_v::DOUBLE / n_docs::DOUBLE)) * 10000)::BIGINT AS std_e4
 FROM sel""",
+    "q_facet_autohist" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), m AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
+                   WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+), ts AS (
+  SELECT doc_id, 1609459200000 + doc_id * 60000 AS ms FROM m
+), span AS (
+  SELECT min(ms) AS mn, max(ms) AS mx FROM ts
+), sel AS (
+  SELECT CASE WHEN (mx // 3600000) - (mn // 3600000) + 1 <= 20 THEN 'hour'
+              WHEN (mx // 86400000) - (mn // 86400000) + 1 <= 20 THEN 'day'
+              ELSE 'month' END AS interval
+  FROM span
+)
+SELECT sel.interval,
+       CASE sel.interval
+            WHEN 'hour' THEN strftime(epoch_ms(ts.ms), '%Y%m%d%H')
+            WHEN 'day' THEN strftime(epoch_ms(ts.ms), '%Y%m%d')
+            ELSE strftime(epoch_ms(ts.ms), '%Y%m') END AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM ts CROSS JOIN sel GROUP BY 1, 2""",
     "q_facet_pct_ranks" ->
       s"""WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''

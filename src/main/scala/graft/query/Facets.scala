@@ -675,10 +675,62 @@ object Facets {
       attrFilter: AttrPred = null,
       mustNot: Seq[String] = Nil,
       minShouldMatch: Int = 1
+  ): DataFrame =
+    extendedStatsAggMulti(spark, Seq(indexDir), queryTerms, mode, numField,
+      attrFilter, mustNot, minShouldMatch)
+
+  /** ES `auto_date_histogram`: pick the FINEST interval from the
+    * hour→day→month ladder whose bucket count over the match set's time
+    * span stays ≤ `targetBuckets`, then run [[dateHistogram]] at it —
+    * the Kibana default time chart. Span comes from one [[statsAgg]]
+    * walk on `warc_ts` (min/max epoch-millis; bucket counts by UTC
+    * truncation, exactly mirroring the histogram's own bucketing).
+    * Returns (interval, bucket, n_docs).
+    */
+  def autoDateHistogram(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      targetBuckets: Int = 20,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
   ): DataFrame = {
     import spark.implicits._
-    numericWalk(spark, Seq(indexDir), queryTerms, mode, numField, attrFilter,
-      mustNot, minShouldMatch, histogram = false)
+    require(targetBuckets >= 1, "targetBuckets must be positive")
+    val st = statsAgg(spark, indexDir, queryTerms, mode, "warc_ts",
+      attrFilter, mustNot, minShouldMatch).head()
+    if (st.getLong(0) == 0L)
+      return spark.emptyDataset[(String, String, Long)].toDF("interval", "bucket", "n_docs")
+    val (mn, mx) = (st.getLong(1), st.getLong(2))
+    val hours = Math.floorDiv(mx, 3600000L) - Math.floorDiv(mn, 3600000L) + 1
+    val days = Math.floorDiv(mx, 86400000L) - Math.floorDiv(mn, 86400000L) + 1
+    // coarsest rung is month; months may still exceed the target (ES
+    // keeps coarsening — year rungs are the documented extension)
+    val interval =
+      if (hours <= targetBuckets) "hour"
+      else if (days <= targetBuckets) "day"
+      else "month"
+    dateHistogram(spark, indexDir, queryTerms, mode, interval,
+      attrFilter, mustNot, minShouldMatch)
+      .select(lit(interval).as("interval"), $"bucket", $"n_docs")
+  }
+
+  /** [[extendedStatsAgg]] over a segment family. */
+  def extendedStatsAggMulti(
+      spark: SparkSession,
+      segmentDirs: Seq[String],
+      queryTerms: Seq[String],
+      mode: String,
+      numField: String,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    numericWalk(spark, segmentDirs, queryTerms, mode, numField, attrFilter,
+      mustNot, minShouldMatch, histogram = false, withS2 = true)
       .agg(
         coalesce(sum($"n"), lit(0L)).as("n_docs"),
         min($"mn").as("min_v"),
@@ -1231,7 +1283,8 @@ object Facets {
       mustNot: Seq[String],
       minShouldMatch: Int,
       histogram: Boolean,
-      logS: Int = -1 // ≥ 0: histogram keys are LogBuckets indexes, not raw values
+      logS: Int = -1, // ≥ 0: histogram keys are LogBuckets indexes, not raw values
+      withS2: Boolean = false // Σv² partials (extended_stats) — opt-in: overflows LOUDLY on epoch-scale fields
   ): DataFrame = {
     import spark.implicits._
     require(segmentDirs.nonEmpty, "no segments")
@@ -1253,6 +1306,7 @@ object Facets {
     val numF = numField
     val asHist = histogram
     val lgS = logS
+    val wantS2 = withS2
 
     val blocks = segmentDirs.zipWithIndex
       .map { case (d, i) =>
@@ -1313,8 +1367,9 @@ object Facets {
                   // exact integer Σv² partials keep extended_stats
                   // deterministic across slice orders; overflow is LOUD
                   // (a warc_ts-scale field needs the double/t-digest
-                  // path, not a silent wrap)
-                  s2 = Math.addExact(s2, Math.multiplyExact(v, v))
+                  // path, not a silent wrap). Opt-in: plain stats on
+                  // epoch-millis fields must not square them.
+                  if (wantS2) s2 = Math.addExact(s2, Math.multiplyExact(v, v))
                   if (v < mn) mn = v
                   if (v > mx) mx = v
                 }

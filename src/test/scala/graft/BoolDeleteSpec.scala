@@ -968,6 +968,30 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(10000L) == 1000000L, "probe above max = 100%")
   }
 
+  test("auto_date_histogram: interval ladder picks the finest fitting rung") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val ids = matchedIds(terms, and = false)
+    val msOf = ids.map(tsOf)
+    def buckets(pattern: String) = ids.groupBy(id => bucketOf(id, pattern))
+      .view.mapValues(_.size.toLong).toMap
+    val hours = msOf.max / 3600000L - msOf.min / 3600000L + 1
+    val days = msOf.max / 86400000L - msOf.min / 86400000L + 1
+    assert(hours > 30 && days >= 2, "fixture must exercise the coarser rungs")
+    // huge target → hour; mid target → day; tiny target → month
+    def run(target: Int) = {
+      val rows = Facets.autoDateHistogram(spark, dir.toString, terms, "or", target)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      (rows.head._1, rows.map(r => r._2 -> r._3).toMap)
+    }
+    val (i1, b1) = run(hours.toInt + 5)
+    assert(i1 == "hour" && b1 == buckets("yyyyMMddHH"), s"hour rung: $i1")
+    val (i2, b2) = run(days.toInt + 2)
+    assert(i2 == "day" && b2 == buckets("yyyyMMdd"), s"day rung: $i2")
+    val (i3, b3) = run(1)
+    assert(i3 == "month" && b3 == buckets("yyyyMM"), s"month rung: $i3")
+  }
+
   test("significant_terms background is bounded by the foreground key set") {
     import graft.query.Facets
     // the fixture corpus has several langs; a foreground of ONE key must
