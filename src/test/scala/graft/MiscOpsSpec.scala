@@ -197,6 +197,12 @@ class MiscOpsSpec extends AnyFunSuite {
     // collapse-search: one hit per lang
     val coll = cli("collapse-search", idxDir, "or", "5", "lang", "w1", "w2")
     assert(coll.map(_.split("\t")(0)).distinct.size == coll.size && coll.nonEmpty, "CLI collapse")
+    // query (the search bar): a composed query_string ≡ the library call
+    val qsLib = graft.query.QueryString
+      .topK(spark, idxDir, "lang:ru AND (w1 OR w2) -w3", 5)
+      .collect().map(r => s"${r.getLong(0)}\t${r.getDouble(1)}").toSeq
+    assert(cli("query", idxDir, "5", "lang:ru", "AND", "(w1", "OR", "w2)", "-w3") == qsLib,
+      "CLI query_string")
     // wildcard-search ≡ library wildcard
     val wildLib = graft.query.Search.wildcardTopK(spark, idxDir, "w1?", 5)
       .collect().map(r => s"${r.getLong(0)}\t${r.getDouble(1)}").toSeq

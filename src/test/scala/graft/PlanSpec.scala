@@ -154,6 +154,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), s"q_dict_join not broadcast:\n$plan")
   }
 
+  test("batchTopK: N queries share ONE postings scan and one shuffle") {
+    val df = graft.query.Search.batchTopK(spark, dir, Seq(
+      (1L, Seq("w1", "w2"), "or"), (2L, Seq("w2", "w3"), "and"), (3L, Seq("w0"), "or")), 5)
+    val plan = executedPlan(df)
+    val postingsScans = "Scan parquet".r.findAllIn(plan).size
+    assert(postingsScans == 1, s"batch must scan postings once for all queries:\n$plan")
+    // exchanges: slice grouping + the per-qid window — nothing per-query
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"batch shuffles must not scale with query count:\n$plan")
+  }
+
   test("query_string tree eval: equi-joins only, term predicates pushed") {
     val df = graft.query.QueryString.topK(spark, dir, "(w1 AND w2) OR (w3 AND -w4)", 10)
     val plan = executedPlan(df)
