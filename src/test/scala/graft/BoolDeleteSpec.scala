@@ -218,6 +218,17 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(searcher.topKLocal(ts, mode, 10) == gotD, "local path sees tombstones")
         assert(got(searcher.topK(ts, mode, 10)) == gotD, "batch path sees tombstones")
     }
+
+    // batched retrieval composes tombstones too (same walks, one job)
+    val batchGot = Search.batchTopK(spark, delDir.toString,
+      Seq((1L, Seq("w1", "w2"), "or"), (2L, Seq("w0"), "or")), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (-t._3, t._2)).map(_._2).toSeq).toMap
+    assert(batchGot(1L) ==
+      NaiveBm25.topKFiltered(corpus, Seq("w1", "w2"), "or", 10, id => !deleted(id)).map(_.docId),
+      "batchTopK sees tombstones")
+    assert(batchGot(2L) ==
+      NaiveBm25.topKFiltered(corpus, Seq("w0"), "or", 10, id => !deleted(id)).map(_.docId))
   }
 
   test("delete is incremental and idempotent (sorted-union generations)") {
