@@ -682,6 +682,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(byQ((1L, 8L)) - r(1)) < 1e-12)
   }
 
+  // ---- corpus curation pipeline ------------------------------------------------
+  test("corpus pipeline: each stage drops its targets, counts tell the story") {
+    import graft.operators.CorpusPipeline
+    val good1 = "the quick brown fox jumps over a lazy dog and runs far into the green woods of tall trees near a cold river bank where birds sing songs to the bright morning sun in calm wind alpha"
+    val good2 = good1.replace("alpha", "omega") // near-dup of good1 (1 of 40 tokens)
+    val good3 = "completely different content about the engine and its query planner with many unique tokens describing joins filters sorts windows in a spark native design of distributed systems"
+    val leaky = "the secret answer key of this benchmark question set must never appear in training data and this sentence leaks it entirely"
+    val docs = Seq(
+      (1L, good1),
+      (2L, good1),                      // exact dup of 1 → dropped at exact_dedup
+      (3L, good2),                      // near dup of 1 → dropped at near_dedup
+      (4L, good3),
+      (5L, "привет мир привет мир привет и мир снова тут"), // ru → lang stage
+      (6L, "the of and"),               // 3 tokens < minTokens → lang_quality
+      (7L, "the the the the the the the the"), // stopword ratio 1.0 → lang_quality
+      (8L, "the cat and the cat and the cat and the cat"), // top bigram → repetition
+      (9L, leaky)                       // shares >50% 3-grams with the eval doc
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, leaky + " plus a little extra tail")).toDF("doc_id", "text")
+    val (out, counts) = CorpusPipeline.clean(docs, "doc_id", "text",
+      CorpusPipeline.Config(minhashThreshold = 0.8), Some(eval))
+    val ids = out.collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 4L), s"survivors: $ids")
+    val byStage = counts.toMap
+    assert(byStage("input") == 9)
+    assert(byStage("lang_quality") == 6, s"counts: $counts")   // -5, -6, -7
+    assert(byStage("repetition") == 5)                          // -8
+    assert(byStage("exact_dedup") == 4)                         // -2
+    assert(byStage("near_dedup") == 3)                          // -3
+    assert(byStage("decontaminate") == 2)                       // -9
+    // production mode: no counts, same survivors
+    val (out2, none) = CorpusPipeline.clean(docs, "doc_id", "text",
+      CorpusPipeline.Config(minhashThreshold = 0.8), Some(eval), withCounts = false)
+    assert(none.isEmpty && out2.collect().map(_.getLong(0)).toSet == ids)
+  }
+
   // ---- URL canonicalization ---------------------------------------------------
   test("url canonicalize: case, fragments, tracking params, param order") {
     import graft.operators.UrlOps
