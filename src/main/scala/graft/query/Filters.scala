@@ -154,4 +154,29 @@ object Filters {
   /** null-tolerant AND: either side absent → the other. */
   def and(a: DocFilter, b: DocFilter): DocFilter =
     if (a == null) b else if (b == null) a else new AndFilter(a, b)
+
+  /** Stream every allowed id ≥ `from` via the monotone ceil walk —
+    * O(1) memory however many ids the filter admits; `onExhausted` runs
+    * once when the walk ends (close the underlying cursor there).
+    */
+  def enumerate(f: DocFilter, from: Long, onExhausted: () => Unit): Iterator[Long] =
+    new Iterator[Long] {
+      private var t = from
+      private var nxt = 0L
+      private var loaded = false
+      private var finished = false
+      private def load(): Unit = if (!loaded && !finished) {
+        nxt = f.ceil(t)
+        if (nxt == Long.MaxValue) { finished = true; onExhausted() }
+        else loaded = true
+      }
+      def hasNext: Boolean = { load(); !finished }
+      def next(): Long = {
+        load()
+        if (finished) throw new NoSuchElementException
+        loaded = false
+        t = nxt + 1
+        nxt
+      }
+    }
 }

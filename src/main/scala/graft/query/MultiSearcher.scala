@@ -549,16 +549,9 @@ final class MultiSearcher(
         val tomb = bTombs.value(seg)
         val f: DocFilter = if (tomb == null) cursor else tomb.compose(slice, cursor)
         val docBase = bBases.value(seg)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Search.QueryHit]
-        var t = 0L
-        var done = false
-        while (!done) {
-          val nxt = f.ceil(t)
-          if (nxt == Long.MaxValue) done = true
-          else { buf += Search.QueryHit(docBase + nxt, 0.0); t = nxt + 1 }
-        }
-        cursor.close()
-        buf
+        // streamed, never buffered (broad filters admit most of a slice)
+        Filters.enumerate(f, 0L, () => cursor.close())
+          .map(id => Search.QueryHit(docBase + id, 0.0))
       }
       .toDF()
   }

@@ -441,20 +441,14 @@ object QueryString {
     val meta = IndexBuilder.readMeta(indexDir)
     val tomb = Tombstones.handle(indexDir)
     val idxDir = indexDir
+    // STREAM the enumeration (never buffer a slice's id set — a broad
+    // filter like lang:en admits most of the slice); the cursor closes
+    // when the consumer exhausts the iterator
     spark.range(meta.nSlices).as[Long].flatMap { sl =>
       val slice = sl.toInt
       val cursor = AttrSidecar.openCursor(idxDir, slice, pred)
       val f: DocFilter = if (tomb == null) cursor else tomb.compose(slice, cursor)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Search.QueryHit]
-      var t = 0L
-      var done = false
-      while (!done) {
-        val nxt = f.ceil(t)
-        if (nxt == Long.MaxValue) done = true
-        else { buf += Search.QueryHit(nxt, 0.0); t = nxt + 1 }
-      }
-      cursor.close()
-      buf
+      Filters.enumerate(f, 0L, () => cursor.close()).map(Search.QueryHit(_, 0.0))
     }.toDF()
   }
 
