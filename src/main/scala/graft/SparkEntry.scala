@@ -49,18 +49,26 @@ object SparkEntry {
     // declared doc-value schema = defaults (lang kw, warc_ts/doc_len num)
     // + the corpus's `source` keyword — filtering on it must run the
     // zero-exchange sidecar path like any ES keyword field
-    attrs = graft.index.AttrSchema.Default :+
+    attrs = graft.index.AttrSchema.Default ++ Seq(
       graft.index.AttrSpec("source", graft.index.AttrSchema.Kw,
-        "regexp_extract(url, 'src=(.+)$', 1)")
+        "regexp_extract(url, 'src=(.+)$', 1)"),
+      // small url-derived numeric (1..7) — the weighted_avg gate's weight
+      // field (≙ ES "votes" in the canonical weighted-grade example);
+      // DuckDB mirrors it as 1 + doc_id % 7
+      graft.index.AttrSpec("weight", graft.index.AttrSchema.Num,
+        "1 + CAST(substring(url, 7, 12) AS BIGINT) % 7"))
   )
 
-  /** A persisted index cache is reusable only when BOTH the checkpoint
-    * says "done" AND the stamped format version matches the code's — a
-    * stale cache from an older format would crash readers on missing
-    * columns (or silently mis-serve); wipe and rebuild instead.
+  /** A persisted index cache is reusable only when the checkpoint says
+    * "done" AND the stamped format version matches the code's AND the
+    * stamped attr schema matches [[GateConfig]]'s — a cache from an older
+    * format OR an older attr declaration would crash readers on missing
+    * columns/fields (or silently mis-serve); wipe and rebuild instead.
     */
   private def ensureIndex(dir: String)(build: => Unit): String = {
-    val stale = IndexBuilder.readFormatVersion(dir) != IndexBuilder.FormatVersion
+    val stale = IndexBuilder.readFormatVersion(dir) != IndexBuilder.FormatVersion ||
+      (graft.sources.Fsx.exists(s"$dir/meta.json") &&
+        IndexBuilder.readMeta(dir).attrs != GateConfig.attrs)
     if (stale) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     if (stale || !IndexBuilder.completedUnits(dir).contains("done")) build
     dir
@@ -429,6 +437,61 @@ object SparkEntry {
       import s.implicits._
       graft.query.Facets.statsAgg(s, indexFor(s, dir), QueryOr, "or", "doc_len")
         .select($"n_docs", $"min_v", $"max_v", $"sum_v",
+          round($"avg_v" * 10000).cast("long").as("avg_e4"))
+    },
+    // ES rare_terms: long-tail buckets (doc count ≤ max_doc_count over
+    // the match set), count-ASC — the complement of the terms agg's
+    // top-N; same one-walk partials, the ≤ cut runs post-combine
+    "q_facet_rare" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.rareTermsAgg(s, indexFor(s, dir), QueryAnd, "and",
+        maxDocCount = 14L, kwField = "source")
+        .select($"source", $"n_docs")
+    },
+    // ES weighted_avg: Σ(v·w)/Σw over the match set, value=doc_len
+    // weighted by the declared url-derived `weight` field
+    "q_facet_wavg" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.weightedAvgAgg(s, indexFor(s, dir), QueryOr, "or",
+        "doc_len", "weight")
+        .select($"n_docs", $"sum_vw", $"sum_w",
+          round($"wavg_v" * 10000).cast("long").as("wavg_e4"))
+    },
+    // ES median_absolute_deviation, EXACT (nearest-rank medians over the
+    // distinct-value histogram; ES itself t-digest-approximates)
+    "q_facet_mad" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.medianAbsoluteDeviationAgg(s, indexFor(s, dir), QueryOr, "or", "doc_len")
+        .select($"n_docs", $"median_v", $"mad_v")
+    },
+    // ES date_range agg with date-math boundaries ("now-6h/h" etc.)
+    // anchored at a DETERMINISTIC job-pinned now (2021-01-01T08:00Z)
+    "q_facet_date_range" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.dateRangeAgg(s, indexFor(s, dir), QueryOr, "or",
+        boundaries = Seq("2021-01-01T01:30:00Z", "now-6h/h", "now-4h"),
+        nowMs = 1609459200000L + 8L * 3600000L)
+        .select($"bucket_idx", coalesce($"from_ms", lit(-1L)).as("from_ms"),
+          coalesce($"to_ms", lit(-1L)).as("to_ms"), $"n_docs")
+    },
+    // ES top_metrics: doc_len/weight values at the 10 newest matching
+    // docs (sort=warc_ts desc) — metrics ride the k-heap entries
+    "q_top_metrics" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.SortBy.topKByAttr(s, indexFor(s, dir), QueryOr, "or", "warc_ts", 10,
+        metricFields = Seq("doc_len", "weight"))
+        .select($"doc_id", $"sort_value".as("ts_ms"), $"doc_len", $"weight")
+    },
+    // ES bucket_selector + bucket_sort pipeline aggs over a terms+stats
+    // parent: HAVING avg ≥ 8, order by avg desc, page [1, 1+5)
+    "q_facet_bucket_sel" -> { (s, dir) =>
+      import s.implicits._
+      val buckets = graft.query.Facets.termsStatsAgg(s, indexFor(s, dir), QueryOr, "or",
+        "source", "doc_len", orderMetric = "avg", size = 1000)
+      graft.query.Facets.bucketSort(
+        graft.query.Facets.bucketSelector(buckets, $"n_docs" >= 15),
+        Seq(desc("avg_v"), asc("source")), from = 1, size = 5)
+        .select($"source", $"n_docs",
           round($"avg_v" * 10000).cast("long").as("avg_e4"))
     },
     // ES extended_stats: exact integer Σv/Σv² partials → population
@@ -1622,6 +1685,108 @@ SELECT count(*)::BIGINT AS n_docs, min(doc_len)::BIGINT AS min_v,
        max(doc_len)::BIGINT AS max_v, sum(doc_len)::BIGINT AS sum_v,
        round((sum(doc_len)::DOUBLE / count(*)::DOUBLE) * 10000)::BIGINT AS avg_e4
 FROM m""",
+    "q_facet_rare" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), m AS (
+  SELECT doc_id FROM toks
+  WHERE term IN (${QueryAnd.map(t => s"'$t'").mkString(", ")})
+  GROUP BY doc_id HAVING count(DISTINCT term) = ${QueryAnd.distinct.size}
+)
+SELECT source, count(*)::BIGINT AS n_docs
+FROM documents WHERE doc_id IN (SELECT doc_id FROM m)
+GROUP BY 1 HAVING count(*) <= 14
+ORDER BY n_docs, source""",
+    "q_facet_wavg" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS doc_len,
+         1 + (doc_id % 7) AS w
+  FROM documents
+), m AS (
+  SELECT dl.doc_len, dl.w FROM dl
+  WHERE dl.doc_id IN (SELECT DISTINCT doc_id FROM toks
+                      WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+)
+SELECT count(*)::BIGINT AS n_docs, sum(doc_len * w)::BIGINT AS sum_vw, sum(w)::BIGINT AS sum_w,
+       round((sum(doc_len * w)::DOUBLE / sum(w)::DOUBLE) * 10000)::BIGINT AS wavg_e4
+FROM m""",
+    "q_facet_mad" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS doc_len
+  FROM documents
+), m AS (
+  SELECT dl.doc_len FROM dl
+  WHERE dl.doc_id IN (SELECT DISTINCT doc_id FROM toks
+                      WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+), tot AS (SELECT count(*)::BIGINT AS c FROM m),
+cum AS (
+  SELECT v, sum(n) OVER (ORDER BY v) AS cum
+  FROM (SELECT doc_len AS v, count(*) AS n FROM m GROUP BY 1)
+), med AS (
+  SELECT min(v)::BIGINT AS v FROM cum, tot WHERE cum >= ceil(50.0 * c / 100.0)
+), dcum AS (
+  SELECT v, sum(n) OVER (ORDER BY v) AS cum
+  FROM (SELECT abs(m.doc_len - med.v) AS v, count(*) AS n FROM m, med GROUP BY 1)
+), mad AS (
+  SELECT min(v)::BIGINT AS v FROM dcum, tot WHERE cum >= ceil(50.0 * c / 100.0)
+)
+SELECT tot.c AS n_docs, med.v AS median_v, mad.v AS mad_v FROM tot, med, mad""",
+    "q_facet_date_range" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), ts AS (
+  SELECT (1609459200000 + doc_id * 60000)::BIGINT AS ms FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
+                   WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+), b AS (
+  SELECT (CASE WHEN ms >= 1609464600000 THEN 1 ELSE 0 END
+        + CASE WHEN ms >= 1609466400000 THEN 1 ELSE 0 END
+        + CASE WHEN ms >= 1609473600000 THEN 1 ELSE 0 END)::BIGINT AS bucket_idx
+  FROM ts
+)
+SELECT bucket_idx,
+       (CASE bucket_idx WHEN 0 THEN -1 WHEN 1 THEN 1609464600000
+                        WHEN 2 THEN 1609466400000 ELSE 1609473600000 END)::BIGINT AS from_ms,
+       (CASE bucket_idx WHEN 0 THEN 1609464600000 WHEN 1 THEN 1609466400000
+                        WHEN 2 THEN 1609473600000 ELSE -1 END)::BIGINT AS to_ms,
+       count(*)::BIGINT AS n_docs
+FROM b GROUP BY 1 ORDER BY 1""",
+    "q_top_metrics" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS doc_len
+  FROM documents
+)
+SELECT doc_id, (1609459200000 + doc_id * 60000)::BIGINT AS ts_ms,
+       dl.doc_len::BIGINT AS doc_len, (1 + doc_id % 7)::BIGINT AS weight
+FROM dl
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
+                 WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+ORDER BY ts_ms DESC, doc_id LIMIT 10""",
+    "q_facet_bucket_sel" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, source,
+         CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS doc_len
+  FROM documents
+), b AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(doc_len)::BIGINT AS sum_v
+  FROM dl
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
+                   WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+  GROUP BY 1
+)
+SELECT source, n_docs,
+       round((sum_v::DOUBLE / n_docs::DOUBLE) * 10000)::BIGINT AS avg_e4
+FROM b WHERE n_docs >= 15
+ORDER BY sum_v::DOUBLE / n_docs::DOUBLE DESC, source
+LIMIT 5 OFFSET 1""",
     "q_facet_extstats" ->
       s"""WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''

@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.index.{AttrPred, AttrSidecar, IndexBuilder}
 import graft.query.BlockMaxWand.{BlockRef, PostingIter}
@@ -108,6 +108,50 @@ object Facets {
       keyPattern = null, kwField = kwField, numField = null, numWidth = 0L)
       .select(col("k1").as(kwField), col("n").as("n_docs"))
       .orderBy(desc("n_docs"), asc(kwField))
+  }
+
+  /** ES `rare_terms`: the LONG-TAIL complement of [[termsAgg]] — buckets
+    * of a declared keyword field whose doc count over the match set is
+    * ≤ `maxDocCount`, ordered count-ASC (rarest first), ties by value.
+    * ES trades exactness for memory with a CuckooFilter at genuinely
+    * unbounded cardinality; here the declared-keyword contract already
+    * bounds the per-slice partial maps, so counts are exact. The ≤ cut
+    * runs AFTER the global combine — a slice-local count cannot prove
+    * rarity (a value rare in one slice may be hot in another), so
+    * filtering partials early would silently over-report rare buckets.
+    */
+  def rareTermsAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      maxDocCount: Long = 1L,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1,
+      kwField: String = "lang"
+  ): DataFrame =
+    rareTermsAggMulti(spark, Seq(indexDir), queryTerms, mode, maxDocCount,
+      attrFilter, mustNot, minShouldMatch, kwField)
+
+  /** [[rareTermsAgg]] over a segment family. */
+  def rareTermsAggMulti(
+      spark: SparkSession,
+      segmentDirs: Seq[String],
+      queryTerms: Seq[String],
+      mode: String,
+      maxDocCount: Long = 1L,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1,
+      kwField: String = "lang"
+  ): DataFrame = {
+    require(maxDocCount >= 1, "maxDocCount must be ≥ 1")
+    aggregate(spark, segmentDirs, queryTerms, mode, attrFilter, mustNot, minShouldMatch,
+      keyPattern = null, kwField = kwField, numField = null, numWidth = 0L)
+      .where(col("n") <= maxDocCount)
+      .select(col("k1").as(kwField), col("n").as("n_docs"))
+      .orderBy(asc("n_docs"), asc(kwField))
   }
 
   /** COMPOSITE terms × date_histogram — Kibana's split-series chart
@@ -657,6 +701,52 @@ object Facets {
         when($"n_docs" > 0, $"sum_v".cast("double") / $"n_docs".cast("double")))
   }
 
+  /** ES `weighted_avg`: Σ(value·weight)/Σweight over the match set, both
+    * DECLARED numeric fields (the "avg grade weighted by votes" agg).
+    * Per-slice partials are ONE row of exact integer sums (Σvw via
+    * multiplyExact/addExact — overflow is loud, epoch-scale fields
+    * belong on a double swap-in, not a silent wrap), so the final
+    * division is a single double op — order-independent and
+    * SQL-mirrorable. Returns (n_docs, sum_vw, sum_w, wavg_v); wavg_v is
+    * null when no matches or Σw = 0 (the ES null_value shape).
+    */
+  def weightedAvgAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      valueField: String,
+      weightField: String,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame =
+    weightedAvgAggMulti(spark, Seq(indexDir), queryTerms, mode, valueField,
+      weightField, attrFilter, mustNot, minShouldMatch)
+
+  /** [[weightedAvgAgg]] over a segment family. */
+  def weightedAvgAggMulti(
+      spark: SparkSession,
+      segmentDirs: Seq[String],
+      queryTerms: Seq[String],
+      mode: String,
+      valueField: String,
+      weightField: String,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    numericWalk(spark, segmentDirs, queryTerms, mode, valueField, attrFilter,
+      mustNot, minShouldMatch, histogram = false, weightField = weightField)
+      .agg(
+        coalesce(sum($"n"), lit(0L)).as("n_docs"),
+        coalesce(sum($"sm"), lit(0L)).as("sum_vw"),
+        coalesce(sum($"s2"), lit(0L)).as("sum_w"))
+      .withColumn("wavg_v",
+        when($"sum_w" > 0, $"sum_vw".cast("double") / $"sum_w".cast("double")))
+  }
+
   /** ES `extended_stats`: [[statsAgg]] plus sum-of-squares, population
     * variance and std deviation (ES definitions: variance =
     * sum_of_sqrs/n − mean², std = √variance). Partials stay one row per
@@ -868,6 +958,113 @@ object Facets {
       .groupBy($"p").agg(min($"v").as("bucket"))
       .select($"p", lb($"bucket").as("value"))
       .orderBy($"p")
+  }
+
+  /** ES `bucket_selector` pipeline aggregation: a HAVING over a parent
+    * bucket frame (any terms/histogram/stats agg output) — buckets whose
+    * metrics fail `predicate` drop. Pure declarative composition: the
+    * predicate runs INSIDE the same plan (Catalyst pushes it below the
+    * final order where legal), no driver materialization.
+    */
+  def bucketSelector(buckets: DataFrame, predicate: Column): DataFrame =
+    buckets.where(predicate)
+
+  /** ES `bucket_sort` pipeline aggregation: re-order + paginate a parent
+    * bucket frame by its metrics (`from`/`size` are the ES fields).
+    * The bucket frame is already the post-combine reduction (counts per
+    * key), so this sorts B rows, not the match set.
+    */
+  def bucketSort(buckets: DataFrame, sortCols: Seq[Column], from: Int = 0, size: Int = -1): DataFrame = {
+    require(from >= 0, "from must be ≥ 0")
+    val sorted = if (sortCols.isEmpty) buckets else buckets.orderBy(sortCols: _*)
+    val paged = if (from == 0) sorted else {
+      // offset() keeps the plan declarative (no driver collect for a skip)
+      sorted.offset(from)
+    }
+    if (size < 0) paged else paged.limit(size)
+  }
+
+  /** ES `median_absolute_deviation` on a declared numeric field, EXACT:
+    * median(|v − median(v)|) over the match set. ES approximates with a
+    * t-digest; here both medians are nearest-rank over the same per-slice
+    * (value → count) histogram partials as [[percentilesAgg]] (exchange
+    * bounded by distinct values, not matches), so the DuckDB oracle can
+    * recompute the statistic bit-for-bit. The deviation histogram is
+    * derived FROM the value histogram (|v−m| collapses counts, never
+    * re-walks matches). Returns one row (n_docs, median_v, mad_v);
+    * median_v/mad_v null on an empty match set (ES null shape).
+    */
+  def medianAbsoluteDeviationAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      numField: String,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    val hist = numericWalk(spark, Seq(indexDir), queryTerms, mode, numField,
+      attrFilter, mustNot, minShouldMatch, histogram = true)
+      .groupBy($"v").agg(sum($"n").as("n"))
+      .cache() // tiny distinct-value frame, read twice (median, then MAD)
+    try {
+      val totalRow = hist.agg(sum($"n")).head()
+      if (totalRow.isNullAt(0))
+        return Seq((0L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long]))
+          .toDF("n_docs", "median_v", "mad_v")
+      val total = totalRow.getLong(0)
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      // nearest-rank p50, same rank arithmetic as percentilesAgg
+      val rank = math.ceil(50.0 * total / 100.0).toLong
+      def medianOf(h: DataFrame): Long =
+        h.withColumn("cum", sum($"n").over(w))
+          .where($"cum" >= rank).agg(min($"v")).head().getLong(0)
+      val m = medianOf(hist)
+      val mad = medianOf(
+        hist.select(abs($"v" - m).as("v"), $"n").groupBy($"v").agg(sum($"n").as("n")))
+      Seq((total, m, mad)).toDF("n_docs", "median_v", "mad_v")
+    } finally hist.unpersist()
+  }
+
+  /** ES `date_range` aggregation: matching-doc counts per explicit
+    * half-open [from, to) DATE bucket over a declared epoch-millis field
+    * — the "last week / last month / older" dashboard slice. Boundaries
+    * are ISO-8601 instants or date-math ([[graft.functions.DateMath]],
+    * anchored at the DETERMINISTIC `now` the caller passes — an engine
+    * that resolves `now` itself can't be replayed or oracle-checked).
+    * Rides [[rangeAgg]]'s distinct-value partials; returns
+    * (bucket_idx, from_ms, to_ms, n_docs) with null bounds on the
+    * unbounded ends, empty buckets omitted.
+    */
+  def dateRangeAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      boundaries: Seq[String],
+      numField: String = "warc_ts",
+      nowMs: Long = 0L,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    val edges = boundaries.map(graft.functions.DateMath.resolve(_, nowMs))
+    require(edges == edges.sorted && edges.distinct == edges,
+      s"date_range boundaries must resolve strictly ascending, got $edges")
+    val bounds = (null.asInstanceOf[java.lang.Long] +: edges.map(Long.box))
+      .zip(edges.map(Long.box) :+ null.asInstanceOf[java.lang.Long])
+      .zipWithIndex
+      .map { case ((f, t), i) => (i.toLong, f, t) }
+      .toDF("bucket_idx", "from_ms", "to_ms")
+    rangeAgg(spark, indexDir, queryTerms, mode, numField, edges,
+      attrFilter, mustNot, minShouldMatch)
+      .join(broadcast(bounds), Seq("bucket_idx"))
+      .select($"bucket_idx", $"from_ms", $"to_ms", $"n_docs")
+      .orderBy($"bucket_idx")
   }
 
   /** ES `range` aggregation on a declared numeric field: matching-doc
@@ -1284,10 +1481,12 @@ object Facets {
       minShouldMatch: Int,
       histogram: Boolean,
       logS: Int = -1, // ≥ 0: histogram keys are LogBuckets indexes, not raw values
-      withS2: Boolean = false // Σv² partials (extended_stats) — opt-in: overflows LOUDLY on epoch-scale fields
+      withS2: Boolean = false, // Σv² partials (extended_stats) — opt-in: overflows LOUDLY on epoch-scale fields
+      weightField: String = null // weighted_avg: sm = Σ(v·w) exact, Σw rides the s2 slot
   ): DataFrame = {
     import spark.implicits._
     require(segmentDirs.nonEmpty, "no segments")
+    require(!(withS2 && weightField != null), "s2 slot is either Σv² or Σw, not both")
     val terms = queryTerms.distinct
     val isAnd = mode == "and"
     val exTerms = mustNot.distinct
@@ -1307,6 +1506,7 @@ object Facets {
     val asHist = histogram
     val lgS = logS
     val wantS2 = withS2
+    val wF = weightField
 
     val blocks = segmentDirs.zipWithIndex
       .map { case (d, i) =>
@@ -1346,6 +1546,7 @@ object Facets {
           if (tomb != null) filter = tomb.compose(slice, filter)
           val reader = AttrSidecar.openReader(segDir, slice)
           val numIdx = reader.numIndex(numF) // loud on undeclared
+          val wIdx = if (wF != null) reader.numIndex(wF) else -1
           try {
             if (asHist) {
               val counts = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -1363,13 +1564,21 @@ object Facets {
               BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
                 if (reader.seek(id)) {
                   val v = reader.numValue(numIdx)
-                  n += 1; sm += v
+                  n += 1
                   // exact integer Σv² partials keep extended_stats
                   // deterministic across slice orders; overflow is LOUD
                   // (a warc_ts-scale field needs the double/t-digest
                   // path, not a silent wrap). Opt-in: plain stats on
-                  // epoch-millis fields must not square them.
-                  if (wantS2) s2 = Math.addExact(s2, Math.multiplyExact(v, v))
+                  // epoch-millis fields must not square them. Same
+                  // discipline for weighted_avg's Σ(v·w)/Σw partials.
+                  if (wIdx >= 0) {
+                    val w = reader.numValue(wIdx)
+                    sm = Math.addExact(sm, Math.multiplyExact(v, w))
+                    s2 = Math.addExact(s2, w)
+                  } else {
+                    sm += v
+                    if (wantS2) s2 = Math.addExact(s2, Math.multiplyExact(v, v))
+                  }
                   if (v < mn) mn = v
                   if (v > mx) mx = v
                 }

@@ -40,10 +40,12 @@ object SortBy {
       attrFilter: AttrPred = null,
       mustNot: Seq[String] = Nil,
       minShouldMatch: Int = 1,
-      searchAfter: (Long, Long) = null // (sortValue, docId) of the last hit served
+      searchAfter: (Long, Long) = null, // (sortValue, docId) of the last hit served
+      metricFields: Seq[String] = Nil // ES top_metrics: extra numeric attrs per hit
   ): DataFrame =
     topKByAttrMulti(spark, Seq(indexDir), queryTerms, mode, field, k,
-      ascending, attrFilter, mustNot, minShouldMatch, searchAfter)
+      ascending, attrFilter, mustNot, minShouldMatch, searchAfter,
+      metricFields = metricFields)
 
   /** [[topKByAttr]] over a SEGMENT FAMILY — the streaming-ingest shape:
     * new segments commit continuously and users read newest-first across
@@ -57,6 +59,13 @@ object SortBy {
     * pruning) so ids stay stable across selections, exactly the
     * [[MultiSearcher]] contract.
     */
+  /** `metricFields`: extra declared numeric attributes read for each KEPT
+    * hit (the ES `top_metrics` agg — "the metrics at the docs with the
+    * top sort values"): each metric rides the heap entry, so task memory
+    * stays k·(2+nMetrics) longs and the sidecar is read once per match
+    * via the same monotone cursor. Output grows one column per metric,
+    * named after its field.
+    */
   def topKByAttrMulti(
       spark: SparkSession,
       segmentDirs: Seq[String],
@@ -69,14 +78,21 @@ object SortBy {
       mustNot: Seq[String] = Nil,
       minShouldMatch: Int = 1,
       searchAfter: (Long, Long) = null,
-      explicitBases: Option[Seq[Long]] = None
+      explicitBases: Option[Seq[Long]] = None,
+      metricFields: Seq[String] = Nil
   ): DataFrame = {
     import spark.implicits._
     require(segmentDirs.nonEmpty, "no segments")
     require(explicitBases.forall(_.size == segmentDirs.size), "bases must align with segments")
+    val outCols = Seq("doc_id", "sort_value") ++ metricFields
+    require(outCols.distinct == outCols, s"metric fields must be distinct, not 'doc_id'/'sort_value': $metricFields")
     val terms = queryTerms.distinct
     val isAnd = mode == "and"
-    if (terms.isEmpty) return spark.emptyDataset[(Long, Long)].toDF("doc_id", "sort_value")
+    if (terms.isEmpty)
+      return spark.emptyDataset[(Long, Long, Array[Long])]
+        .toDF("doc_id", "sort_value", "m")
+        .select(col("doc_id") +: col("sort_value") +: metricFields.zipWithIndex
+          .map { case (f, i) => col("m")(i).as(f) }: _*)
     val exTerms = mustNot.distinct
     val bCtx = spark.sparkContext.broadcast((terms.toArray, exTerms.toArray))
     val bDirs = spark.sparkContext.broadcast(segmentDirs.toArray)
@@ -90,6 +106,7 @@ object SortBy {
     val asc0 = ascending
     val fld = field
     val after = searchAfter
+    val mFlds = metricFields.toArray
 
     val blocks = segmentDirs.zipWithIndex
       .map { case (d, i) =>
@@ -130,28 +147,30 @@ object SortBy {
           if (tomb != null) filter = tomb.compose(slice, filter)
           val reader = AttrSidecar.openReader(segDir, slice)
           val numIdx = reader.numIndex(fld)
+          val mIdxs = mFlds.map(reader.numIndex) // loud on undeclared
           try {
             // rank = position tuple in the requested order (smaller ranks
             // first): (value asc|desc, docId asc). The priority queue
             // dequeues its MAX, i.e. head = worst kept hit.
-            val rankOrd: Ordering[(Long, Long)] =
-              if (asc0) Ordering.by[(Long, Long), (Long, Long)] { case (v, id) => (v, id) }
-              else Ordering.by[(Long, Long), (Long, Long)] { case (v, id) => (-v, id) }
-            val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](rankOrd)
-            def beats(a: (Long, Long), b: (Long, Long)): Boolean =
+            val rankOrd: Ordering[(Long, Long, Array[Long])] =
+              if (asc0) Ordering.by[(Long, Long, Array[Long]), (Long, Long)] { case (v, id, _) => (v, id) }
+              else Ordering.by[(Long, Long, Array[Long]), (Long, Long)] { case (v, id, _) => (-v, id) }
+            val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long, Array[Long])](rankOrd)
+            def beats(a: (Long, Long, Array[Long]), b: (Long, Long, Array[Long])): Boolean =
               rankOrd.compare(a, b) < 0 // a ranks strictly before b
+            val afterKey = if (after == null) null else (after._1, after._2, null: Array[Long])
             BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
               if (reader.seek(id)) {
                 // heap keys carry the FAMILY-GLOBAL id (base offset)
-                val cand = (reader.numValue(numIdx), docBase + id)
+                val cand = (reader.numValue(numIdx), docBase + id, mIdxs.map(reader.numValue))
                 // search_after: only hits strictly after the cursor
-                if (after == null || beats(after, cand)) {
+                if (afterKey == null || beats(afterKey, cand)) {
                   if (heap.size < k) heap.enqueue(cand)
                   else if (beats(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
                 }
               }
             }
-            heap.toArray.iterator.map { case (v, id) => (id, v) }
+            heap.toArray.iterator.map { case (v, id, ms) => (id, v, ms) }
           } finally {
             reader.close()
             predCursor match {
@@ -161,10 +180,12 @@ object SortBy {
           }
         }
       }
-      .toDF("doc_id", "sort_value")
+      .toDF("doc_id", "sort_value", "m")
 
     localTopK
       .orderBy(if (ascending) asc("sort_value") else desc("sort_value"), asc("doc_id"))
       .limit(k)
+      .select(col("doc_id") +: col("sort_value") +: metricFields.zipWithIndex
+        .map { case (f, i) => col("m")(i).as(f) }: _*)
   }
 }

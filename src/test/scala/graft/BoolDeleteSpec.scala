@@ -1420,6 +1420,102 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("top_metrics: metric fields ride the sort heap; values exact per hit") {
+    import graft.query.SortBy
+    val terms = Seq("w1", "w2")
+    val ids = matchedIds(terms, and = false)
+    val dlOf = corpus.map { case (id, t) => id -> Analyzer.tokenCount(t).toLong }.toMap
+    val exp = ids.sortBy(id => (-tsOf(id), id)).take(10)
+      .map(id => (id, tsOf(id), dlOf(id)))
+    val got = SortBy.topKByAttr(spark, dir.toString, terms, "or", "warc_ts", 10,
+      metricFields = Seq("doc_len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exp, s"top_metrics: $got vs $exp")
+    // undeclared metric field fails loudly, not with garbage values
+    intercept[Exception] {
+      SortBy.topKByAttr(spark, dir.toString, terms, "or", "warc_ts", 10,
+        metricFields = Seq("nope")).collect()
+    }
+  }
+
+  test("median_absolute_deviation ≡ exhaustive nearest-rank") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val dlOf = corpus.map { case (id, t) => id -> Analyzer.tokenCount(t).toLong }.toMap
+    val vs = matchedIds(terms, and = false).map(dlOf).sorted
+    def nearestRank(xs: Seq[Long]): Long = xs(math.ceil(xs.size / 2.0).toInt - 1)
+    val m = nearestRank(vs)
+    val mad = nearestRank(vs.map(v => math.abs(v - m)).sorted)
+    val got = Facets.medianAbsoluteDeviationAgg(spark, dir.toString, terms, "or", "doc_len")
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == (vs.size.toLong, m, mad),
+      s"mad: $got vs (${vs.size}, $m, $mad)")
+    // empty match set: null metrics, zero count (the ES null shape)
+    val empty = Facets.medianAbsoluteDeviationAgg(spark, dir.toString, Seq("nosuchterm"), "or", "doc_len")
+      .collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(2))
+  }
+
+  test("rare_terms: long-tail buckets ≤ max_doc_count, count-asc; cut is post-combine") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val ids = matchedIds(terms, and = false)
+    val counts = ids.groupBy(langOf).view.mapValues(_.size.toLong).toMap
+    val cap = counts.values.toSeq.sorted.apply(counts.size / 2) // median count: some in, some out
+    val exp = counts.filter(_._2 <= cap).toSeq.sortBy { case (l, n) => (n, l) }
+    val got = Facets.rareTermsAgg(spark, dir.toString, terms, "or", maxDocCount = cap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exp, s"rare_terms: $got vs $exp")
+    assert(exp.nonEmpty && exp.size < counts.size, "fixture must cut somewhere")
+  }
+
+  test("weighted_avg ≡ exhaustive Σvw/Σw") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val dlOf = corpus.map { case (id, t) => id -> Analyzer.tokenCount(t).toLong }.toMap
+    val vs = matchedIds(terms, and = false).map(dlOf)
+    val (svw, sw) = (vs.map(v => v * v).sum, vs.sum) // weight = value field itself
+    val got = Facets.weightedAvgAgg(spark, dir.toString, terms, "or", "doc_len", "doc_len")
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == (vs.size.toLong, svw, sw))
+    assert(math.abs(got.getDouble(3) - svw.toDouble / sw) < 1e-12)
+  }
+
+  test("bucket_selector/bucket_sort: HAVING + re-order/paginate over bucket frames") {
+    import graft.query.Facets
+    import org.apache.spark.sql.functions.{asc, desc, col}
+    val terms = Seq("w1", "w2")
+    val ids = matchedIds(terms, and = false)
+    val counts = ids.groupBy(langOf).view.mapValues(_.size.toLong).toMap
+    val cap = counts.values.max - 1 // drop at least the hottest bucket
+    val exp = counts.filter(_._2 <= cap).toSeq.sortBy { case (l, n) => (-n, l) }.slice(1, 3)
+    val buckets = Facets.termsAgg(spark, dir.toString, terms, "or")
+    val got = Facets.bucketSort(
+      Facets.bucketSelector(buckets, col("n_docs") <= cap),
+      Seq(desc("n_docs"), asc("lang")), from = 1, size = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exp, s"bucket pipeline: $got vs $exp")
+  }
+
+  test("date_range: half-open date-math buckets over warc_ts ≡ exhaustive") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val ids = matchedIds(terms, and = false)
+    val tsAll = ids.map(tsOf)
+    val lo = tsAll.min
+    val nowMs = tsAll.max + 1
+    val b1 = lo + (nowMs - lo) / 3
+    val b2 = lo + 2 * (nowMs - lo) / 3
+    val iso1 = java.time.Instant.ofEpochMilli(b1).toString
+    val iso2 = java.time.Instant.ofEpochMilli(b2).toString
+    val got = Facets.dateRangeAgg(spark, dir.toString, terms, "or",
+      boundaries = Seq(iso1, iso2), nowMs = nowMs)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    def bucketOf(ts: Long): Long = (if (ts >= b1) 1 else 0) + (if (ts >= b2) 1 else 0)
+    val exp = tsAll.groupBy(bucketOf).view.mapValues(_.size.toLong).toMap
+    assert(got == exp, s"date_range: $got vs $exp")
+  }
+
   test("exclusion iterators skip blocks: PostingSet advances monotonically") {
     // build a tiny posting iter over synthetic blocks and probe it as a set
     val ids = Array(5L, 8L, 13L, 21L, 34L)
