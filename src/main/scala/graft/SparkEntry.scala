@@ -494,6 +494,16 @@ object SparkEntry {
         .select($"source", $"n_docs",
           round($"avg_v" * 10000).cast("long").as("avg_e4"))
     },
+    // ES matrix_stats on the (doc_len, weight) field pair: one walk, six
+    // exact integer sums → population covariance + Pearson correlation
+    "q_facet_matrix" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.matrixStatsAgg(s, indexFor(s, dir), QueryOr, "or",
+        "doc_len", "weight")
+        .select($"n_docs", $"sum_a", $"sum_b", $"sum_ab",
+          round($"covar" * 10000).cast("long").as("covar_e4"),
+          round($"corr" * 10000).cast("long").as("corr_e4"))
+    },
     // ES extended_stats: exact integer Σv/Σv² partials → population
     // variance and std deviation (ES definitions), one row
     "q_facet_extstats" -> { (s, dir) =>
@@ -855,6 +865,14 @@ object SparkEntry {
     "q_bm25_msm" -> { (s, dir) =>
       import s.implicits._
       Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, minShouldMatch = 2)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
+    // ES terms_set: PER-DOC minimum_should_match from the declared
+    // numeric `weight` attr (1..7) — a doc matches iff it aligns ≥ its
+    // own required count; WAND pruning untouched (score-bound-only)
+    "q_bm25_terms_set" -> { (s, dir) =>
+      import s.implicits._
+      Search.topK(s, indexFor(s, dir), QueryOr, "or", 10, msmField = "weight")
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
     // ES search_after deep pagination: page 2 = the 10 hits strictly
@@ -1225,11 +1243,13 @@ object SparkEntry {
   private def bm25OracleSql(
       terms: Seq[String], and: Boolean, candWhere: String = "",
       mustNot: Seq[String] = Nil, purgeWhere: String = "", msm: Int = 1,
-      termWhere: String = "", offset: Int = 0, limit: Int = 10
+      termWhere: String = "", offset: Int = 0, limit: Int = 10,
+      msmSqlExpr: String = "" // terms_set: per-doc required count as SQL over tf.doc_id
   ): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val having =
       if (and) s"HAVING count(*) = ${terms.distinct.size}"
+      else if (msmSqlExpr.nonEmpty) s"HAVING count(*) >= ($msmSqlExpr)"
       else if (msm > 1) s"HAVING count(*) >= $msm"
       else ""
     val rel = if (purgeWhere.isEmpty) "documents" else "basedocs"
@@ -1712,6 +1732,30 @@ ORDER BY n_docs, source""",
 SELECT count(*)::BIGINT AS n_docs, sum(doc_len * w)::BIGINT AS sum_vw, sum(w)::BIGINT AS sum_w,
        round((sum(doc_len * w)::DOUBLE / sum(w)::DOUBLE) * 10000)::BIGINT AS wavg_e4
 FROM m""",
+    "q_facet_matrix" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS a,
+         1 + (doc_id % 7) AS b
+  FROM documents
+), m AS (
+  SELECT a, b FROM dl
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks
+                   WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}))
+), sums AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(a)::BIGINT AS sum_a, sum(a*a)::BIGINT AS sum_aa,
+         sum(b)::BIGINT AS sum_b, sum(b*b)::BIGINT AS sum_bb, sum(a*b)::BIGINT AS sum_ab
+  FROM m
+)
+SELECT n_docs, sum_a, sum_b, sum_ab,
+       round((sum_ab::DOUBLE / n_docs::DOUBLE
+              - (sum_a::DOUBLE / n_docs::DOUBLE) * (sum_b::DOUBLE / n_docs::DOUBLE)) * 10000)::BIGINT AS covar_e4,
+       round(((sum_ab::DOUBLE / n_docs::DOUBLE
+              - (sum_a::DOUBLE / n_docs::DOUBLE) * (sum_b::DOUBLE / n_docs::DOUBLE))
+             / sqrt((sum_aa::DOUBLE / n_docs::DOUBLE - (sum_a::DOUBLE / n_docs::DOUBLE) * (sum_a::DOUBLE / n_docs::DOUBLE))
+                  * (sum_bb::DOUBLE / n_docs::DOUBLE - (sum_b::DOUBLE / n_docs::DOUBLE) * (sum_b::DOUBLE / n_docs::DOUBLE)))) * 10000)::BIGINT AS corr_e4
+FROM sums""",
     "q_facet_mad" ->
       s"""WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
@@ -2017,6 +2061,8 @@ SELECT term AS suggestion, doc_freq::BIGINT AS doc_freq FROM df
 WHERE term <> 'merg' AND abs(len(term) - 4) <= 1 AND levenshtein(term, 'merg') <= 1
 ORDER BY doc_freq DESC, term LIMIT 5""",
     "q_bm25_msm" -> bm25OracleSql(QueryOr, and = false, msm = 2),
+    "q_bm25_terms_set" -> bm25OracleSql(QueryOr, and = false,
+      msmSqlExpr = "1 + tf.doc_id % 7"),
     "q_bm25_page2" -> bm25OracleSql(QueryOr, and = false, offset = 10),
     "q_bm25_prefix" -> bm25OracleSql(Nil, and = false, termWhere = "term LIKE 's%'"),
     "q_bm25_wildcard" -> bm25OracleSql(Nil, and = false, termWhere = "term LIKE 's_a%'"),

@@ -271,8 +271,16 @@ object BlockMaxWand {
     * on the pivot — the WAND bound still only gates skips, so rank
     * identity vs the naive oracle is preserved for every msm.
     */
+  /** `msmOf` (nullable): PER-DOC minimum_should_match — the ES
+    * `terms_set` query, whose required-match count comes from a numeric
+    * field of the candidate itself. Overrides `minShouldMatch` when set.
+    * Sound under WAND pruning because the θ-bound gates only on SCORE
+    * upper bounds (msm never justifies a skip), and safe for a monotone
+    * sidecar cursor because scored pivots are strictly increasing.
+    */
   def or(iters: Array[PostingIter], k: Int, filter: DocFilter = null,
-      minShouldMatch: Int = 1, after: Hit = null): Array[Hit] = {
+      minShouldMatch: Int = 1, after: Hit = null,
+      msmOf: Long => Int = null): Array[Hit] = {
     val top = new TopK(k, after)
     val live = iters.filter(!_.exhausted)
     if (live.isEmpty) return Array.empty
@@ -325,7 +333,8 @@ object BlockMaxWand {
                   if (!it.exhausted && it.doc == pivot) { s += it.score; matched += 1 }
                   t += 1
                 }
-                if (matched >= minShouldMatch) top.offer(Hit(pivot, s))
+                val required = if (msmOf == null) minShouldMatch else msmOf(pivot)
+                if (matched >= required) top.offer(Hit(pivot, s))
               }
               // advance every iterator sitting on pivot
               var a = 0

@@ -747,6 +747,50 @@ object Facets {
         when($"sum_w" > 0, $"sum_vw".cast("double") / $"sum_w".cast("double")))
   }
 
+  /** ES `matrix_stats` for a FIELD PAIR: per-field mean/variance plus
+    * covariance and Pearson correlation over the match set. One walk,
+    * six exact integer sums per slice (Σa, Σa², Σb, Σb², Σab, n — all
+    * `addExact`, so epoch-scale fields fail loudly rather than wrap);
+    * the moments divide out only after the global combine, so results
+    * are slice-order independent and the DuckDB oracle recomputes them
+    * from the same integer sums bit-for-bit. Deliberate deviation from
+    * ES: POPULATION variance/covariance (ES matrix_stats uses n−1
+    * sample forms) — consistent with [[extendedStatsAgg]]; callers
+    * wanting sample forms scale by n/(n−1).
+    */
+  def matrixStatsAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      fieldA: String,
+      fieldB: String,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    numericWalk(spark, Seq(indexDir), queryTerms, mode, fieldA, attrFilter,
+      mustNot, minShouldMatch, histogram = false, weightField = fieldB, matrix = true)
+      .agg(
+        coalesce(sum($"n"), lit(0L)).as("n_docs"),
+        coalesce(sum($"sm"), lit(0L)).as("sum_a"),
+        coalesce(sum($"s2"), lit(0L)).as("sum_aa"),
+        coalesce(sum($"mn"), lit(0L)).as("sum_b"),
+        coalesce(sum($"mx"), lit(0L)).as("sum_bb"),
+        coalesce(sum($"x1"), lit(0L)).as("sum_ab"))
+      .withColumn("mean_a", when($"n_docs" > 0, $"sum_a".cast("double") / $"n_docs"))
+      .withColumn("mean_b", when($"n_docs" > 0, $"sum_b".cast("double") / $"n_docs"))
+      .withColumn("var_a",
+        when($"n_docs" > 0, $"sum_aa".cast("double") / $"n_docs" - $"mean_a" * $"mean_a"))
+      .withColumn("var_b",
+        when($"n_docs" > 0, $"sum_bb".cast("double") / $"n_docs" - $"mean_b" * $"mean_b"))
+      .withColumn("covar",
+        when($"n_docs" > 0, $"sum_ab".cast("double") / $"n_docs" - $"mean_a" * $"mean_b"))
+      .withColumn("corr",
+        when($"var_a" > 0 && $"var_b" > 0, $"covar" / sqrt($"var_a" * $"var_b")))
+  }
+
   /** ES `extended_stats`: [[statsAgg]] plus sum-of-squares, population
     * variance and std deviation (ES definitions: variance =
     * sum_of_sqrs/n − mean², std = √variance). Partials stay one row per
@@ -1482,18 +1526,20 @@ object Facets {
       histogram: Boolean,
       logS: Int = -1, // ≥ 0: histogram keys are LogBuckets indexes, not raw values
       withS2: Boolean = false, // Σv² partials (extended_stats) — opt-in: overflows LOUDLY on epoch-scale fields
-      weightField: String = null // weighted_avg: sm = Σ(v·w) exact, Σw rides the s2 slot
+      weightField: String = null, // weighted_avg: sm = Σ(v·w) exact, Σw rides the s2 slot
+      matrix: Boolean = false // matrix_stats: (sm,s2)=(Σv,Σv²), (mn,mx)=(Σw,Σw²), x1=Σvw — six exact sums, one pass
   ): DataFrame = {
     import spark.implicits._
     require(segmentDirs.nonEmpty, "no segments")
     require(!(withS2 && weightField != null), "s2 slot is either Σv² or Σw, not both")
+    require(!matrix || weightField != null, "matrix mode needs the second field in weightField")
     val terms = queryTerms.distinct
     val isAnd = mode == "and"
     val exTerms = mustNot.distinct
     val emptyOut =
       if (histogram) spark.emptyDataset[(Long, Long)].toDF("v", "n")
-      else spark.emptyDataset[(Long, Long, Long, Long, Long)]
-        .toDF("n", "sm", "mn", "mx", "s2")
+      else spark.emptyDataset[(Long, Long, Long, Long, Long, Long)]
+        .toDF("n", "sm", "mn", "mx", "s2", "x1")
     if (terms.isEmpty || terms.size < minShouldMatch) return emptyOut
 
     val bCtx = spark.sparkContext.broadcast((terms.toArray, exTerms.toArray))
@@ -1507,6 +1553,7 @@ object Facets {
     val lgS = logS
     val wantS2 = withS2
     val wF = weightField
+    val asMatrix = matrix
 
     val blocks = segmentDirs.zipWithIndex
       .map { case (d, i) =>
@@ -1557,10 +1604,11 @@ object Facets {
                   counts.update(v, counts.getOrElse(v, 0L) + 1L)
                 }
               }
-              counts.iterator.map { case (v, n) => (v, n, 0L, 0L, 0L) }.toArray.iterator
+              counts.iterator.map { case (v, n) => (v, n, 0L, 0L, 0L, 0L) }.toArray.iterator
             } else {
-              var n = 0L; var sm = 0L; var s2 = 0L
-              var mn = Long.MaxValue; var mx = Long.MinValue
+              var n = 0L; var sm = 0L; var s2 = 0L; var x1 = 0L
+              var mn = if (asMatrix) 0L else Long.MaxValue
+              var mx = if (asMatrix) 0L else Long.MinValue
               BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter).foreach { id =>
                 if (reader.seek(id)) {
                   val v = reader.numValue(numIdx)
@@ -1570,20 +1618,30 @@ object Facets {
                   // (a warc_ts-scale field needs the double/t-digest
                   // path, not a silent wrap). Opt-in: plain stats on
                   // epoch-millis fields must not square them. Same
-                  // discipline for weighted_avg's Σ(v·w)/Σw partials.
-                  if (wIdx >= 0) {
+                  // discipline for weighted_avg's Σ(v·w)/Σw and
+                  // matrix_stats' six sums.
+                  if (asMatrix) {
+                    val w = reader.numValue(wIdx)
+                    sm = Math.addExact(sm, v)
+                    s2 = Math.addExact(s2, Math.multiplyExact(v, v))
+                    mn = Math.addExact(mn, w)
+                    mx = Math.addExact(mx, Math.multiplyExact(w, w))
+                    x1 = Math.addExact(x1, Math.multiplyExact(v, w))
+                  } else if (wIdx >= 0) {
                     val w = reader.numValue(wIdx)
                     sm = Math.addExact(sm, Math.multiplyExact(v, w))
                     s2 = Math.addExact(s2, w)
+                    if (v < mn) mn = v
+                    if (v > mx) mx = v
                   } else {
                     sm += v
                     if (wantS2) s2 = Math.addExact(s2, Math.multiplyExact(v, v))
+                    if (v < mn) mn = v
+                    if (v > mx) mx = v
                   }
-                  if (v < mn) mn = v
-                  if (v > mx) mx = v
                 }
               }
-              if (n == 0) Iterator.empty else Iterator.single((n, sm, mn, mx, s2))
+              if (n == 0) Iterator.empty else Iterator.single((n, sm, mn, mx, s2, x1))
             }
           } finally {
             reader.close()
@@ -1594,8 +1652,8 @@ object Facets {
           }
         }
       }
-    if (asHist) partials.toDF("v", "n", "_a", "_b", "_c").select($"v", $"n")
-    else partials.toDF("n", "sm", "mn", "mx", "s2")
+    if (asHist) partials.toDF("v", "n", "_a", "_b", "_c", "_d").select($"v", $"n")
+    else partials.toDF("n", "sm", "mn", "mx", "s2", "x1")
   }
 
   /** [[dateHistogram]] over a FIELDED query (ES: aggs next to a

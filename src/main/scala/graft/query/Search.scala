@@ -82,10 +82,12 @@ object Search {
       mustNot: Seq[String] = Nil,
       minShouldMatch: Int = 1,
       searchAfter: (Double, Long) = null,
-      boosts: Seq[Double] = null // per-term ^boost (ES query_string `term^2.5`)
+      boosts: Seq[Double] = null, // per-term ^boost (ES query_string `term^2.5`)
+      msmField: String = null // ES terms_set: per-doc required-match count from a declared numeric attr
   ): DataFrame = {
     require(docFilter == null || attrFilter == null,
       "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
+    require(msmField == null || mode != "and", "terms_set (msmField) is OR-mode only")
     require(boosts == null || boosts.size == queryTerms.size,
       "boosts must align 1:1 with queryTerms")
     require(boosts == null || boosts.forall(_ > 0.0), "boosts must be positive")
@@ -135,6 +137,8 @@ object Search {
 
     val isAnd = mode == "and"
     val msm = minShouldMatch
+    val msmF = msmField
+    val idxDir = indexDir
     val after =
       if (searchAfter == null) null
       else BlockMaxWand.Hit(searchAfter._2, searchAfter._1)
@@ -157,11 +161,24 @@ object Search {
       if (exIters.nonEmpty)
         filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
       if (tomb != null) filter = tomb.compose(slice, filter)
+      // terms_set: per-doc required count streams from this slice's OWN
+      // sidecar (monotone cursor — scored pivots strictly increase);
+      // closed eagerly since or() returns a materialized Array
+      val msmReader =
+        if (msmF == null) null else graft.index.AttrSidecar.openReader(idxDir, slice)
+      val msmOf: Long => Int =
+        if (msmReader == null) null
+        else {
+          val fi = msmReader.numIndex(msmF) // loud on undeclared
+          id => if (msmReader.seek(id)) msmReader.numValue(fi).toInt else Int.MaxValue
+        }
       val hits =
-        if (isAnd) {
-          if (iters.length < qTerms.length) Array.empty[BlockMaxWand.Hit]
-          else BlockMaxWand.and(iters, k, filter, after)
-        } else BlockMaxWand.or(iters, k, filter, msm, after)
+        try {
+          if (isAnd) {
+            if (iters.length < qTerms.length) Array.empty[BlockMaxWand.Hit]
+            else BlockMaxWand.and(iters, k, filter, after)
+          } else BlockMaxWand.or(iters, k, filter, msm, after, msmOf)
+        } finally if (msmReader != null) msmReader.close()
       hits.iterator.map(h => QueryHit(h.docId, h.score))
     }
 

@@ -1481,6 +1481,22 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got.getDouble(3) - svw.toDouble / sw) < 1e-12)
   }
 
+  test("matrix_stats: six exact sums, self-pair corr = 1, epoch-scale overflow is loud") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val dlOf = corpus.map { case (id, t) => id -> Analyzer.tokenCount(t).toLong }.toMap
+    val vs = matchedIds(terms, and = false).map(dlOf)
+    val r = Facets.matrixStatsAgg(spark, dir.toString, terms, "or", "doc_len", "doc_len")
+      .collect().head
+    assert(r.getLong(0) == vs.size.toLong && r.getLong(1) == vs.sum &&
+      r.getLong(2) == vs.map(v => v * v).sum && r.getLong(5) == vs.map(v => v * v).sum)
+    assert(math.abs(r.getDouble(r.fieldIndex("corr")) - 1.0) < 1e-9, "self-correlation must be 1")
+    // Σ(warc_ts²) exceeds Long range: must throw, never wrap silently
+    intercept[org.apache.spark.SparkException] {
+      Facets.matrixStatsAgg(spark, dir.toString, terms, "or", "warc_ts", "warc_ts").collect()
+    }
+  }
+
   test("bucket_selector/bucket_sort: HAVING + re-order/paginate over bucket frames") {
     import graft.query.Facets
     import org.apache.spark.sql.functions.{asc, desc, col}
@@ -1514,6 +1530,44 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     def bucketOf(ts: Long): Long = (if (ts >= b1) 1 else 0) + (if (ts >= b2) 1 else 0)
     val exp = tsAll.groupBy(bucketOf).view.mapValues(_.size.toLong).toMap
     assert(got == exp, s"date_range: $got vs $exp")
+  }
+
+  test("terms_set: per-doc minimum_should_match from a declared numeric attr") {
+    val root = Files.createTempDirectory("graft-termsset").toString
+    try {
+      val texts = Seq(
+        "alpha beta gamma pad", "alpha pad pad pad", "beta gamma pad pad",
+        "alpha beta pad pad", "gamma pad pad pad", "alpha beta gamma delta",
+        "pad pad pad pad", "alpha gamma pad pad", "beta pad pad pad",
+        "alpha beta gamma pad", "alpha pad pad pad", "beta gamma pad pad")
+      val pages = texts.zipWithIndex.map { case (t, i) =>
+        Page(f"doc://$i%012d", new java.sql.Timestamp(1609459200000L + i * 1000L),
+          graft.sources.HtmlText.wrap(f"doc://$i%012d", t), t, "en")
+      }
+      val ucfg = cfg.copy(nPartitions = 4, nGroups = 1, nSlices = 2,
+        attrs = graft.index.AttrSchema.Default :+
+          graft.index.AttrSpec("req", graft.index.AttrSchema.Num,
+            "1 + CAST(substring(url, 7, 12) AS BIGINT) % 3"))
+      IndexBuilder.build(spark, spark.createDataset(pages), root, ucfg)
+      val terms = Seq("alpha", "beta", "gamma")
+      def matchedCount(t: String): Int = terms.count(t.split(" ").contains)
+      val expIds = texts.zipWithIndex.collect {
+        case (t, i) if matchedCount(t) >= 1 + i % 3 => i.toLong
+      }.toSet
+      val mini = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expScores = NaiveBm25.topK(mini, terms, "or", texts.size)
+        .filter(h => expIds(h.docId))
+        .map(h => (h.docId, math.round(h.score * 10000)))
+        .sortBy { case (id, s) => (-s, id) }
+      val got = Search.topK(spark, root, terms, "or", texts.size, msmField = "req")
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 10000))).toSeq
+        .sortBy { case (id, s) => (-s, id) }
+      assert(got == expScores, s"terms_set: $got vs $expScores")
+      assert(expIds.nonEmpty && expIds.size < texts.size, "fixture must discriminate")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
   }
 
   test("exclusion iterators skip blocks: PostingSet advances monotonically") {
