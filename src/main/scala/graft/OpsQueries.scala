@@ -23,6 +23,20 @@ object OpsQueries {
     d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
+  /** documents ∪ PREFIX clones (first 25 tokens + unique tail) of every
+    * third doc — the exact-substring fixture: shared 25-token prefixes
+    * are duplicated SPANS (not duplicated docs), so span detection and
+    * island merging both discriminate.
+    */
+  private def prefixCloneCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text")).where(col("text") =!= "")
+    val clones = d.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(array_join(slice(split(col("text"), " "), 1, 25), " "),
+          lit(" zzuniq"), col("doc_id").cast("string")).as("text"))
+    d.unionByName(clones)
+  }
+
   /** Build-once persisted IVF index per sf dir (≙ SparkEntry.indexFor). */
   private val ivfDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ivfIndexFor(s: SparkSession, dir: String): String =
@@ -88,6 +102,18 @@ object OpsQueries {
     "q_dedup_chunks" -> { (s, dir) =>
       Dedup.chunkDedup(dupCorpus(s, dir), "doc_id", "text", chunkTokens = 10)
         .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"))
+    },
+    // ExactSubstr span dedup (Lee et al. 2022): maximal ≥20-token spans
+    // duplicated anywhere in the corpus, rolling dual-hash buckets +
+    // per-doc island merge — spans, not whole-doc verdicts
+    "q_dedup_spans" -> { (s, dir) =>
+      Dedup.substringSpans(prefixCloneCorpus(s, dir), "doc_id", "text", minTokens = 20)
+        .select(col("doc_id"), col("span_start"), col("span_end"))
+    },
+    // the removal half: duplicated-span tokens cut from every doc
+    "q_dedup_spans_clean" -> { (s, dir) =>
+      Dedup.removeSubstringSpans(prefixCloneCorpus(s, dir), "doc_id", "text", minTokens = 20)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"), col("n_removed"))
     },
     // ES percolator (reverse search / alerting): registered queries
     // broadcast, docs stream through map-side — which alerts fire per doc
@@ -470,6 +496,76 @@ SELECT b.doc_id,
        round(b.mx * 1e6 / b.tot)::BIGINT AS top_bigram_e6,
        round((t.tot - t.dist) * 1e6 / t.tot)::BIGINT AS dup_trigram_e6
 FROM bstat b JOIN tstat t USING (doc_id)""",
+    "q_dedup_spans" ->
+      """WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE text <> ''
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(string_split(text, ' ')[1:25], ' ') || ' zzuniq' || doc_id AS text
+  FROM documents WHERE text <> '' AND doc_id % 3 = 0
+), tl AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM corpus
+), w AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(l[i:i+19], ' ') AS win
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 19)) AS i FROM tl WHERE len(l) >= 20)
+), dup AS (
+  SELECT win FROM w GROUP BY 1 HAVING count(*) >= 2
+), d AS (
+  SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)
+), g AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos - prev > 20 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM (SELECT doc_id, pos,
+               coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos) AS prev
+        FROM d)
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 20)::BIGINT AS span_end
+FROM g GROUP BY doc_id, grp ORDER BY 1, 2""",
+    "q_dedup_spans_clean" ->
+      """WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE text <> ''
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(string_split(text, ' ')[1:25], ' ') || ' zzuniq' || doc_id AS text
+  FROM documents WHERE text <> '' AND doc_id % 3 = 0
+), tl AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM corpus
+), w AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(l[i:i+19], ' ') AS win
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 19)) AS i FROM tl WHERE len(l) >= 20)
+), dup AS (
+  SELECT win FROM w GROUP BY 1 HAVING count(*) >= 2
+), d AS (
+  SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)
+), g AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos - prev > 20 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM (SELECT doc_id, pos,
+               coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos) AS prev
+        FROM d)
+), spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 20 AS span_end
+  FROM g GROUP BY doc_id, grp
+), tok AS (
+  SELECT doc_id, l[i] AS tok, i - 1 AS idx
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM tl)
+), kept AS (
+  SELECT t.doc_id, t.tok, t.idx FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = t.doc_id
+                      AND t.idx >= sp.span_start AND t.idx < sp.span_end)
+), keptagg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text, count(*) AS n_kept
+  FROM kept GROUP BY 1
+), total AS (
+  SELECT doc_id, len(l) AS n_tok FROM tl
+)
+SELECT c.doc_id, md5(coalesce(k.clean_text, '')) AS clean_md5,
+       (t.n_tok - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+FROM corpus c JOIN total t USING (doc_id) LEFT JOIN keptagg k USING (doc_id)
+ORDER BY 1""",
     "q_dedup_chunks" ->
       """WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE text <> ''

@@ -362,6 +362,163 @@ object Dedup {
       )
   }
 
+  // ---- exact-substring span dedup (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better" — the ExactSubstr
+  // variant, re-expressed for a cluster: the paper builds a single-node
+  // suffix array; the distributed shape is sliding-window dual-hash
+  // bucketing, which finds the identical duplicated-span set for spans
+  // ≥ minTokens at O(tokens) map cost and ONE shuffle of 24-byte rows).
+
+  /** Maximal duplicated token spans: every token window of `minTokens`
+    * whose exact token sequence occurs ≥2 times corpus-wide (any doc,
+    * any position — intra-doc repetition counts, per the paper) is a
+    * duplicate window; overlapping/touching duplicate windows within a
+    * doc merge into maximal spans. Returns (idCol, span_start,
+    * span_end) with token offsets, end exclusive.
+    *
+    * Scale shape: per-doc ROLLING polynomial dual-hash (two independent
+    * 64-bit streams ⇒ ~2⁻¹²⁸ pair-collision odds — same dual-hash
+    * discipline as minHashLsh's verify) makes window hashing O(tokens),
+    * not O(tokens·minTokens); the only exchange is (h1, h2, id, pos) —
+    * 24 bytes per token. Duplicate detection streams each hash bucket
+    * lazily (peek-two, then re-chain — no group materialization, so a
+    * pathological hot window costs no task memory); span merging sorts
+    * per doc (bounded by doc length). No driver collect anywhere.
+    */
+  def substringSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 50
+  ): DataFrame = {
+    require(minTokens >= 2, "minTokens must be ≥ 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val L = minTokens
+
+    val windows = docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = if (text.isEmpty) Array.empty[String] else text.split(' ')
+        val n = toks.length
+        if (n < L) Iterator.empty
+        else {
+          // dual rolling hash: h_{i+1} = (h_i − t_i·B^{L−1})·B + t_{i+L}
+          // over 64-bit wrap-around arithmetic (B odd ⇒ invertible)
+          val t1 = toks.map(tokenHash64(_, 0x51ed270b9d9aaa73L))
+          val t2 = toks.map(tokenHash64(_, 0x27220a95fe1d8b81L))
+          var p1 = 1L; var p2 = 1L
+          var j = 0
+          while (j < L - 1) { p1 *= RollB1; p2 *= RollB2; j += 1 }
+          var h1 = 0L; var h2 = 0L
+          j = 0
+          while (j < L) { h1 = h1 * RollB1 + t1(j); h2 = h2 * RollB2 + t2(j); j += 1 }
+          val out = new Array[(Long, Long, Long, Int)](n - L + 1)
+          out(0) = (h1, h2, id, 0)
+          var i = 1
+          while (i <= n - L) {
+            h1 = (h1 - t1(i - 1) * p1) * RollB1 + t1(i + L - 1)
+            h2 = (h2 - t2(i - 1) * p2) * RollB2 + t2(i + L - 1)
+            out(i) = (h1, h2, id, i)
+            i += 1
+          }
+          out.iterator
+        }
+      }
+
+    val dupPositions = windows
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, rows) =>
+        // emit members only when the bucket holds ≥2 occurrences, WITHOUT
+        // materializing it: hot windows ("the the the…"×10⁹) stream
+        val first = rows.next()
+        if (!rows.hasNext) Iterator.empty
+        else Iterator.single(first) ++ rows
+      }
+      .map(r => (r._3, r._4))
+
+    dupPositions
+      .groupByKey(_._1)
+      .flatMapGroups { (id, rows) =>
+        // islands: windows [a, a+L) and [b, b+L) merge iff b − a ≤ L
+        // (overlap or touch) — merged span = [first, last + L)
+        val starts = rows.map(_._2).toArray
+        java.util.Arrays.sort(starts)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var s = starts(0); var prev = starts(0)
+        var i = 1
+        while (i < starts.length) {
+          val p = starts(i)
+          if (p != prev) { // same (id,pos) can arrive once per extra duplicate
+            if (p - prev > L) { out += ((id, s.toLong, prev.toLong + L)); s = p }
+            prev = p
+          }
+          i += 1
+        }
+        out += ((id, s.toLong, prev.toLong + L))
+        out.iterator
+      }
+      .toDF(idCol, "span_start", "span_end")
+  }
+
+  /** The removal half of ExactSubstr dedup: drop every token covered by
+    * a duplicated span (the paper removes one copy; removing ALL copies
+    * is the conservative variant for training corpora — documented
+    * deviation). Returns every input doc with (idCol, clean_text,
+    * n_removed). Spans group per doc (bounded by doc length), the cut
+    * is a pure map — no second pass over the corpus.
+    */
+  def removeSubstringSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 50
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val spans = substringSpans(docs, idCol, textCol, minTokens)
+      .groupBy(col(idCol)).agg(collect_list(
+        struct(col("span_start").as("_1"), col("span_end").as("_2"))).as("spans"))
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .join(spans.select(col(idCol).cast("long").as("_sid"), col("spans")),
+        col(idCol) === col("_sid"), "left")
+      .select(col(idCol), col(textCol), col("spans"))
+      .as[(Long, String, Seq[(Long, Long)])]
+      .map { case (id, text, spansOrNull) =>
+        val toks = if (text.isEmpty) Array.empty[String] else text.split(' ')
+        val spans = Option(spansOrNull).getOrElse(Seq.empty)
+        if (spans.isEmpty) (id, text, 0L)
+        else {
+          val drop = new Array[Boolean](toks.length)
+          spans.foreach { case (a, b) =>
+            var i = a.toInt; while (i < b && i < toks.length) { drop(i) = true; i += 1 }
+          }
+          val kept = toks.iterator.zipWithIndex.collect { case (t, i) if !drop(i) => t }
+          (id, kept.mkString(" "), drop.count(identity).toLong)
+        }
+      }
+      .toDF(idCol, "clean_text", "n_removed")
+  }
+
+  private val RollB1 = 0x5DEECE66DL * 2 + 1 // odd ⇒ invertible mod 2^64
+  private val RollB2 = 0x9E3779B97F4A7C15L | 1L
+
+  /** FNV-1a 64 over UTF-16 code units, salted — deterministic across
+    * JVMs/partitions (no String.hashCode reliance).
+    */
+  private def tokenHash64(s: String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, candidate
     * generation via random-hyperplane LSH (sign sketch) so the verify
     * join is bucketed, not all-pairs. Embeddings assumed L2-comparable.

@@ -221,6 +221,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2 == Map(1L -> 1L, 2L -> 1L, 99L -> 1L, 3L -> 3L), got2.toString)
   }
 
+  test("substringSpans: planted shared runs found, islands merged, intra-doc repeats count") {
+    // L=3. doc0/doc1 share tokens a b c d e (positions 0..4 / 2..6):
+    // windows abc/bcd/cde dup in both → one merged span each.
+    // doc2 repeats x y z x y z → window "x y z" occurs twice IN ONE doc.
+    // doc3 has no ≥3-token repeat anywhere.
+    val docsS = Seq(
+      (0L, "a b c d e q r s t"),
+      (1L, "p q a b c d e u v"),
+      (2L, "x y z x y z"),
+      (3L, "m n o p2 q2 r2 s2")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docsS, "doc_id", "text", minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((0L, 0L, 5L), (1L, 2L, 7L), (2L, 0L, 6L)), s"spans: $spans")
+
+    val cleaned = Dedup.removeSubstringSpans(docsS, "doc_id", "text", minTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(cleaned(0L) == (("q r s t", 5L)))
+    assert(cleaned(1L) == (("p q u v", 5L)))
+    assert(cleaned(2L) == (("", 6L)))
+    assert(cleaned(3L) == (("m n o p2 q2 r2 s2", 0L)))
+  }
+
+  test("substringSpans: touching-but-distinct windows merge; gap > L stays split") {
+    // shared run1 at doc4[0..3) and doc5[0..3); shared run2 at doc4[10..13)
+    // and doc5[5..8) — far apart in doc4 ⇒ two spans there
+    val docsS = Seq(
+      (4L, "k1 k2 k3 f1 f2 f3 f4 f5 f6 f7 g1 g2 g3"),
+      (5L, "k1 k2 k3 h1 h2 g1 g2 g3 h3 h4")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docsS, "doc_id", "text", minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((4L, 0L, 3L), (4L, 10L, 13L), (5L, 0L, 3L), (5L, 5L, 8L)), s"spans: $spans")
+  }
+
   test("brute-force ANN matches exhaustive cosine top-k") {
     val data = synthEmbeddings(300, 16)
     val corpus = spark.createDataFrame(data).toDF("id", "vec")
