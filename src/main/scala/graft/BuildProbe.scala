@@ -46,7 +46,13 @@ object BuildProbe {
     // positions default ON (ES text fields index positions by default —
     // the honest comparison against the reference's ES ingest numbers)
     val positions = sys.env.getOrElse("GRAFT_PROBE_POSITIONS", "true").toBoolean
-    val combine = sys.env.getOrElse("GRAFT_PROBE_COMBINE", "false").toBoolean
+    // combine default ON since r5: the packed-chunk exchange (~3.0 GB vs
+    // 8.5 GB, ~20x fewer shuffle rows) beat the row shuffle at BOTH
+    // pinned levels on the r5 box (8-core 28.3k vs 17.0k docs/s, 32-core
+    // 49.0k vs 23.4k, same window; tmpfs shuffle scratch changed neither
+    // — the row-shuffle cost is the 165M-row spillable sort, not disk),
+    // and it was already the documented network-cluster default
+    val combine = sys.env.getOrElse("GRAFT_PROBE_COMBINE", "true").toBoolean
     IndexBuilder.build(spark, pages, dir,
       BuildConfig(nPartitions = nParts, nGroups = nGroups, nSlices = 16, blockSize = 128,
         positions = positions, mapSideCombine = combine))

@@ -85,7 +85,7 @@ object IndexJob {
     nSlices = flag(args, "slices", 16),
     blockSize = flag(args, "block", 128),
     positions = flag(args, "positions", 1) != 0,
-    mapSideCombine = flag(args, "combine", 0) != 0
+    mapSideCombine = flag(args, "combine", 1) != 0 // r5 default flip: see BuildConfig scaladoc
   )
 
   def run(spark: SparkSession, args: Seq[String]): Unit = {

@@ -439,6 +439,24 @@ object SparkEntry {
         .select($"n_docs", $"min_v", $"max_v", $"sum_v",
           round($"avg_v" * 10000).cast("long").as("avg_e4"))
     },
+    // ES significant_text: overrepresented TERMS from the matching docs'
+    // text vs the corpus (JLH) — fg tokenizes only the match set (id
+    // semi-join, column-pruned), bg doc freqs come free from the term
+    // dictionary
+    "q_significant_text" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.significantText(s, indexFor(s, dir), QueryAnd, "and", size = 10)
+        .select($"term", $"fg_count", $"bg_count", $"score_e4")
+    },
+    // ES sampler + terms sub-agg: terms agg over ONLY the top-50 BM25
+    // docs (global top-k sample — the portable deviation from ES's
+    // per-shard sample; per-slice sampling would tie results to layout)
+    "q_facet_sampler" -> { (s, dir) =>
+      import s.implicits._
+      graft.query.Facets.samplerTermsAgg(s, indexFor(s, dir), QueryOr, "or",
+        shardSize = 50, kwField = "source")
+        .select($"source", $"n_docs")
+    },
     // ES rare_terms: long-tail buckets (doc count ≤ max_doc_count over
     // the match set), count-ASC — the complement of the terms agg's
     // top-N; same one-walk partials, the ≤ cut runs post-combine
@@ -1705,6 +1723,55 @@ SELECT count(*)::BIGINT AS n_docs, min(doc_len)::BIGINT AS min_v,
        max(doc_len)::BIGINT AS max_v, sum(doc_len)::BIGINT AS sum_v,
        round((sum(doc_len)::DOUBLE / count(*)::DOUBLE) * 10000)::BIGINT AS avg_e4
 FROM m""",
+    "q_significant_text" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), m AS (
+  SELECT doc_id FROM toks
+  WHERE term IN (${QueryAnd.map(t => s"'$t'").mkString(", ")})
+  GROUP BY doc_id HAVING count(DISTINCT term) = ${QueryAnd.distinct.size}
+), fg AS (
+  SELECT term, count(DISTINCT doc_id) AS f FROM toks
+  WHERE doc_id IN (SELECT doc_id FROM m) AND term <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+), bg AS (
+  SELECT term, count(DISTINCT doc_id) AS b FROM toks GROUP BY 1
+), tot AS (
+  SELECT (SELECT count(*) FROM m)::DOUBLE AS fgt,
+         (SELECT count(*) FROM documents)::DOUBLE AS bgt
+)
+SELECT fg.term, fg.f::BIGINT AS fg_count, bg.b::BIGINT AS bg_count,
+       round(((fg.f / t.fgt) - (bg.b / t.bgt)) * ((fg.f / t.fgt) / (bg.b / t.bgt)) * 10000)::BIGINT AS score_e4
+FROM fg JOIN bg USING (term) CROSS JOIN tot t
+WHERE fg.f / t.fgt > bg.b / t.bgt
+  AND fg.term NOT IN (${QueryAnd.map(t => s"'$t'").mkString(", ")})
+ORDER BY score_e4 DESC, fg.term LIMIT 10""",
+    "q_facet_sampler" ->
+      s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+), alldocs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len FROM documents d LEFT JOIN dl USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM alldocs
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (${QueryOr.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * ad.doc_len / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN alldocs ad ON ad.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+), sample AS (
+  SELECT doc_id FROM scores ORDER BY score DESC, doc_id LIMIT 50
+)
+SELECT source, count(*)::BIGINT AS n_docs
+FROM documents WHERE doc_id IN (SELECT doc_id FROM sample)
+GROUP BY 1 ORDER BY n_docs DESC, source""",
     "q_facet_rare" ->
       s"""WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''

@@ -54,9 +54,15 @@ object IndexBuilder {
     * matching ES text-field defaults the reference provisions.
     */
   /** `mapSideCombine`: pre-aggregate postings into packed chunks before
-    * the exchange (5-8× fewer shuffle bytes at extra CPU) — enable on
-    * network-shuffled clusters; off by default for local/page-cached
-    * shuffle media (see buildGroups).
+    * the exchange (5-8× fewer shuffle bytes, ~20× fewer shuffle ROWS, at
+    * extra map CPU) — DEFAULT ON since r5: it is the scale-correct shape
+    * for network-shuffled clusters, and the r5 paired A/B measured it
+    * ahead at BOTH pinned local levels too (8-core 28.3k vs 17.0k
+    * docs/s, 32-core 49.0k vs 23.4k; the row shuffle's cost is the
+    * 165M-row spillable sort, which tmpfs scratch does not fix). The
+    * row shuffle remains available for page-cache-local media where an
+    * earlier host measured it ahead at 32 cores (BASELINE.md r3/r4);
+    * output bytes are identical either way (tested).
     */
   /** `attrs`: the declared doc-value sidecar schema (keyword + numeric
     * filter fields — ES provisions ~10 such next to the text fields);
@@ -69,7 +75,7 @@ object IndexBuilder {
       nSlices: Int = 16,
       blockSize: Int = 128,
       positions: Boolean = true,
-      mapSideCombine: Boolean = false,
+      mapSideCombine: Boolean = true,
       attrs: Seq[AttrSpec] = AttrSchema.Default
   )
 

@@ -652,6 +652,166 @@ object Facets {
     if (row.isNullAt(0)) 0L else row.getLong(0) // no matched blocks → 0
   }
 
+  /** The query's matching doc ids as a DataFrame(doc_id) — the primitive
+    * under aggs that must LEAVE the index (significant_text joins ids to
+    * the stored docs table; exports/hydrations ditto). Each (slice) task
+    * STREAMS its matches (no per-slice materialization); the exchange is
+    * 8 bytes per matching doc — inherent to any id-producing read.
+    */
+  def matchIds(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    val terms = queryTerms.distinct
+    val isAnd = mode == "and"
+    if (terms.isEmpty || terms.size < minShouldMatch)
+      return spark.emptyDataset[Long].toDF("doc_id")
+    val exTerms = mustNot.distinct
+    val bCtx = spark.sparkContext.broadcast((terms.toArray, exTerms.toArray))
+    val idxDir = indexDir
+    val tomb = graft.index.Tombstones.handle(indexDir)
+    val pred = attrFilter
+    val msm = minShouldMatch
+    IndexBuilder
+      .readPostings(spark, indexDir)
+      .where($"term".isin(terms ++ exTerms: _*))
+      .select(
+        $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"poss")
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (slice, rows) =>
+        val (qTerms, exT) = bCtx.value
+        val byTerm = rows.toArray.groupBy(_._2)
+        def iterOf(t: String): Option[PostingIter] =
+          byTerm.get(t).map { rs =>
+            val refs = rs.sortBy(r => (r._4, r._3))
+              .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, 0.0))
+            new PostingIter(0, 0.0, refs, 1.0)
+          }
+        val iters = qTerms.iterator.flatMap(iterOf).toArray
+        if (iters.isEmpty || (isAnd && iters.length < qTerms.length)) Iterator.empty
+        else {
+          var filter: DocFilter =
+            if (pred == null) null else AttrSidecar.openCursor(idxDir, slice, pred)
+          val exIters = exT.iterator.flatMap(iterOf).toArray
+          if (exIters.nonEmpty)
+            filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+          if (tomb != null) filter = tomb.compose(slice, filter)
+          // cursor stays open for the stream's lifetime; the task closes
+          // it implicitly at JVM task end (matchingDocIds is lazy here)
+          BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter)
+        }
+      }
+      .toDF("doc_id")
+  }
+
+  /** ES `significant_text`: terms from the TEXT of the matching docs
+    * that are overrepresented vs the whole corpus — the free-text
+    * variant of [[significantTerms]] ("what words are unusual in these
+    * events"), same JLH score. Foreground counts tokenize ONLY the
+    * matching docs (match ids semi-join the stored docs table — column-
+    * pruned to text, no full-corpus tokenize); background doc
+    * frequencies come FREE from the index's term dictionary. `sampleTopK`
+    * > 0 restricts the foreground to the top-k BM25 docs — ES pairs
+    * significant_text with a sampler agg for exactly this cost bound;
+    * 0 = full match set (bounded fixtures / small queries).
+    */
+  def significantText(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      size: Int = 10,
+      sampleTopK: Int = 0,
+      minDocCount: Long = 2L,
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    val ids =
+      if (sampleTopK > 0)
+        Search.topK(spark, indexDir, queryTerms, mode, sampleTopK,
+          attrFilter = attrFilter, mustNot = mustNot, minShouldMatch = minShouldMatch)
+          .select($"doc_id")
+      else matchIds(spark, indexDir, queryTerms, mode, attrFilter, mustNot, minShouldMatch)
+    val fgTotalL = ids.count()
+    if (fgTotalL == 0L)
+      return spark.emptyDataset[(String, Long, Long, Long)]
+        .toDF("term", "fg_count", "bg_count", "score_e4")
+    val fgTotal = fgTotalL.toDouble
+    val bgTotal = IndexBuilder.readStats(spark, indexDir).n_docs.toDouble
+    // fg doc counts per term: DISTINCT terms per doc (doc-frequency
+    // semantics, matching the dictionary's bg side)
+    val fg = spark.read.parquet(s"$indexDir/docs")
+      .select($"doc_id", $"text")
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(explode(array_distinct(split($"text", " "))).as("term"))
+      .where($"term" =!= "")
+      .groupBy($"term").agg(count(lit(1)).as("fg_count"))
+      .where($"fg_count" >= minDocCount)
+    // bg from the dictionary — zero extra corpus work; inner join is
+    // sound (every fg term appears in ≥1 doc ⇒ it is in the dictionary)
+    val bg = IndexBuilder.readTerms(spark, indexDir).toDF()
+      .select($"term", $"doc_freq".as("bg_count"))
+    // query terms themselves are trivially significant — ES excludes them
+    val exclude = queryTerms.distinct
+    fg.join(bg, Seq("term"))
+      .where(!$"term".isin(exclude: _*))
+      .withColumn("fg_pct", $"fg_count".cast("double") / fgTotal)
+      .withColumn("bg_pct", $"bg_count".cast("double") / bgTotal)
+      .where($"fg_pct" > $"bg_pct")
+      .withColumn("score_e4",
+        round(($"fg_pct" - $"bg_pct") * ($"fg_pct" / $"bg_pct") * 10000.0).cast("long"))
+      .select($"term", $"fg_count", $"bg_count", $"score_e4")
+      .orderBy(desc("score_e4"), asc("term"))
+      .limit(size)
+  }
+
+  /** ES `sampler` + `terms` sub-aggregation: the terms agg computed over
+    * only the TOP-`shardSize` scoring docs of the query — the standard
+    * cost bound for expensive sub-aggs. Deliberate deviation from ES:
+    * the sample is the GLOBAL top-k (one logical shard), not per-shard —
+    * per-slice sampling ties results to the physical slice layout, which
+    * a portable engine must not (the same corpus at nSlices=4 vs 16
+    * would answer differently). Composition: ranked top-k (k-sized
+    * per-slice heaps) → broadcast id allow-list → one sidecar value scan
+    * over ≤ shardSize docs.
+    */
+  def samplerTermsAgg(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      mode: String,
+      shardSize: Int = 100,
+      kwField: String = "lang",
+      attrFilter: AttrPred = null,
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    val top = Search.topK(spark, indexDir, queryTerms, mode, shardSize,
+      attrFilter = attrFilter, mustNot = mustNot, minShouldMatch = minShouldMatch)
+      .select($"doc_id").as[Long].collect() // ≤ shardSize ids by contract
+    if (top.isEmpty)
+      return spark.emptyDataset[(String, Long)].toDF(kwField, "n_docs")
+    // reuse the standard terms walk with the id allow-list conjoined into
+    // the filter chain: the walk touches only blocks the query matched,
+    // and the sidecar read seeks ≤ shardSize docs per slice
+    aggregate(spark, Seq(indexDir), queryTerms, mode, attrFilter, mustNot,
+      minShouldMatch, keyPattern = null, kwField = kwField, numField = null,
+      numWidth = 0L, idAllow = top.sorted)
+      .select(col("k1").as(kwField), col("n").as("n_docs"))
+      .orderBy(desc("n_docs"), asc(kwField))
+  }
+
   /** ES `stats` aggregation on a DECLARED numeric field of the match
     * set: ONE row (n_docs, min_v, max_v, sum_v, avg_v) — the metric
     * layer every Kibana dashboard pairs with its date_histogram (avg
@@ -1827,10 +1987,13 @@ object Facets {
       numField: String,
       numWidth: Long,
       kwField2: String = null, // composite keyword × keyword (ES multi_terms)
-      metricField: String = null // per-bucket (n,sum,min,max) over this numeric attr
+      metricField: String = null, // per-bucket (n,sum,min,max) over this numeric attr
+      idAllow: Array[Long] = null // sampler: SORTED segment-absolute id allow-list (single-segment callers only)
   ): DataFrame = {
     import spark.implicits._
     require(segmentDirs.nonEmpty, "no segments")
+    require(idAllow == null || segmentDirs.size == 1,
+      "id allow-list is segment-absolute — single-segment callers only")
     val terms = queryTerms.distinct
     val isAnd = mode == "and"
     val exTerms = mustNot.distinct
@@ -1838,6 +2001,7 @@ object Facets {
       return spark.emptyDataset[(String, String, Long, Long, Long, Long)]
         .toDF("k1", "k2", "n", "sm", "mn", "mx")
 
+    val bAllow = if (idAllow == null) null else spark.sparkContext.broadcast(idAllow)
     val bCtx = spark.sparkContext.broadcast((terms.toArray, exTerms.toArray))
     val bDirs = spark.sparkContext.broadcast(segmentDirs.toArray)
     val bTombs = spark.sparkContext.broadcast(
@@ -1887,6 +2051,8 @@ object Facets {
             filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
           val tomb = bTombs.value(seg)
           if (tomb != null) filter = tomb.compose(slice, filter)
+          if (bAllow != null)
+            filter = Filters.and(filter, new SortedIdsFilter(bAllow.value))
           val fmt =
             if (pat == null) null
             else java.time.format.DateTimeFormatter.ofPattern(pat)

@@ -74,6 +74,39 @@ final class SortedIdsSet(ids: Array[Long]) extends DocSet {
   }
 }
 
+/** ALLOW-list [[DocFilter]] over a SORTED id array — the dual of
+  * `NotFilter(SortedIdsSet)`: only the listed docs pass (sampler aggs,
+  * export hydrations, any "top-k ids then re-walk" composition).
+  * Exhausts once the cursor passes the last id, so WAND terminates as
+  * soon as the sample is behind it. Serializable: built on the driver
+  * from a bounded id set (≤ shardSize by contract) and shipped in the
+  * task closure — each task deserializes its own cursor copy.
+  */
+final class SortedIdsFilter(ids: Array[Long]) extends DocFilter with Serializable {
+  private var i = 0
+  private def advanceTo(target: Long): Unit = {
+    var lo = i
+    if (lo >= ids.length || ids(lo) >= target) return
+    var step = 1
+    var hi = lo + step
+    while (hi < ids.length && ids(hi) < target) { lo = hi; step <<= 1; hi = lo + step }
+    if (hi > ids.length) hi = ids.length
+    var l = lo + 1
+    var h = hi
+    while (l < h) { val m = (l + h) >>> 1; if (ids(m) < target) l = m + 1 else h = m }
+    i = l
+  }
+  def exhausted: Boolean = i >= ids.length
+  def contains(target: Long): Boolean = {
+    advanceTo(target)
+    i < ids.length && ids(i) == target
+  }
+  def ceil(target: Long): Long = {
+    advanceTo(target)
+    if (i >= ids.length) Long.MaxValue else ids(i)
+  }
+}
+
 /** [[DocSet]] = union of posting lists (ES `must_not` over terms: a doc
   * is in the set iff ANY excluded term's postings contain it). The
   * iterators advance monotonically with the probe stream — block skip +
