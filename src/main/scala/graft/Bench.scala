@@ -120,8 +120,16 @@ object Bench {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar"
       ).flatMap(m => Seq("--add-opens", s"$m=ALL-UNNAMED"))
+      // heap scales WITH cores (0.5 GB/core, young gen half): a real
+      // N→4N scale-out quadruples node memory alongside cores, and the
+      // old fixed 8 GB starved the 32-core level to 4× less memory per
+      // core than the 8-core level — conflating core scaling with
+      // memory starvation (r5 A/B: postings-stage 43.8 s at 16 GB vs
+      // ~58 s at 8 GB, 32 pinned cores, adjacent windows)
+      val xmx = s"${cores / 2}g"
+      val xmn = s"${math.max(1, cores / 4)}g"
       val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ addOpens ++ Seq(
-        s"-XX:ActiveProcessorCount=$cores", "-XX:+UseParallelGC", "-Xmx8g", "-Xmn4g",
+        s"-XX:ActiveProcessorCount=$cores", "-XX:+UseParallelGC", s"-Xmx$xmx", s"-Xmn$xmn",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", cp, main, cores.toString
       ) ++ extraArgs

@@ -700,12 +700,20 @@ object Facets {
         else {
           var filter: DocFilter =
             if (pred == null) null else AttrSidecar.openCursor(idxDir, slice, pred)
+          val predCursor = filter
           val exIters = exT.iterator.flatMap(iterOf).toArray
           if (exIters.nonEmpty)
             filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
           if (tomb != null) filter = tomb.compose(slice, filter)
-          // cursor stays open for the stream's lifetime; the task closes
-          // it implicitly at JVM task end (matchingDocIds is lazy here)
+          // the id stream is LAZY (that is the point — no per-slice
+          // materialization), so the sidecar cursor cannot close in a
+          // finally here; hand it to the task lifecycle instead
+          predCursor match {
+            case c: AutoCloseable =>
+              val tc = org.apache.spark.TaskContext.get()
+              if (tc != null) tc.addTaskCompletionListener[Unit](_ => c.close())
+            case _ =>
+          }
           BlockMaxWand.matchingDocIds(iters, isAnd, msm, filter)
         }
       }
@@ -749,12 +757,15 @@ object Facets {
     val fgTotal = fgTotalL.toDouble
     val bgTotal = IndexBuilder.readStats(spark, indexDir).n_docs.toDouble
     // fg doc counts per term: DISTINCT terms per doc (doc-frequency
-    // semantics, matching the dictionary's bg side)
+    // semantics, matching the dictionary's bg side). Tokenization MUST be
+    // the index analyzer's — a `split(' ')` here diverges from the
+    // dictionary on any multi-separator text and silently skews scores
     val fg = spark.read.parquet(s"$indexDir/docs")
       .select($"doc_id", $"text")
       .join(ids, Seq("doc_id"), "left_semi")
-      .select(explode(array_distinct(split($"text", " "))).as("term"))
-      .where($"term" =!= "")
+      .select($"text").as[String]
+      .flatMap(t => graft.functions.Analyzer.tokenize(t).distinct.iterator)
+      .toDF("term")
       .groupBy($"term").agg(count(lit(1)).as("fg_count"))
       .where($"fg_count" >= minDocCount)
     // bg from the dictionary — zero extra corpus work; inner join is

@@ -1532,6 +1532,55 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp, s"date_range: $got vs $exp")
   }
 
+  test("matchIds streams the exact match set; composes with filter context") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val got = Facets.matchIds(spark, dir.toString, terms, "or")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == matchedIds(terms, and = false).sorted, "plain match set")
+    val gotRu = Facets.matchIds(spark, dir.toString, terms, "or",
+      attrFilter = graft.index.AttrPred.lang("ru"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotRu == matchedIds(terms, and = false).filter(id => langOf(id) == "ru").sorted)
+  }
+
+  test("significant_text ≡ exhaustive JLH over match-set tokens") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val ids = matchedIds(terms, and = false).toSet
+    val fgt = ids.size.toDouble
+    val bgt = corpus.size.toDouble
+    val fg = corpus.filter { case (id, _) => ids(id) }
+      .flatMap { case (_, t) => Analyzer.tokenize(t).distinct }
+      .groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2L).toMap
+    val bg = corpus.flatMap { case (_, t) => Analyzer.tokenize(t).distinct }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exp = fg.toSeq
+      .filterNot { case (t, _) => terms.contains(t) }
+      .flatMap { case (t, f) =>
+        val (fp, bp) = (f / fgt, bg(t) / bgt)
+        if (fp > bp) Some((t, f, bg(t), math.round((fp - bp) * (fp / bp) * 10000.0)))
+        else None
+      }
+      .sortBy { case (t, _, _, s) => (-s, t) }.take(10)
+    val got = Facets.significantText(spark, dir.toString, terms, "or", size = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == exp, s"significant_text:\n$got\nvs\n$exp")
+  }
+
+  test("sampler terms agg: buckets over ONLY the top-k sample") {
+    import graft.query.Facets
+    val terms = Seq("w1", "w2")
+    val sample = NaiveBm25.topK(corpus, terms, "or", 50).map(_.docId)
+    val exp = sample.groupBy(langOf).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (l, n) => (-n, l) }
+    val got = Facets.samplerTermsAgg(spark, dir.toString, terms, "or", shardSize = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exp, s"sampler: $got vs $exp")
+    assert(sample.size < matchedIds(terms, and = false).size,
+      "fixture: the sample must be a strict subset of the match set")
+  }
+
   test("terms_set: per-doc minimum_should_match from a declared numeric attr") {
     val root = Files.createTempDirectory("graft-termsset").toString
     try {
