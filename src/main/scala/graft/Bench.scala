@@ -108,7 +108,8 @@ object Bench {
     // -XX:ActiveProcessorCount, so the "8-core executor" cannot borrow
     // the other 24 CPUs for GC/JIT — the honest proxy for an N-core
     // cluster node. Interleaved runs per level, best-of (shared-host noise).
-    def childRun(main: String, cores: Int, extraArgs: Seq[String]): String = {
+    def childRun(main: String, cores: Int, extraArgs: Seq[String],
+        fixedHeap: Boolean = false): String = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val cp = System.getProperty("java.class.path")
       val addOpens = Seq(
@@ -120,14 +121,17 @@ object Bench {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar"
       ).flatMap(m => Seq("--add-opens", s"$m=ALL-UNNAMED"))
-      // heap scales WITH cores (0.5 GB/core, young gen half): a real
-      // N→4N scale-out quadruples node memory alongside cores, and the
-      // old fixed 8 GB starved the 32-core level to 4× less memory per
-      // core than the 8-core level — conflating core scaling with
-      // memory starvation (r5 A/B: postings-stage 43.8 s at 16 GB vs
-      // ~58 s at 8 GB, 32 pinned cores, adjacent windows)
-      val xmx = s"${cores / 2}g"
-      val xmn = s"${math.max(1, cores / 4)}g"
+      // PROBE heap scales WITH cores (0.5 GB/core, young gen half): a
+      // real N→4N scale-out quadruples node memory alongside cores, and
+      // the old fixed 8 GB starved the 32-core level to 4× less memory
+      // per core than the 8-core level — conflating core scaling with
+      // memory starvation (r5 A/B: postings-stage 43.8-47.0 s at 16 GB
+      // vs ~58 s at 8 GB, 32 pinned cores). The CONTROL keeps a fixed
+      // ample heap instead: its job is the box's ALU-scaling ceiling,
+      // and scaling ITS memory down at 8 cores GC-starved it into
+      // physically-impossible ctl_eff readings >1.0 (observed 1.41)
+      val xmx = if (fixedHeap) "8g" else s"${cores / 2}g"
+      val xmn = if (fixedHeap) "4g" else s"${math.max(1, cores / 4)}g"
       val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ addOpens ++ Seq(
         s"-XX:ActiveProcessorCount=$cores", "-XX:+UseParallelGC", s"-Xmx$xmx", s"-Xmn$xmn",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
@@ -164,7 +168,8 @@ object Bench {
       // observed round: ctl32 at 0.42× its same-session siblings, which
       // inflated that round's eff-vs-control to a nonsense 1.24)
       val reps = if (cores >= 32) 8 else 2
-      val out = childRun("graft.CpuProbe", cores, Seq(benchDocs.toString, reps.toString))
+      val out = childRun("graft.CpuProbe", cores, Seq(benchDocs.toString, reps.toString),
+        fixedHeap = true)
       cpuRe.findFirstMatchIn(out) match {
         case Some(m) => m.group(1).toDouble
         case None => throw new RuntimeException(s"control at $cores cores produced no CPUPROBE line:\n$out")

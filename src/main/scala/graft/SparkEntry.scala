@@ -1000,6 +1000,19 @@ object SparkEntry {
       FieldedSearch.topK(s, fields, QueryOr, 10)
         .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
     },
+    // ES combined_fields (Lucene CombinedFieldQuery / BM25F): ONE virtual
+    // field — weighted combined tf/dl, merged (max-df) idf per term; the
+    // per-doc score folds in ascending term order for a deterministic sum
+    "q_bm25_combined" -> { (s, dir) =>
+      import s.implicits._
+      import graft.query.FieldedSearch
+      val fields = Seq(
+        FieldedSearch.Field("title", titleIndexFor(s, dir), 2.0),
+        FieldedSearch.Field("body", indexFor(s, dir), 1.0)
+      )
+      FieldedSearch.combinedFieldsTopK(s, fields, QueryOr, 10)
+        .select($"doc_id", round($"score" * 10000).cast("long").as("score_e4"))
+    },
     // fielded term-level rewrite (ES multi_match + prefix): the prefix
     // expands against EACH field dictionary; per-(field, term) masks keep
     // a rewrite inside the field whose dictionary produced it; the
@@ -2604,6 +2617,50 @@ ORDER BY doc_id LIMIT 10""",
     "q_bm25_slop" -> phraseSlopOracleSql(QueryPhrase, 2),
     "q_bm25_slop3" -> phraseSlopOracleSql(Seq("spark", "merge", "window"), 4),
     "q_bm25_fielded" -> fieldedOracleSql(QueryOr),
+    // combined_fields: ONE virtual field — tfc = 2·title_tf + 1·body_tf,
+    // dlc = 2·title_dl + 1·body_dl, avgdlc = 2·title_avg + 1·body_avg,
+    // idf from max-df; per-doc score = ascending-term sequential fold
+    "q_bm25_combined" -> {
+      val inList = QueryOr.map(t => s"'$t'").mkString(", ")
+      s"""WITH tdoc AS (
+  SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS text FROM documents
+), btoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text <> ''
+), ttoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM tdoc WHERE text <> ''
+), bdl AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY 1
+), tdl AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY 1
+), ball AS (SELECT d.doc_id, coalesce(bdl.dl, 0) AS dl FROM documents d LEFT JOIN bdl USING (doc_id)
+), tall AS (SELECT d.doc_id, coalesce(tdl.dl, 0) AS dl FROM documents d LEFT JOIN tdl USING (doc_id)
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         2.0 * (SELECT avg(dl)::DOUBLE FROM tall) + 1.0 * (SELECT avg(dl)::DOUBLE FROM ball) AS avgdlc
+), btf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM btoks WHERE term IN ($inList) GROUP BY 1, 2
+), ttf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ttoks WHERE term IN ($inList) GROUP BY 1, 2
+), ctf AS (
+  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id, coalesce(t.term, b.term) AS term,
+         coalesce(2.0 * t.tf, 0) + coalesce(1.0 * b.tf, 0) AS tfc
+  FROM ttf t FULL OUTER JOIN btf b ON t.doc_id = b.doc_id AND t.term = b.term
+), dfc AS (
+  SELECT term, greatest(
+    coalesce((SELECT count(*) FROM btf b2 WHERE b2.term = d.term), 0),
+    coalesce((SELECT count(*) FROM ttf t2 WHERE t2.term = d.term), 0))::DOUBLE AS df
+  FROM (SELECT DISTINCT term FROM ctf) d
+), dlc AS (
+  SELECT t.doc_id, 2.0 * t.dl + 1.0 * b.dl AS dlc
+  FROM tall t JOIN ball b USING (doc_id)
+), scored AS (
+  SELECT c.doc_id, c.term,
+         ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5)) * c.tfc
+           / (c.tfc + 1.2 * (1 - 0.75 + 0.75 * d.dlc / s.avgdlc)) AS sc
+  FROM ctf c JOIN dfc USING (term) JOIN dlc d ON d.doc_id = c.doc_id CROSS JOIN stats s
+), folded AS (
+  SELECT doc_id, list_reduce(list(sc ORDER BY term), (a, b) -> a + b) AS score
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, round(score * 10000)::BIGINT AS score_e4
+FROM folded ORDER BY score DESC, doc_id LIMIT 10"""
+    },
     "q_bm25_fielded_prefix" -> fieldedOracleSql(Nil, termPred = "term LIKE 's%'"),
     "q_bm25_fielded_wildcard" -> fieldedOracleSql(Nil, termPred = "term LIKE 's_a%'"),
     // fielded over 2-segment families must equal the single-index fielded

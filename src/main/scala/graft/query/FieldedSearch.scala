@@ -526,4 +526,91 @@ object FieldedSearch {
 
     localTopK.toDF().orderBy(desc("score"), asc("doc_id")).limit(k)
   }
+
+  /** ES `combined_fields` (Lucene CombinedFieldQuery / BM25F): the fields
+    * are scored as ONE virtual field — per-term combined
+    * tf′(t,d) = Σ_f w_f·tf_f(t,d), combined length dl′(d) = Σ_f w_f·dl_f(d),
+    * avgdl′ = Σ_f w_f·avgdl_f (means are linear), and ONE idf per term
+    * from the merged stats (df′(t) = max_f df_f(t), Lucene's
+    * CombinedFieldQuery term-stats merge, clamped to n) — unlike
+    * most_fields ([[topK]]) a term hot in every field is NOT
+    * double-idf-counted.
+    *
+    * Plan shape (deliberately DECLARATIVE, not WAND): the per-field
+    * block-max bounds do not soundly bound a cross-field combined
+    * impact, so instead of hand-pruning we decode ONLY the query terms'
+    * posting blocks (scan pushdown), shuffle (doc, term, w·tf) rows —
+    * the same magnitude as any scoring walk's candidate set — and let
+    * Catalyst aggregate. The per-doc score folds in ASCENDING TERM
+    * ORDER via aggregate(sort_array(collect_list(...))) so float sums
+    * are deterministic and SQL-mirrorable (a bare sum() order is
+    * partition-layout-dependent).
+    */
+  def combinedFieldsTopK(
+      spark: SparkSession,
+      fields: Seq[Field],
+      queryTerms: Seq[String],
+      k: Int
+  ): DataFrame = {
+    import spark.implicits._
+    require(fields.nonEmpty)
+    val terms = queryTerms.distinct
+    val stats = fields.map(f => IndexBuilder.readStats(spark, f.indexDir))
+    val n = stats.head.n_docs
+    require(stats.forall(_.n_docs == n),
+      "field indexes must share the docID space (same corpus, same urls)")
+    val avgdlC = fields.zip(stats).map { case (f, st) =>
+      f.boost * (if (st.avg_dl > 0) st.avg_dl else 1.0)
+    }.sum
+    // merged term stats: one tiny pushdown dictionary read per field
+    val perFieldDf: Seq[Map[String, Long]] = fields.map { f =>
+      IndexBuilder.readTerms(spark, f.indexDir)
+        .where($"term".isin(terms: _*))
+        .collect().map(t => t.term -> t.doc_freq).toMap
+    }
+    val dfc: Map[String, Long] = terms
+      .map(t => t -> perFieldDf.map(_.getOrElse(t, 0L)).max)
+      .toMap.filter(_._2 > 0L)
+    if (dfc.isEmpty) return spark.emptyDataset[Search.QueryHit].toDF()
+    val present = terms.filter(dfc.contains)
+    val idfs = present.map(t => t -> NaiveBm25.idf(n, math.min(dfc(t), n))).toDF("term", "idf")
+
+    // decoded candidate postings: (doc_id, term, w_f·tf) — scan pushdown
+    // reads only the query terms' blocks of each field
+    val post = fields.map { f =>
+      val w = f.boost
+      IndexBuilder.readPostings(spark, f.indexDir)
+        .where($"term".isin(present: _*))
+        .select($"term", $"doc_id_min", $"count", $"deltas", $"tfs")
+        .as[(String, Long, Int, Array[Byte], Array[Byte])]
+        .flatMap { case (t, base, c, deltas, tfs) =>
+          val ids = graft.functions.Codec.decodeGapsFromBase(base, deltas, c)
+          val fr = graft.functions.Codec.decodeIntsAuto(tfs, c)
+          ids.indices.iterator.map(i => (ids(i), t, w * fr(i)))
+        }
+        .toDF("doc_id", "term", "wtf")
+    }.reduce(_ unionByName _)
+
+    // combined per-field-weighted doc length from each field's stored
+    // docs table (column-pruned: only doc_id + doc_len are read)
+    val dlc = fields.map { f =>
+      spark.read.parquet(s"${f.indexDir}/docs")
+        .select($"doc_id", ($"doc_len".cast("double") * f.boost).as("wdl"))
+    }.reduce(_ unionByName _)
+      .groupBy($"doc_id").agg(sum($"wdl").as("dlc"))
+
+    post
+      .groupBy($"doc_id", $"term").agg(sum($"wtf").as("tfc"))
+      .join(dlc, Seq("doc_id"))
+      .join(broadcast(idfs), Seq("term"))
+      .withColumn("s",
+        $"idf" * $"tfc" / ($"tfc" + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * $"dlc" / lit(avgdlC))))
+      .groupBy($"doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct($"term", $"s"))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("s")).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
 }

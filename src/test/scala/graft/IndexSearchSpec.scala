@@ -315,6 +315,49 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     expF.zip(gotF).foreach { case (e, (_, gs)) => assert(math.abs(gs - e.score) < 1e-9) }
   }
 
+  test("combined_fields (BM25F): one virtual field ≡ exhaustive weighted-tf scoring") {
+    import graft.query.FieldedSearch
+    val fields = Seq((titleCorpus, 2.0), (corpus, 1.0))
+    val n = corpus.size
+    def stats(c: Seq[(Long, String)]) = {
+      val tf = c.map { case (id, t) =>
+        id -> Analyzer.tokenize(t).groupBy(identity).view.mapValues(_.size).toMap
+      }.toMap
+      val dl = c.map { case (id, t) => id -> Analyzer.tokenize(t).length }.toMap
+      (tf, dl)
+    }
+    val (ttf, tdl) = stats(titleCorpus)
+    val (btf, bdl) = stats(corpus)
+    val avgdlC = 2.0 * (tdl.values.sum.toDouble / n) + 1.0 * (bdl.values.sum.toDouble / n)
+    Seq(Seq("w0", "w1"), Seq("w3", "w7", "w11")).foreach { terms =>
+      val dfc = terms.map { t =>
+        t -> math.max(btf.count(_._2.contains(t)), ttf.count(_._2.contains(t))).toLong
+      }.toMap
+      val exp = (0L until NDocs).flatMap { id =>
+        val perTerm = terms.distinct.sorted.flatMap { t =>
+          val tfc = 2.0 * ttf(id).getOrElse(t, 0) + 1.0 * btf(id).getOrElse(t, 0)
+          if (tfc == 0.0 || dfc(t) == 0L) None
+          else {
+            val dlc = 2.0 * tdl(id) + 1.0 * bdl(id)
+            Some(NaiveBm25.idf(n, dfc(t)) * tfc /
+              (tfc + 1.2 * (1 - 0.75 + 0.75 * dlc / avgdlC)))
+          }
+        }
+        if (perTerm.isEmpty) None else Some((id, perTerm.foldLeft(0.0)(_ + _)))
+      }.sortBy { case (id, s) => (-s, id) }.take(10)
+      val got = FieldedSearch.combinedFieldsTopK(
+        spark,
+        Seq(FieldedSearch.Field("title", titleDir.toString, 2.0),
+          FieldedSearch.Field("body", dir.toString, 1.0)),
+        terms, 10
+      ).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.map(_._1).toSeq == exp.map(_._1), s"combined_fields $terms ids: ${got.toSeq} vs $exp")
+      exp.zip(got).foreach { case ((_, es), (_, gs)) =>
+        assert(math.abs(gs - es) < 1e-9, s"combined_fields $terms score $gs vs $es")
+      }
+    }
+  }
+
   test("fielded prefix/fuzzy: per-field dictionary expansion with participation masks") {
     import graft.query.FieldedSearch
     val fields = Seq(
