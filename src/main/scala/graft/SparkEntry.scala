@@ -593,6 +593,14 @@ object SparkEntry {
       Search.suggest(s, indexFor(s, dir), "merg", size = 5, maxEdits = 1)
         .select($"suggestion", $"doc_freq")
     },
+    // ES phrase suggester ("did you mean"): per-position dictionary
+    // candidates + bigram LM with stupid backoff over the index's own
+    // stats; bigram counts are positional phraseCount walks
+    "q_phrase_suggest" -> { (s, dir) =>
+      import s.implicits._
+      Search.phraseSuggest(s, indexFor(s, dir), Seq("sparc", "merge"), size = 3)
+        .select($"suggestion", $"score_e6")
+    },
     // ES more_like_this: tf·idf term selection from doc 42 (top 5 with
     // min_term_freq=2), then bool-should BM25, source doc excluded
     "q_mlt" -> { (s, dir) =>
@@ -2140,6 +2148,37 @@ SELECT bucket, n_docs, deriv FROM d WHERE deriv IS NOT NULL""",
 SELECT term AS suggestion, doc_freq::BIGINT AS doc_freq FROM df
 WHERE term <> 'merg' AND abs(len(term) - 4) <= 1 AND levenshtein(term, 'merg') <= 1
 ORDER BY doc_freq DESC, term LIMIT 5""",
+    "q_phrase_suggest" ->
+      """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents WHERE text <> ''
+), dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf FROM toks GROUP BY 1
+), tot AS (
+  SELECT count(*)::DOUBLE AS tt FROM toks
+), c0 AS (
+  SELECT term, ttf FROM dict
+  WHERE term <> 'sparc' AND abs(len(term) - 5) <= 1 AND levenshtein(term, 'sparc') <= 1
+  ORDER BY df DESC, term LIMIT 3
+), mstat AS (
+  SELECT ttf FROM dict WHERE term = 'merge'
+), big AS (
+  SELECT a.term AS t1, count(*) AS c
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'merge'
+  JOIN c0 ON c0.term = a.term
+  GROUP BY 1
+), scored AS (
+  SELECT c0.term || ' merge' AS suggestion,
+         ln(c0.ttf::DOUBLE / t.tt)
+         + CASE WHEN coalesce(big.c, 0) > 0 THEN ln(big.c::DOUBLE / c0.ttf::DOUBLE)
+                ELSE ln(0.4 * (SELECT ttf FROM mstat)::DOUBLE / t.tt) END AS score
+  FROM c0 LEFT JOIN big ON big.t1 = c0.term CROSS JOIN tot t
+  WHERE EXISTS (SELECT 1 FROM mstat)
+)
+SELECT suggestion, round(score * 1000000)::BIGINT AS score_e6
+FROM scored ORDER BY score_e6 DESC, suggestion LIMIT 3""",
     "q_bm25_msm" -> bm25OracleSql(QueryOr, and = false, msm = 2),
     "q_bm25_terms_set" -> bm25OracleSql(QueryOr, and = false,
       msmSqlExpr = "1 + tf.doc_id % 7"),

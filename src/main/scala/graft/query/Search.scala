@@ -908,6 +908,132 @@ object Search {
       .limit(k)
   }
 
+  /** Corpus-wide exact-phrase occurrence count (Σ over docs of the
+    * per-doc phrase freq) — the bigram-count primitive under
+    * [[phraseSuggest]]'s language model. Same block machinery as
+    * [[phraseTopK]] (pushdown to the phrase terms' blocks, per-slice
+    * positional verify), but the reduction is ONE long per slice.
+    * Tombstoned docs are excluded (their occurrences must not steer the
+    * LM toward deleted text).
+    */
+  def phraseCount(
+      spark: SparkSession,
+      indexDir: String,
+      phraseTerms: Seq[String]
+  ): Long = {
+    import spark.implicits._
+    require(phraseTerms.nonEmpty, "empty phrase")
+    val distinctTerms = phraseTerms.distinct
+    val offsets: Array[Array[Int]] = distinctTerms.map { t =>
+      phraseTerms.zipWithIndex.collect { case (pt, i) if pt == t => i }.toArray
+    }.toArray
+    val bCtx = spark.sparkContext.broadcast((distinctTerms.toArray, offsets))
+    val tomb = graft.index.Tombstones.handle(indexDir)
+    val counts = IndexBuilder
+      .readPostings(spark, indexDir)
+      .where($"term".isin(distinctTerms: _*))
+      .select($"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"poss")
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (slice, rows) =>
+        val (qTerms, offs) = bCtx.value
+        val byTerm = rows.toArray.groupBy(_._2)
+        if (!qTerms.forall(byTerm.contains)) 0L
+        else {
+          val iters = qTerms.map { t =>
+            val refs = byTerm(t).sortBy(r => (r._4, r._3))
+              .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, 0.0))
+            new PostingIter(0, 0.0, refs, 1.0)
+          }
+          val filter = if (tomb == null) null else tomb.compose(slice, null)
+          BlockMaxWand.phraseMatches(iters, offs, filter)
+            .map(_._2.toLong).sum
+        }
+      }
+    val row = counts.agg(sum("value")).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** ES `phrase` suggester ("did you mean") over the index's own
+    * statistics: per-position candidate terms come from the dictionary
+    * (edit distance ≤ `maxEdits`, top `perTermCandidates` by df — the
+    * term suggester's rewrite), candidate PHRASES differ from the input
+    * in at most ONE position (ES's default max_errors=1), and each
+    * candidate is scored by a bigram language model with stupid backoff
+    * (ES's default smoothing):
+    *
+    *   score = ln P(t₁) + Σⱼ ln P(tⱼ₊₁ | tⱼ)
+    *   P(t)      = ttf(t) / T
+    *   P(b | a)  = count(a b) / ttf(a)      when the bigram occurs,
+    *             = backoff · ttf(b) / T      otherwise
+    *
+    * Bigram counts are positional [[phraseCount]] walks over ONLY the
+    * candidate pairs' postings — no corpus scan, no forward index; the
+    * combination space is |positions|·perTermCandidates phrases, never
+    * a cross product. Returns (suggestion, score_e6) top `size`, the
+    * input itself excluded.
+    */
+  def phraseSuggest(
+      spark: SparkSession,
+      indexDir: String,
+      phraseTerms: Seq[String],
+      size: Int = 3,
+      perTermCandidates: Int = 3,
+      maxEdits: Int = 1,
+      backoff: Double = 0.4
+  ): DataFrame = {
+    import spark.implicits._
+    require(phraseTerms.size >= 2, "phrase suggester needs ≥ 2 tokens")
+    require(maxEdits >= 1 && maxEdits <= 2, "ES caps suggester fuzziness at 2 edits")
+    val stats = IndexBuilder.readStats(spark, indexDir)
+    val bigT = stats.total_tokens.toDouble
+    // one dictionary pass: per-position edit-distance candidates (df-desc
+    // top-N each) + the input terms' own stats
+    val dict = IndexBuilder.readTerms(spark, indexDir)
+    val ttfOf = scala.collection.mutable.HashMap.empty[String, Long]
+    dict.where($"term".isin(phraseTerms.distinct: _*))
+      .collect().foreach(t => ttfOf(t.term) = t.total_tf)
+    val candsAt: Seq[Seq[String]] = phraseTerms.map { q =>
+      val rows = dict
+        .where(abs(length($"term") - lit(q.length)) <= maxEdits)
+        .where($"term" =!= q)
+        .where(levenshtein($"term", lit(q)) <= maxEdits)
+        .orderBy(desc("doc_freq"), asc("term"))
+        .limit(perTermCandidates)
+        .collect()
+      rows.foreach(r => ttfOf(r.term) = r.total_tf)
+      rows.map(_.term).toSeq
+    }
+    // candidate phrases: input + single-position substitutions, every
+    // term must exist in the corpus (ttf > 0) to be LM-scorable
+    val subs = phraseTerms.indices.flatMap { i =>
+      candsAt(i).map(c => phraseTerms.updated(i, c))
+    }
+    val phrases = (phraseTerms +: subs).distinct
+      .filter(p => p.forall(t => ttfOf.getOrElse(t, 0L) > 0L))
+    if (phrases.isEmpty)
+      return spark.emptyDataset[(String, Long)].toDF("suggestion", "score_e6")
+    val bigrams = phrases.flatMap(_.sliding(2).map(w => (w(0), w(1)))).distinct
+    val bcount: Map[(String, String), Long] =
+      bigrams.map(b => b -> phraseCount(spark, indexDir, Seq(b._1, b._2))).toMap
+    def lp(t: String): Double = math.log(ttfOf(t).toDouble / bigT)
+    def lpb(a: String, b: String): Double = {
+      val c = bcount((a, b))
+      if (c > 0) math.log(c.toDouble / ttfOf(a).toDouble)
+      else math.log(backoff * ttfOf(b).toDouble / bigT)
+    }
+    val scored = phrases
+      .filter(_ != phraseTerms) // ES returns corrections, not the input
+      .map { p =>
+        val s = p.sliding(2).foldLeft(lp(p.head)) { case (acc, w) => acc + lpb(w(0), w(1)) }
+        (p.mkString(" "), math.round(s * 1e6))
+      }
+      .sortBy { case (sug, s) => (-s, sug) }
+      .take(size)
+    scored.toDF("suggestion", "score_e6")
+  }
+
   /** ES `match_phrase_prefix`: a phrase whose LAST term is a prefix —
     * the search-as-you-type query. Lucene rewrites it to a
     * MultiPhraseQuery over the first `maxExpansions` dictionary terms in

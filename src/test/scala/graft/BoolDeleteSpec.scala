@@ -1619,6 +1619,34 @@ class BoolDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("phrase suggester: bigram LM with stupid backoff over index stats") {
+    val root = Files.createTempDirectory("graft-psuggest").toString
+    try {
+      def mk(i: Int, t: String) =
+        Page(f"doc://$i%012d", new java.sql.Timestamp(1609459200000L + i * 1000L),
+          graft.sources.HtmlText.wrap(f"doc://$i%012d", t), t, "en")
+      val pages =
+        (0 until 10).map(i => mk(i, "quick fox runs")) ++
+          (10 until 12).map(i => mk(i, "quicc fox naps")) ++
+          (12 until 15).map(i => mk(i, "fix it now"))
+      val ucfg = cfg.copy(nPartitions = 4, nGroups = 1, nSlices = 2)
+      IndexBuilder.build(spark, spark.createDataset(pages), root, ucfg)
+      assert(Search.phraseCount(spark, root, Seq("quick", "fox")) == 10L)
+      assert(Search.phraseCount(spark, root, Seq("quicc", "fix")) == 0L)
+      val got = Search.phraseSuggest(spark, root, Seq("quicc", "fox"), size = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val bigT = 45.0
+      val expQuickFox = math.round((math.log(10.0 / bigT) + math.log(10.0 / 10.0)) * 1e6)
+      val expQuiccFix = math.round(
+        (math.log(2.0 / bigT) + math.log(0.4 * 3.0 / bigT)) * 1e6)
+      assert(got == Seq(("quick fox", expQuickFox), ("quicc fix", expQuiccFix)),
+        s"phrase suggest: $got")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   test("exclusion iterators skip blocks: PostingSet advances monotonically") {
     // build a tiny posting iter over synthetic blocks and probe it as a set
     val ids = Array(5L, 8L, 13L, 21L, 34L)
