@@ -16,6 +16,28 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Codec extends Serializable {
 
+  /** Growable PRIMITIVE byte buffer for the encode hot paths. The original
+    * encoders appended to `ArrayBuffer[Byte]`, which boxes every byte and
+    * was a measured build-CPU hot spot (JFR: writeVarLong + Growable.+=
+    * several % of the whole build); output bytes are identical.
+    */
+  final class ByteBuf(initial: Int) {
+    private[Codec] var arr = new Array[Byte](math.max(8, initial))
+    private[Codec] var len = 0
+    @inline def ensure(extra: Int): Unit =
+      if (len + extra > arr.length) {
+        var cap = arr.length * 2
+        while (cap < len + extra) cap *= 2
+        arr = java.util.Arrays.copyOf(arr, cap)
+      }
+    @inline def add(b: Byte): Unit = { ensure(1); arr(len) = b; len += 1 }
+    def addAll(src: Array[Byte], from: Int, n: Int): Unit = {
+      ensure(n); System.arraycopy(src, from, arr, len, n); len += n
+    }
+    def size: Int = len
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, len)
+  }
+
   def writeVarLong(v: Long, out: ArrayBuffer[Byte]): Unit = {
     var x = v
     while ((x & ~0x7fL) != 0L) {
@@ -25,9 +47,19 @@ object Codec extends Serializable {
     out += x.toByte
   }
 
+  @inline def writeVarLong(v: Long, out: ByteBuf): Unit = {
+    var x = v
+    out.ensure(10)
+    while ((x & ~0x7fL) != 0L) {
+      out.arr(out.len) = ((x & 0x7f) | 0x80).toByte; out.len += 1
+      x >>>= 7
+    }
+    out.arr(out.len) = x.toByte; out.len += 1
+  }
+
   /** Encode a strictly increasing docID list as first-value + deltas. */
   def encodeDeltas(sorted: Array[Long]): Array[Byte] = {
-    val out = new ArrayBuffer[Byte](sorted.length * 2)
+    val out = new ByteBuf(sorted.length * 2)
     var prev = 0L
     var first = true
     var i = 0
@@ -68,7 +100,7 @@ object Codec extends Serializable {
 
   /** Encode non-negative ints (tf stream) as plain varbyte. */
   def encodeInts(vals: Array[Int]): Array[Byte] = {
-    val out = new ArrayBuffer[Byte](vals.length)
+    val out = new ByteBuf(vals.length + 8)
     var i = 0
     while (i < vals.length) { writeVarLong(vals(i).toLong, out); i += 1 }
     out.toArray
@@ -126,32 +158,77 @@ object Codec extends Serializable {
     n
   }
 
+  /** Optimal bit width selection, O(n + 64·64) via a bit-length histogram
+    * — EXACTLY the same argmin as scanning `packedSize` for every b (the
+    * original did 64 full passes per block, a measured encode hot spot):
+    * an exception at width b is a value with bitLen > b, its patch costs
+    * varLen(pos) + ceil((bitLen−b)/7) bytes, and varLen(pos) depends only
+    * on the position's magnitude, which the histogram can't see — so this
+    * fast path requires every position to fit in one varbyte (n ≤ 128,
+    * true for every posting block at the fixed blockSize 128).
+    */
+  private def bestWidthSmall(vals: Array[Long]): Int = {
+    val cnt = new Array[Int](65)
+    var maxBits = 0
+    var i = 0
+    while (i < vals.length) {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(vals(i))
+      cnt(bl) += 1
+      if (bl > maxBits) maxBits = bl
+      i += 1
+    }
+    if (maxBits == 0) maxBits = 1 // matches (vals.max | 1L) in the original
+    def sizeAt(b: Int): Int = {
+      var nEx = 0
+      var exBytes = 0
+      var l = b + 1
+      while (l <= 64) {
+        val c = cnt(l)
+        if (c > 0) { nEx += c; exBytes += c * (1 + (l - b + 6) / 7) }
+        l += 1
+      }
+      if (nEx > 255) Int.MaxValue else 2 + (vals.length * b + 7) / 8 + exBytes
+    }
+    var bestB = maxBits
+    var bestSize = sizeAt(maxBits)
+    var b = 0
+    while (b < maxBits) {
+      val sz = sizeAt(b)
+      if (sz < bestSize) { bestSize = sz; bestB = b }
+      b += 1
+    }
+    bestB
+  }
+
   /** Bit-pack `vals` (non-negative) with per-block optimal width +
     * exception patching.
     */
   def encodePacked(vals: Array[Long]): Array[Byte] = {
-    val maxBits = if (vals.isEmpty) 0
-      else 64 - java.lang.Long.numberOfLeadingZeros(vals.max | 1L)
-    var bestB = maxBits
-    var bestSize = packedSize(vals, maxBits)._1
-    var b = 0
-    while (b < maxBits) {
-      val sz = packedSize(vals, b)._1
-      if (sz < bestSize) { bestSize = sz; bestB = b }
-      b += 1
-    }
-    val out = new ArrayBuffer[Byte](bestSize)
-    out += bestB.toByte
-    val exPos = new ArrayBuffer[Int]
-    val exHigh = new ArrayBuffer[Long]
+    val bestB =
+      if (vals.length <= 128 && vals.nonEmpty) bestWidthSmall(vals)
+      else {
+        val maxBits = if (vals.isEmpty) 0
+          else 64 - java.lang.Long.numberOfLeadingZeros(vals.max | 1L)
+        var bB = maxBits
+        var bestSize = packedSize(vals, maxBits)._1
+        var b = 0
+        while (b < maxBits) {
+          val sz = packedSize(vals, b)._1
+          if (sz < bestSize) { bestSize = sz; bB = b }
+          b += 1
+        }
+        bB
+      }
+    val out = new ByteBuf(2 + (vals.length * bestB + 7) / 8 + 8)
+    out.add(bestB.toByte)
+    var nEx = 0
     var i = 0
     while (i < vals.length) {
-      val high = if (bestB >= 64) 0L else vals(i) >>> bestB
-      if (high != 0) { exPos += i; exHigh += high }
+      if (bestB < 64 && (vals(i) >>> bestB) != 0) nEx += 1
       i += 1
     }
-    require(exPos.length <= 255, s"too many exceptions: ${exPos.length}")
-    out += exPos.length.toByte
+    require(nEx <= 255, s"too many exceptions: $nEx")
+    out.add(nEx.toByte)
     // bit-pack low parts
     var acc = 0L
     var accBits = 0
@@ -166,14 +243,16 @@ object Codec extends Serializable {
         v >>>= take
         accBits += take
         remaining -= take
-        if (accBits == 8) { out += acc.toByte; acc = 0L; accBits = 0 }
+        if (accBits == 8) { out.add(acc.toByte); acc = 0L; accBits = 0 }
       }
       i += 1
     }
-    if (accBits > 0) out += acc.toByte
-    exPos.indices.foreach { e =>
-      writeVarLong(exPos(e).toLong, out)
-      writeVarLong(exHigh(e), out)
+    if (accBits > 0) out.add(acc.toByte)
+    i = 0
+    while (i < vals.length) {
+      val high = if (bestB >= 64) 0L else vals(i) >>> bestB
+      if (high != 0) { writeVarLong(i.toLong, out); writeVarLong(high, out) }
+      i += 1
     }
     out.toArray
   }
@@ -247,14 +326,17 @@ object Codec extends Serializable {
 
   private def pickSmaller(vals: Array[Long]): Array[Byte] = {
     val vb = {
-      val out = new ArrayBuffer[Byte](vals.length * 2)
+      val out = new ByteBuf(vals.length * 2)
       var i = 0
       while (i < vals.length) { writeVarLong(vals(i), out); i += 1 }
       out.toArray
     }
     val pk = encodePacked(vals)
-    if (pk.length < vb.length) TagPacked +: pk
-    else TagVarByte +: vb
+    val (tag, body) = if (pk.length < vb.length) (TagPacked, pk) else (TagVarByte, vb)
+    val out = new Array[Byte](body.length + 1)
+    out(0) = tag
+    System.arraycopy(body, 0, out, 1, body.length)
+    out
   }
 
   // ---- base-relative docID gaps ------------------------------------------
@@ -297,7 +379,7 @@ object Codec extends Serializable {
 
   /** Encode one posting's sorted position list (plain varbyte, no tag). */
   def encodePosChunk(pos: Array[Int]): Array[Byte] = {
-    val out = new ArrayBuffer[Byte](pos.length + 2)
+    val out = new ByteBuf(pos.length + 2)
     var prev = 0
     var i = 0
     while (i < pos.length) {
@@ -306,6 +388,19 @@ object Codec extends Serializable {
       i += 1
     }
     out.toArray
+  }
+
+  /** [[encodePosChunk]] straight into a caller buffer (build hot path —
+    * no intermediate array per posting). Same bytes.
+    */
+  def writePosChunk(pos: Array[Int], nPos: Int, out: ByteBuf): Unit = {
+    var prev = 0
+    var i = 0
+    while (i < nPos) {
+      writeVarLong(if (i == 0) pos(0).toLong else (pos(i) - prev).toLong, out)
+      prev = pos(i)
+      i += 1
+    }
   }
 
   /** Sequential varint reader over a concatenated position stream. */

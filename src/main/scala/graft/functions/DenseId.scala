@@ -67,39 +67,161 @@ object DenseId {
     (spark.createDataFrame(rdd, schema), offsets.last)
   }
 
-  /** TYPED fast path for the build pipeline's page staging: same two-pass
-    * scheme over a tuple Dataset — the data stays JVM tuples end to end
-    * (no generic `Row` rebuild and, crucially, no `createDataFrame`
-    * converter pass over every field of every row; `createDataset` plans
-    * an ExternalRDD + codegen'd SerializeFromObject instead). Returns
-    * (doc_id, url, warc_ts, lang, text) with the count.
+  /** TYPED fast path for the build pipeline's page staging: same id
+    * semantics as [[assign]] (dense 0-based, ordered by url in UTF-8
+    * binary order, parallelism-independent), restructured so the heavy
+    * rows cross the wire once and are never Spark-sorted (r6; guide §2):
+    *
+    *   1. range BOUNDS from a url-only pass over `urlsForBounds` —
+    *      column-pruned at the parquet scan, so the html/text bytes are
+    *      not read (the old `repartitionByRange` sampled the FULL
+    *      extracted dataset: one extra pass over every page);
+    *   2. one hash exchange keyed by the precomputed range id — no
+    *      sampling job, and no Spark sort on either side (the old shape
+    *      paid reduce-side sorts in BOTH the count and the zip job);
+    *   3. count job: per-range-id tallies, unsorted pass over the
+    *      shuffled rows (shuffle files written once, reused by 4);
+    *   4. zip job: per-task in-memory sort by (range id, utf8(url)) +
+    *      dense id assignment from the broadcast offsets.
+    *
+    * IDs depend only on the global url order, never on where the range
+    * bounds fall, so any deterministic bounds reproduce the exact ids of
+    * the old implementation (pinned by an IndexSearchSpec test).
+    * Returns (doc_id, url, warc_ts, lang, text) with the count.
     */
   def assignPages(
       ds: org.apache.spark.sql.Dataset[(String, java.sql.Timestamp, String, String)],
-      numPartitions: Int
+      numPartitions: Int,
+      urlsForBounds: org.apache.spark.sql.Dataset[String]
   ): (org.apache.spark.sql.Dataset[(Long, String, java.sql.Timestamp, String, String)], Long) = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val sortedRdd = ds
-      .repartitionByRange(numPartitions, col("_1"))
-      .sortWithinPartitions("_1")
+    val bounds = rangeBounds(urlsForBounds, numPartitions)
+    val bBounds = spark.sparkContext.broadcast(bounds)
+    val pidOfUrl = udf((u: String) => rangeIdOf(bBounds.value, u))
+    val sRdd = ds
+      .toDF("_1", "_2", "_3", "_4")
+      .withColumn("_pid", pidOfUrl(col("_1")))
+      .repartition(math.max(1, numPartitions), col("_pid"))
+      .as[(String, java.sql.Timestamp, String, String, Int)]
       .rdd // one lineage: the zip job reuses the count job's shuffle files
-    val counts = sortedRdd
-      .mapPartitionsWithIndex { case (pid, it) => Iterator((pid, it.size.toLong)) }
+    // pass 1: rows per range id (several range ids may hash-share one
+    // partition; all rows of one range id land together)
+    val pidCounts = sRdd
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[Integer, Long]()
+        it.foreach(t => m.merge(t._5, 1L, (a, b) => a + b))
+        scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator()).asScala
+          .map(e => (e.getKey.intValue, e.getValue.longValue))
+      }
       .collect()
-      .sortBy(_._1)
-    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    val counts = new Array[Long](math.max(1, numPartitions))
+    pidCounts.foreach { case (p, c) => counts(p) += c }
+    val offsets = counts.scanLeft(0L)(_ + _)
     val bOffsets = spark.sparkContext.broadcast(offsets)
-    val rdd = sortedRdd.mapPartitionsWithIndex { case (pid, it) =>
-      val base = bOffsets.value(pid)
-      var i = 0L
-      it.map { case (url, ts, lang, text) =>
-        val r = (base + i, url, ts, lang, text)
-        i += 1
-        r
+    // pass 2: in-task sort by (range id, utf8(url)) — global concatenation
+    // in range-id order is exactly the url-sorted corpus
+    val rdd = sRdd.mapPartitions { it =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val keyed = rows.map(t => (t._5, t._1.getBytes(java.nio.charset.StandardCharsets.UTF_8), t))
+        java.util.Arrays.sort(keyed, new java.util.Comparator[(Int, Array[Byte], (String, java.sql.Timestamp, String, String, Int))] {
+          def compare(
+              a: (Int, Array[Byte], (String, java.sql.Timestamp, String, String, Int)),
+              b: (Int, Array[Byte], (String, java.sql.Timestamp, String, String, Int))
+          ): Int = {
+            if (a._1 != b._1) return Integer.compare(a._1, b._1)
+            compareUtf8(a._2, b._2)
+          }
+        })
+        val offs = bOffsets.value
+        var curPid = -1
+        var nextId = 0L
+        keyed.iterator.map { case (pid, _, t) =>
+          if (pid != curPid) { curPid = pid; nextId = offs(pid) }
+          val r = (nextId, t._1, t._2, t._3, t._4)
+          nextId += 1
+          r
+        }
       }
     }
     (spark.createDataset(rdd), offsets.last)
+  }
+
+  /** Unsigned byte-wise comparison — the UTF8String binary order Spark's
+    * string sort uses, which for UTF-8 equals code-point order.
+    */
+  @inline private def compareUtf8(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Range id of `u` given sorted utf8 bounds: the count of bounds ≤ u. */
+  private[graft] def rangeIdOf(bounds: Array[Array[Byte]], u: String): Int = {
+    val key = u.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (compareUtf8(bounds(mid), key) <= 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Deterministic range bounds from a url-only dataset: per-partition
+    * adaptive-stride downsampling (order-based, no RNG — identical at any
+    * core count for a fixed input layout), weighted quantiles on the
+    * driver. Bounds only steer partition BALANCE; ids never depend on
+    * them.
+    */
+  private[graft] def rangeBounds(
+      urls: org.apache.spark.sql.Dataset[String], numPartitions: Int
+  ): Array[Array[Byte]] = {
+    if (numPartitions <= 1) return Array.empty
+    val sampled = urls.rdd
+      .mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var stride = 1L
+        var i = 0L
+        it.foreach { u =>
+          if (i % stride == 0L) {
+            buf += u
+            if (buf.length >= 256) {
+              var j = 0
+              var w = 0
+              while (j < buf.length) { if (j % 2 == 0) { buf(w) = buf(j); w += 1 }; j += 1 }
+              buf.dropRightInPlace(buf.length - w)
+              stride *= 2
+            }
+          }
+          i += 1L
+        }
+        buf.iterator.map(u => (u, stride))
+      }
+      .collect()
+    if (sampled.isEmpty) return Array.empty
+    val keyed = sampled
+      .map { case (u, w) => (u.getBytes(java.nio.charset.StandardCharsets.UTF_8), w) }
+      .sortWith((a, b) => compareUtf8(a._1, b._1) < 0)
+    val totalW = keyed.map(_._2).sum.toDouble
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var cum = 0.0
+    var next = 1
+    keyed.foreach { case (bytes, w) =>
+      cum += w
+      if (next < numPartitions && cum >= next * totalW / numPartitions) {
+        if (out.isEmpty || compareUtf8(out.last, bytes) < 0) out += bytes
+        next += 1
+      }
+    }
+    out.toArray
   }
 
   /** Small-data variant (≤ a few million rows, e.g. test fixtures and the

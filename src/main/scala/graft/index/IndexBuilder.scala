@@ -223,9 +223,13 @@ object IndexBuilder {
 
       // typed two-pass dense-id: rows stay JVM tuples through the zip
       // pass (no Row rebuild / converter pass — the r3 bench's second-
-      // largest stage was this read)
+      // largest stage was this read). Range bounds come from a url-only
+      // projection of the SOURCE (column-pruned scan — the heavy
+      // html/text bytes are read once, in the exchange's map pass, not
+      // three times as with repartitionByRange's sampling).
       val (withIds, total) =
-        timed("dense-id")(DenseId.assignPages(prepared, cfg.nPartitions))
+        timed("dense-id")(DenseId.assignPages(prepared, cfg.nPartitions,
+          pages.select(col("url")).as[String]))
       val nDocs = math.max(1L, total)
 
       // corpus token total rides the write job as an accumulator instead
@@ -265,11 +269,13 @@ object IndexBuilder {
     val nDocs = math.max(1L, spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head().n_docs)
     val nSlices = cfg.nSlices
     val withPos = cfg.positions
-    val groupInput: Int => DataFrame = { g =>
+    def groupDocs(g: Int) =
       spark.read.parquet(s"$indexDir/docs")
         .where($"grp" === g) // partition pruning: 1/nGroups of the bytes
         .select($"doc_id", $"text")
         .as[(Long, String)]
+    val groupInput: Int => DataFrame = { g =>
+      groupDocs(g)
         .flatMap { case (id, text) =>
           val slice = math.min(nSlices - 1, (id * nSlices / nDocs).toInt)
           if (withPos) {
@@ -287,7 +293,19 @@ object IndexBuilder {
         }
         .toDF("term", "slice", "doc_id", "tf", "doc_len", "pos")
     }
-    buildGroups(spark, indexDir, cfg, groupInput, failAfterGroups)
+    // Fused tokenize→combine for the (default) mapSideCombine exchange:
+    // one typed mapPartitions from (doc_id, text) straight to packed chunk
+    // rows. The unfused shape materialized a 6-field row PER POSTING
+    // through Catalyst (UnsafeRow encode + decode back to tuples, ~165M
+    // rows at bench scale) only for chunkMapSide to re-aggregate them in
+    // the SAME task — JFR measured that round trip plus the per-posting
+    // iterator/tuple overhead at ~25% of whole-build CPU. Chunk contents
+    // and all downstream bytes are identical (OperatorsSpec pins fused ≡
+    // unfused; MergeStreamSpec pins combine ≡ row-shuffle blocks).
+    val chunkInput: Int => DataFrame = { g =>
+      tokenizeChunks(groupDocs(g), nSlices, nDocs, withPos)
+    }
+    buildGroups(spark, indexDir, cfg, groupInput, failAfterGroups, chunkInput)
   }
 
   /** Stages 2-3: posting groups + term dictionary. `groupInput(g)` must
@@ -301,7 +319,8 @@ object IndexBuilder {
       indexDir: String,
       cfg: BuildConfig,
       groupInput: Int => DataFrame,
-      failAfterGroups: Int = Int.MaxValue
+      failAfterGroups: Int = Int.MaxValue,
+      chunkInput: Int => DataFrame = null
   ): Unit = {
     import spark.implicits._
     val st = spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
@@ -323,12 +342,9 @@ object IndexBuilder {
         // counted as run transitions.
         val metricsAcc =
           spark.sparkContext.collectionAccumulator[(Int, Long, Long, Long, Long)](s"graft.metrics.grp-$g")
-        // Metrics-wrapped block encoder shared by both exchange shapes.
-        def encodePartition(
-            rows: Iterator[(String, Int, Long, Int, Int, Array[Byte])]
-        ): Iterator[PostingRow] = {
+        // Metrics-wrapped block stream shared by both exchange shapes.
+        def metered(base: Iterator[PostingRow]): Iterator[PostingRow] = {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val base = blockify(rows, g, blockSize, avgDl)
           new Iterator[PostingRow] {
             private var terms = 0L
             private var postings = 0L
@@ -358,34 +374,32 @@ object IndexBuilder {
           }
         }
         // Two exchange shapes, identical output bytes (tested):
-        //  - row shuffle (default): one row per posting through Spark's
-        //    spillable sort — lowest CPU; right when the shuffle medium is
-        //    page-cached local disk (this box, paired quiet-window A/B at
-        //    3.84M docs: 64.5k vs 53.9k docs/s over the combine at 32
-        //    pinned cores; the combine only wins at 8 cores, +11.5%).
-        //  - mapSideCombine: each map task pre-aggregates postings per
-        //    (term, slice) into packed varbyte chunk rows (~6-9 B/posting
-        //    vs ~50 B row-wise; term string once per task instead of per
-        //    posting), reducer decodes/merges/re-sorts/re-blockifies. The
-        //    output is deterministic and independent of map boundaries.
-        //    Right when the exchange crosses a NETWORK (a real cluster's
-        //    1000-executor shuffle is bandwidth-bound — a 5-8× byte cut
-        //    dwarfs the extra CPU); costs CPU locally, hence not default.
+        //  - mapSideCombine (default): each map task pre-aggregates
+        //    postings per (term, slice) into packed varbyte chunk rows
+        //    (~6-9 B/posting vs ~50 B row-wise; term string once per task
+        //    instead of per posting); the reducer merges sorted chunks
+        //    straight into blocks (primitive k-way merge — no per-posting
+        //    tuples, r6). Deterministic and independent of map boundaries.
+        //  - row shuffle: one row per posting through Spark's spillable
+        //    sort — selectable for page-cache-local media where an earlier
+        //    host measured it ahead at 32 cores (BASELINE.md r3/r4).
         val blocks =
-          if (cfg.mapSideCombine)
-            chunkMapSide(groupInput(g))
+          if (cfg.mapSideCombine) {
+            val chunks =
+              if (chunkInput != null) chunkInput(g) else chunkMapSide(groupInput(g))
+            chunks
               .repartition(partsPerGroup, $"term", $"slice")
               .sortWithinPartitions("term", "slice", "min_doc")
               .select($"term", $"slice", $"n", $"ids", $"tfs", $"dls", $"pos")
               .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
-              .mapPartitions(chunkIt => encodePartition(mergeChunks(chunkIt)))
-          else
+              .mapPartitions(chunkIt => metered(mergeChunksToBlocks(chunkIt, g, blockSize, avgDl)))
+          } else
             groupInput(g)
               .repartition(partsPerGroup, $"term", $"slice")
               .sortWithinPartitions("term", "slice", "doc_id")
               .select($"term", $"slice", $"doc_id", $"tf", $"doc_len", $"pos")
               .as[(String, Int, Long, Int, Int, Array[Byte])]
-              .mapPartitions(it => encodePartition(it))
+              .mapPartitions(it => metered(blockify(it, g, blockSize, avgDl)))
         // `grp` comes back as the directory partition column on read.
         // The block payloads (deltas/tfs/dls) are already entropy-coded by
         // our codec — parquet's snappy layer on top buys ~nothing for them
@@ -474,6 +488,35 @@ object IndexBuilder {
       posOff(n + 1) = posLen
       n += 1
     }
+    /** [[add]] with the position chunk varint-encoded DIRECTLY into this
+      * buffer (fused tokenize path — no intermediate Array[Byte] per
+      * posting). Bytes identical to add(id, tf, dl, encodePosChunk(ps)).
+      */
+    def addEncodingPos(id: Long, dl: Int, ps: Array[Int], nPos: Int): Unit = {
+      if (n == ids.length) {
+        ids = java.util.Arrays.copyOf(ids, n * 2)
+        tfs = java.util.Arrays.copyOf(tfs, n * 2)
+        dls = java.util.Arrays.copyOf(dls, n * 2)
+        posOff = java.util.Arrays.copyOf(posOff, n * 2 + 1)
+      }
+      ids(n) = id; tfs(n) = nPos; dls(n) = dl
+      while (posLen + nPos * 5 + 5 > posBytes.length)
+        posBytes = java.util.Arrays.copyOf(posBytes, posBytes.length * 2)
+      var prev = 0
+      var i = 0
+      while (i < nPos) {
+        var x = (if (i == 0) ps(0) else ps(i) - prev).toLong
+        while ((x & ~0x7fL) != 0L) {
+          posBytes(posLen) = ((x & 0x7f) | 0x80).toByte; posLen += 1
+          x >>>= 7
+        }
+        posBytes(posLen) = x.toByte; posLen += 1
+        prev = ps(i)
+        i += 1
+      }
+      posOff(n + 1) = posLen
+      n += 1
+    }
   }
 
   /** Map-side combine: aggregate each task's postings per (term, slice)
@@ -489,6 +532,139 @@ object IndexBuilder {
     * (term, slice); the reducer merges them anyway. Vocabulary size and
     * input-split size therefore cannot OOM the combine.
     */
+  /** Drain one (term, slice) buffer into a chunk row. Fast path: scan
+    * order is ascending docID for every tokenize-fed buffer — detected in
+    * one pass and emitted with straight copies; the permuting sort only
+    * runs for genuinely unsorted inputs (merge stages). Bytes identical
+    * either way.
+    */
+  private def emitChunk(term: String, slice: Int, b: ChunkBuf)
+      : (String, Int, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+    var asc = true
+    var j = 1
+    while (asc && j < b.n) { if (b.ids(j - 1) > b.ids(j)) asc = false; j += 1 }
+    if (asc) {
+      val idArr = java.util.Arrays.copyOf(b.ids, b.n)
+      val tfArr = java.util.Arrays.copyOf(b.tfs, b.n)
+      val dlArr = java.util.Arrays.copyOf(b.dls, b.n)
+      val posB =
+        if (!b.hasPos || b.posLen == 0) EmptyBytes
+        else java.util.Arrays.copyOf(b.posBytes, b.posLen)
+      (term, slice, idArr(0), b.n,
+        Codec.encodeDeltas(idArr), Codec.encodeInts(tfArr), Codec.encodeInts(dlArr), posB)
+    } else {
+      val sorted = Array.range(0, b.n).sortBy(b.ids(_))
+      val idArr = new Array[Long](b.n)
+      val tfArr = new Array[Int](b.n)
+      val dlArr = new Array[Int](b.n)
+      j = 0
+      while (j < b.n) {
+        idArr(j) = b.ids(sorted(j)); tfArr(j) = b.tfs(sorted(j)); dlArr(j) = b.dls(sorted(j))
+        j += 1
+      }
+      val posB =
+        if (!b.hasPos || b.posLen == 0) EmptyBytes
+        else {
+          val out = new Array[Byte](b.posLen)
+          var o = 0
+          var p = 0
+          while (p < b.n) {
+            val s = b.posOff(sorted(p)); val e = b.posOff(sorted(p) + 1)
+            System.arraycopy(b.posBytes, s, out, o, e - s)
+            o += e - s
+            p += 1
+          }
+          out
+        }
+      (term, slice, idArr(0), b.n,
+        Codec.encodeDeltas(idArr), Codec.encodeInts(tfArr), Codec.encodeInts(dlArr), posB)
+    }
+  }
+
+  /** Fused tokenize→combine (the r6 default map side of the build): one
+    * typed pass from (doc_id, text) to packed chunk rows — tokenization,
+    * position varint encode, and per-(term, slice) aggregation in the
+    * same loop, no per-posting row materialization (the unfused shape
+    * paid an UnsafeRow encode+decode per posting; JFR: ~25% of build
+    * CPU). Flush bound and chunk layout identical to [[chunkMapSide]].
+    */
+  private[index] def tokenizeChunks(
+      docs: org.apache.spark.sql.Dataset[(Long, String)],
+      nSlices: Int,
+      nDocs: Long,
+      withPos: Boolean
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val flushEvery = sys.env.getOrElse("GRAFT_CHUNK_FLUSH", "2000000").toLong
+    docs
+      .mapPartitions { (it: Iterator[(Long, String)]) =>
+        new Iterator[(String, Int, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])] {
+          private val byTerm =
+            new scala.collection.mutable.AnyRefMap[String, scala.collection.mutable.LongMap[ChunkBuf]](1 << 12)
+          private var pending: Iterator[(String, Int, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])] = Iterator.empty
+
+          private def refill(): Unit = {
+            var consumed = 0L
+            while (it.hasNext && consumed < flushEvery) {
+              val (id, text) = it.next()
+              val slice = math.min(nSlices - 1, (id * nSlices / nDocs).toInt).toLong
+              if (withPos) {
+                val (dl, tps) = Analyzer.termPositions(text)
+                var i = 0
+                while (i < tps.length) {
+                  val t = tps(i)._1
+                  val ps = tps(i)._2
+                  val bySlice = byTerm.getOrElseUpdate(t,
+                    new scala.collection.mutable.LongMap[ChunkBuf](2))
+                  val b = bySlice.getOrNull(slice) match {
+                    case null =>
+                      val nb = new ChunkBuf; bySlice.update(slice, nb); nb
+                    case x => x
+                  }
+                  b.addEncodingPos(id, dl, ps, ps.length)
+                  i += 1
+                }
+                consumed += tps.length
+              } else {
+                val (dl, tfs) = Analyzer.termFreqs(text)
+                var i = 0
+                while (i < tfs.length) {
+                  val t = tfs(i)._1
+                  val tf = tfs(i)._2
+                  val bySlice = byTerm.getOrElseUpdate(t,
+                    new scala.collection.mutable.LongMap[ChunkBuf](2))
+                  val b = bySlice.getOrNull(slice) match {
+                    case null =>
+                      val nb = new ChunkBuf; bySlice.update(slice, nb); nb
+                    case x => x
+                  }
+                  b.add(id, tf, dl, null)
+                  i += 1
+                }
+                consumed += tfs.length
+              }
+            }
+            val drained = byTerm.toArray // materialize before clearing
+            byTerm.clear()
+            pending = drained.iterator.flatMap { case (term, bySlice) =>
+              bySlice.iterator.map { case (slice, b) => emitChunk(term, slice.toInt, b) }
+            }
+          }
+
+          def hasNext: Boolean = {
+            while (!pending.hasNext && it.hasNext) refill()
+            pending.hasNext
+          }
+          def next(): (String, Int, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.next()
+          }
+        }
+      }
+      .toDF("term", "slice", "min_doc", "n", "ids", "tfs", "dls", "pos")
+  }
+
   private[index] def chunkMapSide(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -500,37 +676,6 @@ object IndexBuilder {
           private val byTerm =
             new scala.collection.mutable.AnyRefMap[String, scala.collection.mutable.LongMap[ChunkBuf]](1 << 12)
           private var pending: Iterator[(String, Int, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])] = Iterator.empty
-
-          private def emit(term: String, slice: Long, b: ChunkBuf)
-              : (String, Int, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
-            // sort this buffer's postings by docID (scan order is usually
-            // already ascending; sort defensively — merge stages aren't)
-            val sorted = Array.range(0, b.n).sortBy(b.ids(_))
-            val idArr = new Array[Long](b.n)
-            val tfArr = new Array[Int](b.n)
-            val dlArr = new Array[Int](b.n)
-            var j = 0
-            while (j < b.n) {
-              idArr(j) = b.ids(sorted(j)); tfArr(j) = b.tfs(sorted(j)); dlArr(j) = b.dls(sorted(j))
-              j += 1
-            }
-            val posB =
-              if (!b.hasPos || b.posLen == 0) EmptyBytes
-              else {
-                val out = new Array[Byte](b.posLen)
-                var o = 0
-                var p = 0
-                while (p < b.n) {
-                  val s = b.posOff(sorted(p)); val e = b.posOff(sorted(p) + 1)
-                  System.arraycopy(b.posBytes, s, out, o, e - s)
-                  o += e - s
-                  p += 1
-                }
-                out
-              }
-            (term, slice.toInt, idArr(0), b.n,
-              Codec.encodeDeltas(idArr), Codec.encodeInts(tfArr), Codec.encodeInts(dlArr), posB)
-          }
 
           private def refill(): Unit = {
             var consumed = 0L
@@ -547,7 +692,7 @@ object IndexBuilder {
             val drained = byTerm.toArray // materialize before clearing
             byTerm.clear()
             pending = drained.iterator.flatMap { case (term, bySlice) =>
-              bySlice.iterator.map { case (slice, b) => emit(term, slice, b) }
+              bySlice.iterator.map { case (slice, b) => emitChunk(term, slice.toInt, b) }
             }
           }
 
@@ -571,7 +716,7 @@ object IndexBuilder {
     * sub-list — bounded at O(nDocs/nSlices) by the hot-term salting
     * contract.
     */
-  private[index] def mergeChunks(
+  private[graft] def mergeChunks(
       chunkIt: Iterator[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
   ): Iterator[(String, Int, Long, Int, Int, Array[Byte])] = {
     val in = chunkIt.buffered
@@ -606,6 +751,191 @@ object IndexBuilder {
         val r = run(i)
         i += 1
         (curTerm, curSlice, r._1, r._2, r._3, r._4)
+      }
+    }
+  }
+
+  /** Fused reducer (r6): chunks sorted by (term, slice, min_doc) merge
+    * STRAIGHT into posting blocks — primitive k-way merge over the
+    * decoded chunk arrays, no per-posting tuple objects. The old shape
+    * (`blockify(mergeChunks(it))`) allocated two boxed tuples per posting
+    * (~330M at bench scale) plus a boxed sort per run; output PostingRows
+    * are identical (pinned by an OperatorsSpec equivalence test and the
+    * MergeStreamSpec combine≡row-shuffle bytes test). Peak memory per run
+    * is unchanged: one decoded (term, slice) sub-list, O(nDocs/nSlices)
+    * by the hot-term salting contract.
+    */
+  private[graft] def mergeChunksToBlocks(
+      chunkIt: Iterator[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])],
+      grp: Int,
+      blockSize: Int,
+      avgDl: Double
+  ): Iterator[PostingRow] = {
+    val in = chunkIt.buffered
+    new Iterator[PostingRow] {
+      private var term: String = _
+      private var slice = -1
+      private var blockId = 0
+      private var n = 0
+      private var emitted = 0
+      private var runIds: Array[Long] = _
+      private var runTfs: Array[Int] = _
+      private var runDls: Array[Int] = _
+      private var runPos: Array[Byte] = _ // null ⇒ no positions in run
+      private var runPosOff: Array[Int] = _
+
+      private def loadRun(): Unit = {
+        val head = in.head
+        term = head._1; slice = head._2; blockId = 0
+        var k = 0
+        var total = 0
+        var cap = 8
+        var cIds = new Array[Array[Long]](cap)
+        var cTfs = new Array[Array[Int]](cap)
+        var cDls = new Array[Array[Int]](cap)
+        var cPos = new Array[Array[Byte]](cap)
+        var cOff = new Array[Array[Int]](cap)
+        while (in.hasNext && in.head._1 == term && in.head._2 == slice) {
+          val (_, _, cn, idsB, tfsB, dlsB, posB) = in.next()
+          if (k == cap) {
+            cap *= 2
+            cIds = java.util.Arrays.copyOf(cIds, cap)
+            cTfs = java.util.Arrays.copyOf(cTfs, cap)
+            cDls = java.util.Arrays.copyOf(cDls, cap)
+            cPos = java.util.Arrays.copyOf(cPos, cap)
+            cOff = java.util.Arrays.copyOf(cOff, cap)
+          }
+          val tfArr = Codec.decodeInts(tfsB, cn)
+          cIds(k) = Codec.decodeDeltas(idsB, cn)
+          cTfs(k) = tfArr
+          cDls(k) = Codec.decodeInts(dlsB, cn)
+          if (posB != null && posB.length > 0) {
+            cPos(k) = posB
+            val o = new Array[Int](cn + 1)
+            val r = new Codec.PosReader(posB)
+            var j = 0
+            while (j < cn) { r.skipPositions(tfArr(j)); o(j + 1) = r.byteOffset; j += 1 }
+            cOff(k) = o
+          }
+          total += cn
+          k += 1
+        }
+        n = total; emitted = 0
+        runIds = new Array[Long](total)
+        runTfs = new Array[Int](total)
+        runDls = new Array[Int](total)
+        var posTotal = 0
+        var c = 0
+        while (c < k) { if (cPos(c) != null) posTotal += cPos(c).length; c += 1 }
+        if (posTotal > 0) {
+          runPos = new Array[Byte](posTotal); runPosOff = new Array[Int](total + 1)
+        } else { runPos = null; runPosOff = null }
+        var w = 0
+        var posW = 0
+        if (k == 1) {
+          // chunks are internally id-sorted — single-chunk runs copy through
+          System.arraycopy(cIds(0), 0, runIds, 0, total)
+          System.arraycopy(cTfs(0), 0, runTfs, 0, total)
+          System.arraycopy(cDls(0), 0, runDls, 0, total)
+          if (runPos != null) {
+            System.arraycopy(cPos(0), 0, runPos, 0, posTotal)
+            System.arraycopy(cOff(0), 0, runPosOff, 0, total + 1)
+          }
+        } else {
+          // k-way heap merge keyed (id, chunk order) — identical order to
+          // the old concatenate-then-stable-sortBy(id)
+          val cur = new Array[Int](k)
+          val heap = new Array[Int](k)
+          var hs = 0
+          @inline def lessC(a: Int, b: Int): Boolean = {
+            val ia = cIds(a)(cur(a)); val ib = cIds(b)(cur(b))
+            ia < ib || (ia == ib && a < b)
+          }
+          def siftUp(i0: Int): Unit = {
+            var i = i0
+            while (i > 0 && lessC(heap(i), heap((i - 1) / 2))) {
+              val t = heap(i); heap(i) = heap((i - 1) / 2); heap((i - 1) / 2) = t
+              i = (i - 1) / 2
+            }
+          }
+          def siftDown(): Unit = {
+            var i = 0
+            var done = false
+            while (!done) {
+              val l = 2 * i + 1; val r = l + 1
+              var m = i
+              if (l < hs && lessC(heap(l), heap(m))) m = l
+              if (r < hs && lessC(heap(r), heap(m))) m = r
+              if (m == i) done = true
+              else { val t = heap(i); heap(i) = heap(m); heap(m) = t; i = m }
+            }
+          }
+          var c2 = 0
+          while (c2 < k) {
+            if (cIds(c2).length > 0) { heap(hs) = c2; hs += 1; siftUp(hs - 1) }
+            c2 += 1
+          }
+          while (hs > 0) {
+            val c3 = heap(0)
+            val j = cur(c3)
+            runIds(w) = cIds(c3)(j)
+            runTfs(w) = cTfs(c3)(j)
+            runDls(w) = cDls(c3)(j)
+            if (runPos != null) {
+              if (cOff(c3) != null) {
+                val s = cOff(c3)(j); val e = cOff(c3)(j + 1)
+                System.arraycopy(cPos(c3), s, runPos, posW, e - s)
+                posW += e - s
+              }
+              runPosOff(w + 1) = posW
+            }
+            cur(c3) = j + 1
+            if (cur(c3) == cIds(c3).length) { hs -= 1; heap(0) = heap(hs) }
+            siftDown()
+            w += 1
+          }
+        }
+      }
+
+      def hasNext: Boolean = (runIds != null && emitted < n) || in.hasNext
+
+      def next(): PostingRow = {
+        if (runIds == null || emitted >= n) loadRun()
+        val start = emitted
+        val end = math.min(n, start + blockSize)
+        var tfSum = 0L
+        var maxTf = 0
+        var minDl = Int.MaxValue
+        var maxImpact = 0.0
+        var j = start
+        while (j < end) {
+          val tf = runTfs(j); val dl = runDls(j)
+          tfSum += tf
+          if (tf > maxTf) maxTf = tf
+          if (dl < minDl) minDl = dl
+          val imp = impact(tf, dl, avgDl)
+          if (imp > maxImpact) maxImpact = imp
+          j += 1
+        }
+        val ids = java.util.Arrays.copyOfRange(runIds, start, end)
+        val poss =
+          if (runPos == null || runPosOff(end) == runPosOff(start)) EmptyBytes
+          else java.util.Arrays.copyOfRange(runPos, runPosOff(start), runPosOff(end))
+        val row = PostingRow(
+          grp, slice, term, blockId,
+          ids(0), ids(ids.length - 1), ids.length,
+          Codec.encodeGapsFromBase(ids),
+          Codec.encodeIntsAuto(java.util.Arrays.copyOfRange(runTfs, start, end)),
+          Codec.encodeIntsAuto(java.util.Arrays.copyOfRange(runDls, start, end)),
+          poss,
+          tfSum,
+          maxImpact,
+          maxTf,
+          if (minDl == Int.MaxValue) 0 else minDl
+        )
+        blockId += 1
+        emitted = end
+        row
       }
     }
   }

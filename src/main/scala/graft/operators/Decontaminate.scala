@@ -60,18 +60,23 @@ object Decontaminate {
     val trainGrams = train
       .where(col(textCol) =!= "")
       .select(explode(ngramsCol(textCol, n)).as("g"))
-      .select(xxhash64(col("g")).as("gh"))
+      .select(xxhash64(col("g")).as("gh"), lit(1).as("in_train"))
       .distinct()
     val evalGrams = eval
       .where(col(textCol) =!= "")
       .select(col(idCol), explode(ngramsCol(textCol, n)).as("g"))
       .select(col(idCol), xxhash64(col("g")).as("gh"))
       .distinct()
-    val totals = evalGrams.groupBy(idCol).agg(count("*").as("n_ngrams"))
+    // ONE left join + ONE aggregation: the train side is distinct, so the
+    // left join preserves eval multiplicity (n_ngrams = row count) and a
+    // matched marker counts exactly the leaked distinct grams. The old
+    // shape aggregated the eval grams twice and joined twice, which also
+    // recomputed the eval explode subtree per consumer (r6, guide §2.4).
     evalGrams
-      .join(trainGrams, "gh")
+      .join(trainGrams, Seq("gh"), "left")
       .groupBy(idCol)
-      .agg(count("*").as("n_hit"))
-      .join(totals, idCol)
+      .agg(count(col("in_train")).as("n_hit"), count(lit(1)).as("n_ngrams"))
+      .where(col("n_hit") >= 1)
+      .select(col(idCol), col("n_hit"), col("n_ngrams"))
   }
 }

@@ -210,17 +210,18 @@ object Dedup {
     }
 
     var it = 0
-    var eCount = e.count()
-    var done = eCount == 0
+    var done = e.isEmpty
     while (!done && it < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // both sides distinct + identically oriented: equal sets ⟺ equal
-      // counts ∧ empty difference (prev count carried — one count job and
-      // one except job per round)
-      val nextCount = next.count()
-      done = nextCount == eCount && next.except(e).isEmpty
+      // both sides distinct + identically oriented, so equal sets ⟺ the
+      // symmetric difference is empty ⟺ no (u, v) appears in exactly one
+      // side. ONE aggregation job per round (the old shape ran a count
+      // job AND an except job — r6, guide §2.4: one exchange instead of
+      // the except's two, and isEmpty short-circuits at the first
+      // asymmetric row).
+      done = next.unionByName(e).groupBy($"u", $"v").count()
+        .where($"count" === 1).isEmpty
       e = next
-      eCount = nextCount
       it += 1
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds")

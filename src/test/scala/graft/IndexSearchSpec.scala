@@ -670,6 +670,46 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = corpus.map { case (_, t) => Analyzer.termFreqs(t)._2.length.toLong }.sum
     assert(totalPostings == expected)
   }
+
+  test("assignPages: dense ids = global utf8 url order, any partition count") {
+    // r6 pin: the bounds+hash-exchange rewrite must reproduce the exact
+    // ids of the range-partition scheme — rank of url in UTF-8 binary
+    // order, independent of parallelism and of where bounds fall. The
+    // fixture interleaves url shapes (and a non-ASCII one) so in-task
+    // sorting and range-id assignment both get exercised.
+    import spark.implicits._
+    val urls = (0 until 500).map { i =>
+      val tag = i % 4 match {
+        case 0 => f"a/$i%05d"
+        case 1 => f"b/${i * 7 % 500}%05d-x"
+        case 2 => f"a/$i%05d/é" // non-ASCII: utf8 order must hold
+        case _ => f"zz/$i%03d"
+      }
+      s"doc://$tag"
+    }
+    val expected = urls.sortWith { (x, y) =>
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(a.length, b.length)
+      var i = 0
+      var r = 0
+      while (r == 0 && i < n) { r = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+      if (r != 0) r < 0 else a.length < b.length
+    }.zipWithIndex.map { case (u, i) => (u, i.toLong) }.toMap
+    Seq(3, 8).foreach { parts =>
+      val ds = spark.createDataset(urls.map(u =>
+        (u, new java.sql.Timestamp(0L), "en", s"text of $u")))
+      val (withIds, total) = graft.functions.DenseId.assignPages(
+        ds.repartition(5), parts, ds.map(_._1))
+      assert(total == 500L)
+      val got = withIds.collect()
+      assert(got.length == 500)
+      got.foreach { case (id, u, _, _, txt) =>
+        assert(id == expected(u), s"id of $u at $parts partitions")
+        assert(txt == s"text of $u") // payload rides the exchange intact
+      }
+    }
+  }
 }
 
 /** Serializable helpers — task closures must not capture the suite. */

@@ -111,12 +111,62 @@ class MergeStreamSpec extends AnyFunSuite {
   test("mapSideCombine exchange produces byte-identical postings to the row shuffle") {
     val dRow = Files.createTempDirectory("cmb-row").toString
     val dCmb = Files.createTempDirectory("cmb-chk").toString
-    val cfgRow = BuildConfig(nPartitions = 8, nGroups = 2, nSlices = 4, blockSize = 32)
+    // explicit row shuffle vs explicit combine (the default flipped to
+    // combine in r5, which silently made this test compare like to like)
+    val cfgRow = BuildConfig(nPartitions = 8, nGroups = 2, nSlices = 4, blockSize = 32,
+      mapSideCombine = false)
     IndexBuilder.build(spark, pagesWithPrefix("c", 0, 400), dRow, cfgRow)
     IndexBuilder.build(spark, pagesWithPrefix("c", 0, 400), dCmb,
       cfgRow.copy(mapSideCombine = true))
     assert(dumpPostings(dCmb) == dumpPostings(dRow),
       "combine path must normalize to the exact same blocks")
+  }
+
+  test("fused reducer mergeChunksToBlocks ≡ blockify(mergeChunks(_)) on shuffled chunks") {
+    // r6 optimization pin: the primitive k-way merge-to-blocks must emit
+    // the exact PostingRow stream of the legacy two-stage shape, including
+    // multi-chunk runs with interleaved doc ranges and position streams.
+    val docs = (0L until 60L).map(i => (i, PagesGen.textFor(i)))
+    // two chunk sources with interleaved ids (odd/even) force real merges
+    def chunksOf(part: Seq[(Long, String)]) = {
+      val byKey = scala.collection.mutable.LinkedHashMap
+        .empty[(String, Int), scala.collection.mutable.ArrayBuffer[(Long, Int, Int, Array[Byte])]]
+      part.foreach { case (id, text) =>
+        val (dl, tps) = graft.functions.Analyzer.termPositions(text)
+        tps.foreach { case (t, ps) =>
+          byKey.getOrElseUpdate((t, (id % 4).toInt), scala.collection.mutable.ArrayBuffer.empty) +=
+            ((id, ps.length, dl, graft.functions.Codec.encodePosChunk(ps)))
+        }
+      }
+      byKey.toSeq.map { case ((t, slice), posts) =>
+        val sorted = posts.sortBy(_._1)
+        (t, slice,
+          sorted.map(_._1).toArray, sorted.map(_._2).toArray, sorted.map(_._3).toArray,
+          sorted.flatMap(p => p._4.toSeq).toArray)
+      }
+    }
+    val (evens, odds) = docs.partition(_._1 % 2 == 0)
+    val rows = (chunksOf(evens) ++ chunksOf(odds)).map { case (t, slice, ids, tfs, dls, pos) =>
+      (t, slice, ids.head, ids.length,
+        graft.functions.Codec.encodeDeltas(ids), graft.functions.Codec.encodeInts(tfs),
+        graft.functions.Codec.encodeInts(dls), pos)
+    }.sortBy(r => (r._1, r._2, r._3))
+    def chunkIt = rows.iterator.map(r => (r._1, r._2, r._4, r._5, r._6, r._7, r._8))
+    val legacy = IndexBuilder
+      .blockify(IndexBuilder.mergeChunks(chunkIt), grp = 0, blockSize = 16, avgDl = 37.5)
+      .toSeq
+    val fused = IndexBuilder
+      .mergeChunksToBlocks(chunkIt, grp = 0, blockSize = 16, avgDl = 37.5)
+      .toSeq
+    assert(fused.size == legacy.size)
+    fused.zip(legacy).foreach { case (f, l) =>
+      assert(f.term == l.term && f.slice == l.slice && f.block_id == l.block_id)
+      assert(f.doc_id_min == l.doc_id_min && f.doc_id_max == l.doc_id_max && f.count == l.count)
+      assert(f.deltas.toSeq == l.deltas.toSeq && f.tfs.toSeq == l.tfs.toSeq &&
+        f.dls.toSeq == l.dls.toSeq && f.poss.toSeq == l.poss.toSeq)
+      assert(f.tf_sum == l.tf_sum && f.max_impact == l.max_impact &&
+        f.max_tf == l.max_tf && f.min_dl == l.min_dl)
+    }
   }
 
   test("streaming ingest: per-batch segments + checkpoint resume + merged query correctness") {
