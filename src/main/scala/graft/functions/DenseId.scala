@@ -76,12 +76,13 @@ object DenseId {
     *      column-pruned at the parquet scan, so the html/text bytes are
     *      not read (the old `repartitionByRange` sampled the FULL
     *      extracted dataset: one extra pass over every page);
-    *   2. one hash exchange keyed by the precomputed range id — no
-    *      sampling job, and no Spark sort on either side (the old shape
-    *      paid reduce-side sorts in BOTH the count and the zip job);
-    *   3. count job: per-range-id tallies, unsorted pass over the
-    *      shuffled rows (shuffle files written once, reused by 4);
-    *   4. zip job: per-task in-memory sort by (range id, utf8(url)) +
+    *   2. per-range-id COUNTS from a second url-only pass (same cheap
+    *      scan) — the old shape counted by fetching the whole shuffled
+    *      corpus a first time;
+    *   3. one hash exchange keyed by the precomputed range id — no
+    *      sampling job, no Spark sort on either side, and its map and
+    *      reduce sides each run exactly once, in the consumer's job;
+    *   4. zip pass: per-task in-memory sort by (range id, utf8(url)) +
     *      dense id assignment from the broadcast offsets.
     *
     * IDs depend only on the global url order, never on where the range
@@ -96,57 +97,92 @@ object DenseId {
   ): (org.apache.spark.sql.Dataset[(Long, String, java.sql.Timestamp, String, String)], Long) = {
     val spark = ds.sparkSession
     import spark.implicits._
+    val verbose = sys.env.contains("GRAFT_BUILD_VERBOSE")
+    var t0 = System.nanoTime()
+    @inline def lap(label: String): Unit = if (verbose) {
+      System.err.println(f"[dense-id] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      t0 = System.nanoTime()
+    }
     val bounds = rangeBounds(urlsForBounds, numPartitions)
+    lap("bounds")
     val bBounds = spark.sparkContext.broadcast(bounds)
-    val pidOfUrl = udf((u: String) => rangeIdOf(bBounds.value, u))
-    val sRdd = ds
-      .toDF("_1", "_2", "_3", "_4")
-      .withColumn("_pid", pidOfUrl(col("_1")))
-      .repartition(math.max(1, numPartitions), col("_pid"))
-      .as[(String, java.sql.Timestamp, String, String, Int)]
-      .rdd // one lineage: the zip job reuses the count job's shuffle files
-    // pass 1: rows per range id (several range ids may hash-share one
-    // partition; all rows of one range id land together)
-    val pidCounts = sRdd
+    // pass 1 (url-only, column-pruned like the bounds pass): rows per
+    // range id, counted at the SOURCE — the heavy shuffled rows are never
+    // fetched just to be counted, so the exchange's map and reduce sides
+    // each run exactly once (in the consumer's job)
+    val pidCounts = urlsForBounds.rdd
       .mapPartitions { it =>
+        val b = bBounds.value
         val m = new java.util.HashMap[Integer, Long]()
-        it.foreach(t => m.merge(t._5, 1L, (a, b) => a + b))
+        it.foreach(u => m.merge(rangeIdOf(b, u), 1L, (a, b2) => a + b2))
         scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator()).asScala
           .map(e => (e.getKey.intValue, e.getValue.longValue))
       }
       .collect()
+    lap("pid-counts")
     val counts = new Array[Long](math.max(1, numPartitions))
     pidCounts.foreach { case (p, c) => counts(p) += c }
     val offsets = counts.scanLeft(0L)(_ + _)
     val bOffsets = spark.sparkContext.broadcast(offsets)
+    val pidOfUrl = udf((u: String) => rangeIdOf(bBounds.value, u))
+    val shuffled = ds
+      .toDF("_1", "_2", "_3", "_4")
+      .withColumn("_pid", pidOfUrl(col("_1")))
+      .repartition(math.max(1, numPartitions), col("_pid"))
+      .as[(String, java.sql.Timestamp, String, String, Int)]
     // pass 2: in-task sort by (range id, utf8(url)) — global concatenation
-    // in range-id order is exactly the url-sorted corpus
-    val rdd = sRdd.mapPartitions { it =>
+    // in range-id order is exactly the url-sorted corpus. (Several range
+    // ids may hash-share a partition; all rows of one range id land
+    // together, and the broadcast offsets key on the range id.)
+    val rdd = shuffled.rdd.mapPartitions { it =>
       val rows = it.toArray
       if (rows.isEmpty) Iterator.empty
       else {
-        val keyed = rows.map(t => (t._5, t._1.getBytes(java.nio.charset.StandardCharsets.UTF_8), t))
-        java.util.Arrays.sort(keyed, new java.util.Comparator[(Int, Array[Byte], (String, java.sql.Timestamp, String, String, Int))] {
-          def compare(
-              a: (Int, Array[Byte], (String, java.sql.Timestamp, String, String, Int)),
-              b: (Int, Array[Byte], (String, java.sql.Timestamp, String, String, Int))
-          ): Int = {
-            if (a._1 != b._1) return Integer.compare(a._1, b._1)
-            compareUtf8(a._2, b._2)
-          }
-        })
+        java.util.Arrays.sort(rows,
+          new java.util.Comparator[(String, java.sql.Timestamp, String, String, Int)] {
+            def compare(
+                a: (String, java.sql.Timestamp, String, String, Int),
+                b: (String, java.sql.Timestamp, String, String, Int)
+            ): Int = {
+              if (a._5 != b._5) return Integer.compare(a._5, b._5)
+              compareUtf8Strings(a._1, b._1)
+            }
+          })
         val offs = bOffsets.value
         var curPid = -1
         var nextId = 0L
-        keyed.iterator.map { case (pid, _, t) =>
+        rows.iterator.map { case (url, ts, lang, text, pid) =>
           if (pid != curPid) { curPid = pid; nextId = offs(pid) }
-          val r = (nextId, t._1, t._2, t._3, t._4)
+          val r = (nextId, url, ts, lang, text)
           nextId += 1
           r
         }
       }
     }
-    (spark.createDataset(rdd), offsets.last)
+    val out = spark.createDataset(rdd)
+    lap("plan-zip")
+    (out, offsets.last)
+  }
+
+  /** Code-point comparison of two strings — equal to UTF-8 byte order
+    * (what Spark's UTF8String sort uses) without materializing byte
+    * arrays; differs from String.compareTo only beyond the BMP.
+    */
+  @inline private def compareUtf8Strings(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i)
+      val cb = b.charAt(i)
+      if (ca != cb) {
+        // surrogate-aware: compare full code points where they diverge
+        val cpa = a.codePointAt(i)
+        val cpb = b.codePointAt(i)
+        return Integer.compare(cpa, cpb)
+      }
+      i += 1
+    }
+    a.length - b.length
   }
 
   /** Unsigned byte-wise comparison — the UTF8String binary order Spark's

@@ -261,12 +261,15 @@ object IndexBuilder {
 
       val totalTokens = tokenAcc.value.longValue()
       val avgDl = if (total > 0) totalTokens.toDouble / total else 0.0
-      timed("stats")(Seq(CorpusStats(total, avgDl, totalTokens)).toDS()
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats"))
+      timed("stats") {
+        Seq(CorpusStats(total, avgDl, totalTokens)).toDS()
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
+        writeStatsJson(indexDir, CorpusStats(total, avgDl, totalTokens))
+      }
       commitUnit(indexDir, "staged")
     }
 
-    val nDocs = math.max(1L, spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head().n_docs)
+    val nDocs = math.max(1L, readStats(spark, indexDir).n_docs)
     val nSlices = cfg.nSlices
     val withPos = cfg.positions
     def groupDocs(g: Int) =
@@ -323,7 +326,7 @@ object IndexBuilder {
       chunkInput: Int => DataFrame = null
   ): Unit = {
     import spark.implicits._
-    val st = spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
+    val st = readStats(spark, indexDir)
     val avgDl = if (st.avg_dl > 0) st.avg_dl else 1.0
 
     // ---- stage 2: posting groups (resumable unit = one group) ---------
@@ -488,34 +491,41 @@ object IndexBuilder {
       posOff(n + 1) = posLen
       n += 1
     }
-    /** [[add]] with the position chunk varint-encoded DIRECTLY into this
-      * buffer (fused tokenize path — no intermediate Array[Byte] per
-      * posting). Bytes identical to add(id, tf, dl, encodePosChunk(ps)).
+    /** Streaming per-token-occurrence append (fused tokenize path): the
+      * FIRST occurrence of (doc, term) opens a posting (tf=1, raw first
+      * position); further occurrences of the same doc bump the open
+      * posting's tf and append a position gap. Token scan order is
+      * ascending positions, so the produced bytes are exactly
+      * add(id, tf, dl, encodePosChunk(positions)) without any per-doc
+      * term→positions map or per-posting arrays.
       */
-    def addEncodingPos(id: Long, dl: Int, ps: Array[Int], nPos: Int): Unit = {
-      if (n == ids.length) {
-        ids = java.util.Arrays.copyOf(ids, n * 2)
-        tfs = java.util.Arrays.copyOf(tfs, n * 2)
-        dls = java.util.Arrays.copyOf(dls, n * 2)
-        posOff = java.util.Arrays.copyOf(posOff, n * 2 + 1)
-      }
-      ids(n) = id; tfs(n) = nPos; dls(n) = dl
-      while (posLen + nPos * 5 + 5 > posBytes.length)
-        posBytes = java.util.Arrays.copyOf(posBytes, posBytes.length * 2)
-      var prev = 0
-      var i = 0
-      while (i < nPos) {
-        var x = (if (i == 0) ps(0) else ps(i) - prev).toLong
-        while ((x & ~0x7fL) != 0L) {
-          posBytes(posLen) = ((x & 0x7f) | 0x80).toByte; posLen += 1
-          x >>>= 7
+    private var prevPos = 0
+    def appendOcc(id: Long, dl: Int, pos: Int, withPos: Boolean): Unit = {
+      if (n > 0 && ids(n - 1) == id) {
+        tfs(n - 1) += 1
+        if (withPos) { writePosVarint(pos - prevPos); prevPos = pos; posOff(n) = posLen }
+      } else {
+        if (n == ids.length) {
+          ids = java.util.Arrays.copyOf(ids, n * 2)
+          tfs = java.util.Arrays.copyOf(tfs, n * 2)
+          dls = java.util.Arrays.copyOf(dls, n * 2)
+          posOff = java.util.Arrays.copyOf(posOff, n * 2 + 1)
         }
-        posBytes(posLen) = x.toByte; posLen += 1
-        prev = ps(i)
-        i += 1
+        ids(n) = id; tfs(n) = 1; dls(n) = dl
+        if (withPos) { writePosVarint(pos); prevPos = pos } else hasPos = false
+        posOff(n + 1) = posLen
+        n += 1
       }
-      posOff(n + 1) = posLen
-      n += 1
+    }
+    @inline private def writePosVarint(v: Int): Unit = {
+      if (posLen + 5 > posBytes.length)
+        posBytes = java.util.Arrays.copyOf(posBytes, math.max(posBytes.length * 2, posLen + 8))
+      var x = v.toLong
+      while ((x & ~0x7fL) != 0L) {
+        posBytes(posLen) = ((x & 0x7f) | 0x80).toByte; posLen += 1
+        x >>>= 7
+      }
+      posBytes(posLen) = x.toByte; posLen += 1
     }
   }
 
@@ -609,41 +619,28 @@ object IndexBuilder {
             while (it.hasNext && consumed < flushEvery) {
               val (id, text) = it.next()
               val slice = math.min(nSlices - 1, (id * nSlices / nDocs).toInt).toLong
-              if (withPos) {
-                val (dl, tps) = Analyzer.termPositions(text)
-                var i = 0
-                while (i < tps.length) {
-                  val t = tps(i)._1
-                  val ps = tps(i)._2
-                  val bySlice = byTerm.getOrElseUpdate(t,
-                    new scala.collection.mutable.LongMap[ChunkBuf](2))
-                  val b = bySlice.getOrNull(slice) match {
-                    case null =>
-                      val nb = new ChunkBuf; bySlice.update(slice, nb); nb
-                    case x => x
-                  }
-                  b.addEncodingPos(id, dl, ps, ps.length)
-                  i += 1
+              // one token scan, one map probe per occurrence: each token
+              // streams straight into its (term, slice) chunk buffer
+              // (appendOcc opens/extends the doc's posting in place) — no
+              // per-doc term→positions map, no per-posting arrays. Flush
+              // only at doc boundaries so a (term, doc) posting can never
+              // split across chunks.
+              val toks = Analyzer.tokenize(text)
+              val dl = toks.length
+              var i = 0
+              while (i < dl) {
+                val t = toks(i)
+                val bySlice = byTerm.getOrElseUpdate(t,
+                  new scala.collection.mutable.LongMap[ChunkBuf](2))
+                val b = bySlice.getOrNull(slice) match {
+                  case null =>
+                    val nb = new ChunkBuf; bySlice.update(slice, nb); nb
+                  case x => x
                 }
-                consumed += tps.length
-              } else {
-                val (dl, tfs) = Analyzer.termFreqs(text)
-                var i = 0
-                while (i < tfs.length) {
-                  val t = tfs(i)._1
-                  val tf = tfs(i)._2
-                  val bySlice = byTerm.getOrElseUpdate(t,
-                    new scala.collection.mutable.LongMap[ChunkBuf](2))
-                  val b = bySlice.getOrNull(slice) match {
-                    case null =>
-                      val nb = new ChunkBuf; bySlice.update(slice, nb); nb
-                    case x => x
-                  }
-                  b.add(id, tf, dl, null)
-                  i += 1
-                }
-                consumed += tfs.length
+                b.appendOcc(id, dl, i, withPos)
+                i += 1
               }
+              consumed += dl
             }
             val drained = byTerm.toArray // materialize before clearing
             byTerm.clear()
@@ -1012,10 +1009,27 @@ object IndexBuilder {
       .select("doc_id", "url", "warc_ts", "lang", "doc_len")
       .as[Doc]
   }
-  def readStats(spark: SparkSession, indexDir: String): CorpusStats = {
-    import spark.implicits._
-    spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
-  }
+  /** Corpus stats. The `stats.json` sidecar (written at build/merge/purge
+    * time) is preferred: it answers from one driver-side file read, where
+    * the parquet head() costs a Spark job — a fixed tax every search-path
+    * query used to pay (r6). The parquet stays the queryable table
+    * (q_corpus_stats reads it) and the fallback for pre-sidecar indexes.
+    */
+  def readStats(spark: SparkSession, indexDir: String): CorpusStats =
+    graft.sources.Fsx.readUtf8Opt(s"$indexDir/stats.json") match {
+      case Some(j) =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+        CorpusStats(node.get("n_docs").asLong, node.get("avg_dl").asDouble,
+          node.get("total_tokens").asLong)
+      case None =>
+        import spark.implicits._
+        spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
+    }
+
+  /** Write the stats sidecar next to the stats parquet (same values). */
+  def writeStatsJson(indexDir: String, st: CorpusStats): Unit =
+    graft.sources.Fsx.writeUtf8(s"$indexDir/stats.json",
+      s"""{"n_docs":${st.n_docs},"avg_dl":${st.avg_dl},"total_tokens":${st.total_tokens}}""")
   def readTerms(spark: SparkSession, indexDir: String): Dataset[TermStat] = {
     import spark.implicits._
     spark.read.parquet(s"$indexDir/terms").as[TermStat]

@@ -70,14 +70,16 @@ object SegmentMerge {
         .partitionBy("grp")
         .parquet(s"$outDir/docs")
 
-      val stats = spark.read.parquet(s"$outDir/docs")
+      val st = spark.read.parquet(s"$outDir/docs")
         .agg(
           count(lit(1)).as("n_docs"),
           coalesce(avg($"doc_len"), lit(0.0)).as("avg_dl"),
           coalesce(sum($"doc_len"), lit(0L)).as("total_tokens")
         )
-      stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
-      val nDocs = math.max(1L, spark.read.parquet(s"$outDir/stats").as[CorpusStats].head().n_docs)
+        .as[CorpusStats].head()
+      Seq(st).toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
+      IndexBuilder.writeStatsJson(outDir, st)
+      val nDocs = math.max(1L, st.n_docs)
 
       // decode both segments' blocks back to term-docs, remap B, restage.
       // Positions carry over as opaque byte chunks (varint skip to find the
@@ -204,6 +206,7 @@ object SegmentMerge {
 
     Seq(CorpusStats(nDocs, avgDl, totalTokens)).toDS()
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
+    IndexBuilder.writeStatsJson(outDir, CorpusStats(nDocs, avgDl, totalTokens))
 
     // postings: payloads verbatim; columns remapped; max_impact re-derived
     // for the union avgdl from the avgdl-independent block bounds

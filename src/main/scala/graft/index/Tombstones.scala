@@ -362,12 +362,14 @@ object Tombstones {
       docsRemap.drop("old_id")
         .write.mode(SaveMode.Overwrite).partitionBy("grp").parquet(s"$outDir/docs")
 
-      docsRemap
+      val st = docsRemap
         .agg(
           org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
           coalesce(avg($"doc_len"), lit(0.0)).as("avg_dl"),
           coalesce(sum($"doc_len"), lit(0L)).as("total_tokens"))
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
+        .as[CorpusStats].head()
+      Seq(st).toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
+      IndexBuilder.writeStatsJson(outDir, st)
 
       // decode source blocks, drop deleted postings, remap ids, restage
       val decoded = IndexBuilder.readPostings(spark, indexDir)
