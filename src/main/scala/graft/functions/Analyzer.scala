@@ -168,6 +168,63 @@ object Analyzer extends Serializable {
     count
   }
 
+  /** Receiver for [[scanTokens]]: one call per emitted token. `ascii` is
+    * true iff every char of the span is < 0x80 — the caller's license to
+    * lowercase with the trivial 'A'..'Z' map instead of Locale rules.
+    */
+  trait TokenSink {
+    def token(text: String, start: Int, end: Int, index: Int, ascii: Boolean): Unit
+  }
+
+  /** Streaming tokenizer: the [[tokenize]] state machine without
+    * materializing token strings — `sink.token` receives each emitted
+    * token's [start, end) char span (original text, NOT lowercased) and
+    * its token index; returns the total token count. Token set, order and
+    * spans are identical to [[tokenizeWithOffsets]] (property-tested);
+    * `tokenize(text)(i) == lowercase(text.substring(start_i, end_i))`.
+    * This is the index build's hot loop (guide §1.2 step 2): the fused
+    * chunk combine probes its term table straight off the span, so the
+    * ~tokens-per-corpus String allocations of the tokenize() path never
+    * happen.
+    */
+  def scanTokens(text: String, sink: TokenSink): Int = {
+    if (text == null || text.isEmpty) return 0
+    var count = 0
+    val n = text.length
+    var i = 0
+    var start = -1
+    var hasAlnum = false
+    var ascii = true
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isTokenChar(cp)) {
+        if (start < 0) { start = i; hasAlnum = false; ascii = true }
+        if (cp >= 0x80) ascii = false
+        if (!hasAlnum && Character.isLetterOrDigit(cp)) hasAlnum = true
+        i += w
+      } else if (
+        start >= 0 && i + w < n && {
+          val next = text.codePointAt(i + w)
+          val prev = text.codePointBefore(i)
+          (isMidLetter(cp) && Character.isLetter(prev) && Character.isLetter(next)) ||
+          (isMidNum(cp) && Character.isDigit(prev) && Character.isDigit(next))
+        }
+      ) {
+        if (cp >= 0x80) ascii = false
+        i += w
+      } else {
+        if (start >= 0) {
+          if (hasAlnum) { sink.token(text, start, i, count, ascii); count += 1 }
+          start = -1
+        }
+        i += w
+      }
+    }
+    if (start >= 0 && hasAlnum) { sink.token(text, start, n, count, ascii); count += 1 }
+    count
+  }
+
   /** Per-document term frequencies in one map-side pass (no shuffle):
     * tokenize then count — the "operator fusion" the reference hand-codes
     * (`LgpReader.cs:102-176`) that whole-stage codegen / typed flatMap

@@ -497,13 +497,17 @@ object IndexBuilder {
       * posting's tf and append a position gap. Token scan order is
       * ascending positions, so the produced bytes are exactly
       * add(id, tf, dl, encodePosChunk(positions)) without any per-doc
-      * term→positions map or per-posting arrays.
+      * term→positions map or per-posting arrays. Returns true iff a NEW
+      * posting was opened (callers patch its dl via [[patchLastDl]] once
+      * the doc's token count is known — the streaming scan only learns dl
+      * at end of doc).
       */
     private var prevPos = 0
-    def appendOcc(id: Long, dl: Int, pos: Int, withPos: Boolean): Unit = {
+    def appendOcc(id: Long, pos: Int, withPos: Boolean): Boolean = {
       if (n > 0 && ids(n - 1) == id) {
         tfs(n - 1) += 1
         if (withPos) { writePosVarint(pos - prevPos); prevPos = pos; posOff(n) = posLen }
+        false
       } else {
         if (n == ids.length) {
           ids = java.util.Arrays.copyOf(ids, n * 2)
@@ -511,12 +515,14 @@ object IndexBuilder {
           dls = java.util.Arrays.copyOf(dls, n * 2)
           posOff = java.util.Arrays.copyOf(posOff, n * 2 + 1)
         }
-        ids(n) = id; tfs(n) = 1; dls(n) = dl
+        ids(n) = id; tfs(n) = 1; dls(n) = 0
         if (withPos) { writePosVarint(pos); prevPos = pos } else hasPos = false
         posOff(n + 1) = posLen
         n += 1
+        true
       }
     }
+    @inline def patchLastDl(dl: Int): Unit = dls(n - 1) = dl
     @inline private def writePosVarint(v: Int): Unit = {
       if (posLen + 5 > posBytes.length)
         posBytes = java.util.Arrays.copyOf(posBytes, math.max(posBytes.length * 2, posLen + 8))
@@ -591,12 +597,131 @@ object IndexBuilder {
     }
   }
 
+  /** Open-addressing (term, slice) → ChunkBuf table for the fused
+    * combine, probed STRAIGHT off a token's [start, end) char span in the
+    * source text — no per-occurrence String allocation, no nested map
+    * (the tokenize()-based shape allocated one lowercased String per
+    * token occurrence, ~tokens-per-corpus young-gen garbage; JFR r6:
+    * String building + map probes were ~20% of whole-build CPU). The
+    * stored key is the LOWERCASED term (what tokenize() emits): ASCII
+    * spans hash/compare with the trivial 'A'..'Z' map in place; any
+    * non-ASCII span falls back to substring().toLowerCase(Locale.ROOT)
+    * once and probes by the materialized key (full Unicode lowercasing
+    * can change string length, so span-compare is ASCII-only).
+    * Hash = lowercased String.hashCode (identical on both paths).
+    */
+  private final class TermChunkTable(initialCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCap - 1)) * 2
+    private var keys = new Array[String](cap)
+    private var hashes = new Array[Int](cap)
+    private var slices = new Array[Int](cap)
+    private var bufs = new Array[ChunkBuf](cap)
+    private var size = 0
+
+    @inline private def lowerAscii(c: Char): Char =
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+    /** hashCode of the lowercased ASCII span (== String.hashCode of the
+      * materialized key).
+      */
+    @inline private def asciiHash(text: String, start: Int, end: Int): Int = {
+      var h = 0
+      var i = start
+      while (i < end) { h = h * 31 + lowerAscii(text.charAt(i)); i += 1 }
+      h
+    }
+
+    @inline private def asciiEquals(key: String, text: String, start: Int, end: Int): Boolean = {
+      if (key.length != end - start) return false
+      var i = 0
+      while (i < key.length) {
+        if (key.charAt(i) != lowerAscii(text.charAt(start + i))) return false
+        i += 1
+      }
+      true
+    }
+
+    private def grow(): Unit = {
+      val oldKeys = keys; val oldHashes = hashes; val oldSlices = slices; val oldBufs = bufs
+      cap *= 2
+      keys = new Array[String](cap)
+      hashes = new Array[Int](cap)
+      slices = new Array[Int](cap)
+      bufs = new Array[ChunkBuf](cap)
+      var i = 0
+      while (i < oldKeys.length) {
+        if (oldKeys(i) != null) {
+          var idx = (oldHashes(i) * 31 + oldSlices(i)) & (cap - 1)
+          while (keys(idx) != null) idx = (idx + 1) & (cap - 1)
+          keys(idx) = oldKeys(i); hashes(idx) = oldHashes(i)
+          slices(idx) = oldSlices(i); bufs(idx) = oldBufs(i)
+        }
+        i += 1
+      }
+    }
+
+    /** Buf for the ASCII token span [start, end) at `slice` (insert on miss). */
+    def probeAscii(text: String, start: Int, end: Int, slice: Int): ChunkBuf = {
+      val h = asciiHash(text, start, end)
+      var idx = (h * 31 + slice) & (cap - 1)
+      while (true) {
+        val k = keys(idx)
+        if (k == null) {
+          val chars = new Array[Char](end - start)
+          var i = 0
+          while (i < chars.length) { chars(i) = lowerAscii(text.charAt(start + i)); i += 1 }
+          return insertAt(idx, new String(chars), h, slice)
+        }
+        if (hashes(idx) == h && slices(idx) == slice && asciiEquals(k, text, start, end))
+          return bufs(idx)
+        idx = (idx + 1) & (cap - 1)
+      }
+      null // unreachable
+    }
+
+    /** Buf for an already-lowercased term (non-ASCII slow path). */
+    def probeKey(term: String, slice: Int): ChunkBuf = {
+      val h = term.hashCode
+      var idx = (h * 31 + slice) & (cap - 1)
+      while (true) {
+        val k = keys(idx)
+        if (k == null) return insertAt(idx, term, h, slice)
+        if (hashes(idx) == h && slices(idx) == slice && k == term) return bufs(idx)
+        idx = (idx + 1) & (cap - 1)
+      }
+      null // unreachable
+    }
+
+    private def insertAt(idx0: Int, term: String, h: Int, slice: Int): ChunkBuf = {
+      val b = new ChunkBuf
+      keys(idx0) = term; hashes(idx0) = h; slices(idx0) = slice; bufs(idx0) = b
+      size += 1
+      if (size * 4 > cap * 3) grow() // load factor 0.75
+      b
+    }
+
+    /** Drain every (term, slice, buf) entry and reset to a fresh table. */
+    def drain(): Iterator[(String, Int, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])] = {
+      val k = keys; val s = slices; val b = bufs
+      keys = new Array[String](cap)
+      hashes = new Array[Int](cap)
+      slices = new Array[Int](cap)
+      bufs = new Array[ChunkBuf](cap)
+      size = 0
+      (0 until k.length).iterator
+        .filter(i => k(i) != null)
+        .map(i => emitChunk(k(i), s(i), b(i)))
+    }
+  }
+
   /** Fused tokenize→combine (the r6 default map side of the build): one
     * typed pass from (doc_id, text) to packed chunk rows — tokenization,
     * position varint encode, and per-(term, slice) aggregation in the
     * same loop, no per-posting row materialization (the unfused shape
     * paid an UnsafeRow encode+decode per posting; JFR: ~25% of build
-    * CPU). Flush bound and chunk layout identical to [[chunkMapSide]].
+    * CPU) and no per-occurrence token String (the scanTokens span probe,
+    * r6 opt round). Flush bound and chunk layout identical to
+    * [[chunkMapSide]].
     */
   private[index] def tokenizeChunks(
       docs: org.apache.spark.sql.Dataset[(Long, String)],
@@ -610,43 +735,46 @@ object IndexBuilder {
     docs
       .mapPartitions { (it: Iterator[(Long, String)]) =>
         new Iterator[(String, Int, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])] {
-          private val byTerm =
-            new scala.collection.mutable.AnyRefMap[String, scala.collection.mutable.LongMap[ChunkBuf]](1 << 12)
+          private val table = new TermChunkTable(1 << 13)
           private var pending: Iterator[(String, Int, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])] = Iterator.empty
+          // bufs whose LAST posting belongs to the doc being scanned —
+          // their dl field is patched once the doc's token count is known
+          // (the streaming scan can't know dl up front)
+          private var touched = new Array[ChunkBuf](256)
+          private var nTouched = 0
+          private final class DocSink extends Analyzer.TokenSink {
+            var docId = 0L
+            var slice = 0
+            def token(text: String, start: Int, end: Int, index: Int, ascii: Boolean): Unit = {
+              val b =
+                if (ascii) table.probeAscii(text, start, end, slice)
+                else table.probeKey(
+                  text.substring(start, end).toLowerCase(java.util.Locale.ROOT), slice)
+              if (b.appendOcc(docId, index, withPos)) {
+                if (nTouched == touched.length)
+                  touched = java.util.Arrays.copyOf(touched, nTouched * 2)
+                touched(nTouched) = b
+                nTouched += 1
+              }
+            }
+          }
+          private val sink = new DocSink
 
           private def refill(): Unit = {
             var consumed = 0L
             while (it.hasNext && consumed < flushEvery) {
               val (id, text) = it.next()
-              val slice = math.min(nSlices - 1, (id * nSlices / nDocs).toInt).toLong
-              // one token scan, one map probe per occurrence: each token
-              // streams straight into its (term, slice) chunk buffer
-              // (appendOcc opens/extends the doc's posting in place) — no
-              // per-doc term→positions map, no per-posting arrays. Flush
-              // only at doc boundaries so a (term, doc) posting can never
-              // split across chunks.
-              val toks = Analyzer.tokenize(text)
-              val dl = toks.length
-              var i = 0
-              while (i < dl) {
-                val t = toks(i)
-                val bySlice = byTerm.getOrElseUpdate(t,
-                  new scala.collection.mutable.LongMap[ChunkBuf](2))
-                val b = bySlice.getOrNull(slice) match {
-                  case null =>
-                    val nb = new ChunkBuf; bySlice.update(slice, nb); nb
-                  case x => x
-                }
-                b.appendOcc(id, dl, i, withPos)
-                i += 1
-              }
+              // flush only at doc boundaries so a (term, doc) posting can
+              // never split across chunks
+              sink.docId = id
+              sink.slice = math.min(nSlices - 1, (id * nSlices / nDocs).toInt)
+              val dl = Analyzer.scanTokens(text, sink)
+              var t = 0
+              while (t < nTouched) { touched(t).patchLastDl(dl); t += 1 }
+              nTouched = 0
               consumed += dl
             }
-            val drained = byTerm.toArray // materialize before clearing
-            byTerm.clear()
-            pending = drained.iterator.flatMap { case (term, bySlice) =>
-              bySlice.iterator.map { case (slice, b) => emitChunk(term, slice.toInt, b) }
-            }
+            pending = table.drain()
           }
 
           def hasNext: Boolean = {

@@ -48,6 +48,45 @@ class AnalyzerHtmlSpec extends AnyFunSuite with GenCheck {
     }
   }
 
+  test("scanTokens ≡ tokenizeWithOffsets (streaming span scan, r6 fused-combine path)") {
+    def viaScan(s: String): (Seq[String], Seq[Int], Seq[Int], Int) = {
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val n = Analyzer.scanTokens(s, new Analyzer.TokenSink {
+        def token(text: String, start: Int, end: Int, index: Int, ascii: Boolean): Unit = {
+          assert(index == toks.length, s"index stream broken at '$s'")
+          // the ascii flag is a license for the trivial lowercase map —
+          // when set, every span char must really be < 0x80
+          if (ascii) (start until end).foreach(i => assert(text.charAt(i) < 0x80, s"'$s'"))
+          toks += text.substring(start, end).toLowerCase(java.util.Locale.ROOT)
+          starts += start
+          ends += end
+        }
+      })
+      (toks.toSeq, starts.toSeq, ends.toSeq, n)
+    }
+    val goldens = Seq(
+      "", "   \t  ", "Hello, World!", "a-b c_d", "2021 год, Привет МИР",
+      "three.four 3.14 o'neil 1,024", "___", "a.", ".a", "a.b.c", "1.2.3",
+      "x" * 300, "a·b c:d 1;2", "😀 emoji ok", "а-б’в", "MiXeD CaSe AbC"
+    )
+    goldens.foreach { s =>
+      val (toks, starts, ends, n) = viaScan(s)
+      val (wToks, wStarts, wEnds) = Analyzer.tokenizeWithOffsets(s)
+      assert(toks == wToks.toSeq, s"golden: '$s'")
+      assert(starts == wStarts.toSeq && ends == wEnds.toSeq, s"golden offsets: '$s'")
+      assert(n == wToks.length, s"golden count: '$s'")
+    }
+    forAllSeeded(Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.oneOf(".", ",", "'", "’", ":", "·", ";", "_", "-", " ", "\n", "і", "3.14", "а б", "ABC")
+    ))) { parts =>
+      val s = parts.mkString
+      val (toks, _, _, n) = viaScan(s)
+      toks == Analyzer.tokenize(s).toSeq && n == toks.length
+    }
+  }
+
   test("html wrap/extract is byte-identical on generator corpus (per-row invariant)") {
     (0L until 500L).foreach { i =>
       val p = PagesGen.pageFor(i)
