@@ -67,15 +67,21 @@ object Dedup {
     // from banding; a 128-bit+length key pushes that below 10^-13 —
     // byte-compare-grade without shipping texts through the shuffle.
     val gkey = Seq($"h1", $"h2", $"len")
+    // ONE exchange by the group key — (hashes, len, id) rows only, ~28
+    // bytes each — shared by the min-aggregate and the membership join
+    // (ReuseExchange; guide §2.4). Texts NEVER shuffle: the old shape
+    // carried txt through this exchange just so the rep rows could keep
+    // it; a rep is by definition the doc whose id == gid, so reps join
+    // base on the ID instead (gid side is tiny → broadcast).
     val hashed = base.select(
       xxhash64($"txt").as("h1"),
       xxhash64(lit(0x9e3779b9L), $"txt").as("h2"),
       length($"txt").as("len"),
-      $"id", $"txt")
+      $"id")
+      .repartition($"h1", $"h2", $"len")
     val gmin = hashed.groupBy(gkey: _*).agg(min($"id").as("gid"))
     val members = hashed.join(gmin, Seq("h1", "h2", "len")).select($"gid", $"id")
-    val reps = hashed.join(gmin, Seq("h1", "h2", "len"))
-      .where($"id" === $"gid")
+    val reps = base.join(gmin.select($"gid"), $"id" === $"gid")
       .select($"gid", $"txt")
 
     val sigs = reps
@@ -183,25 +189,39 @@ object Dedup {
       .localCheckpoint()
     var e = e0
 
+    // Exchange discipline (r6 opt round, guide §2.4): each star step
+    // repartitions its input by u ONCE; the min-aggregate AND the
+    // neighbor join both consume that same hash partitioning (a groupBy
+    // whose keys contain the partitioning expr and an equi-join keyed on
+    // it need no further exchange), so a round costs 3 exchanges — the
+    // two star repartitions plus the final distinct — where the naive
+    // composition paid ~6 (separate exchanges for each groupBy, join
+    // side, and an intra-round distinct).
+
     // large-star: undirected view; for each u emit (bigger-neighbor → min
     // of closed neighborhood). Output stays big→small oriented because
-    // the emitted source is strictly larger than u ≥ m.
+    // the emitted source is strictly larger than u ≥ m. NOT deduped here:
+    // small-star's min is duplicate-insensitive and the round's final
+    // distinct restores the set invariant — dropping the intra-round
+    // distinct removes a whole exchange, and the dup volume is bounded by
+    // the (already-distinct) undirected edge count, never quadratic.
     def largeStar(ed: DataFrame): DataFrame = {
       val und = ed.select($"u", $"v").union(ed.select($"v".as("u"), $"u".as("v")))
+        .repartition($"u")
       val mins = und.groupBy($"u").agg(min($"v").as("mn"))
         .select($"u", least($"mn", $"u").as("m"))
       und.join(mins, "u")
         .where($"v" > $"u")
         .select($"v".as("u"), $"m".as("v"))
         .where($"u" =!= $"v")
-        .distinct()
     }
 
     // small-star: edges already big→small, so min(N(u) ∪ {u}) = min(v);
     // link every smaller neighbor AND u itself to it.
     def smallStar(ed: DataFrame): DataFrame = {
-      val mins = ed.groupBy($"u").agg(min($"v").as("m"))
-      ed.join(mins, "u")
+      val edP = ed.repartition($"u")
+      val mins = edP.groupBy($"u").agg(min($"v").as("m"))
+      edP.join(mins, "u")
         .select($"v".as("n"), $"m")
         .union(mins.select($"u".as("n"), $"m"))
         .where($"n" =!= $"m")
@@ -209,10 +229,18 @@ object Dedup {
         .distinct()
     }
 
+    val ccVerbose = sys.env.contains("GRAFT_CC_VERBOSE")
+    var t0 = System.nanoTime()
+    @inline def lap(label: String): Unit = if (ccVerbose) {
+      System.err.println(f"[cc] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      t0 = System.nanoTime()
+    }
     var it = 0
     var done = e.isEmpty
+    lap("init-isEmpty")
     while (!done && it < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
+      lap(s"round-$it checkpoint")
       // both sides distinct + identically oriented, so equal sets ⟺ the
       // symmetric difference is empty ⟺ no (u, v) appears in exactly one
       // side. ONE aggregation job per round (the old shape ran a count
@@ -221,6 +249,7 @@ object Dedup {
       // asymmetric row).
       done = next.unionByName(e).groupBy($"u", $"v").count()
         .where($"count" === 1).isEmpty
+      lap(s"round-$it converge-check")
       e = next
       it += 1
     }
@@ -305,7 +334,13 @@ object Dedup {
       }
       .toDF("id", "shingles")
       .where(size($"shingles") > 0)
-    val ex = sh.select($"id", explode($"shingles").as("sh"))
+    // ONE explicit exchange by shingle, reused by every consumer (guide
+    // §2.4): the hot-shingle aggregate, the anti-join (both sides), the
+    // per-doc sizes, and the pair self-join all need clustering by `sh`,
+    // and with the exchange pinned here ReuseExchange makes them share it
+    // — the naive shape re-ran the tokenize+shingle+explode subtree and
+    // paid a separate 5M-row exchange per consumer.
+    val ex = sh.select($"id", explode($"shingles").as("sh")).repartition($"sh")
     val hot = ex.groupBy($"sh").count().where($"count" > maxShingleDf).select($"sh")
     val pruned = ex.join(hot, Seq("sh"), "left_anti")
     // per-doc sizes over the SAME pruned space the intersection counts
@@ -350,10 +385,14 @@ object Dedup {
       sequence(lit(0), nChunks - 1),
       i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")
     )
+    // one shared hash exchange for the multiplicity count and the join
+    // back (ReuseExchange) — the unpinned shape chunked and hashed the
+    // corpus twice
     val ch = docs
       .where(col(textCol) =!= "")
       .select(col(idCol), explode(chunks).as("chunk"))
       .select(col(idCol), xxhash64(col("chunk")).as("h"))
+      .repartition(col("h"))
     val counts = ch.groupBy("h").agg(count(lit(1)).as("c"))
     ch.join(counts, "h")
       .groupBy(idCol)
