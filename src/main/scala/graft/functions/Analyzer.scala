@@ -171,9 +171,13 @@ object Analyzer extends Serializable {
   /** Receiver for [[scanTokens]]: one call per emitted token. `ascii` is
     * true iff every char of the span is < 0x80 — the caller's license to
     * lowercase with the trivial 'A'..'Z' map instead of Locale rules.
+    * When `ascii`, `hash` is the String.hashCode of the LOWERCASED span
+    * (computed during the scan, which touches every char anyway — callers
+    * probing a hash table off the span need no second pass); undefined
+    * when `ascii` is false.
     */
   trait TokenSink {
-    def token(text: String, start: Int, end: Int, index: Int, ascii: Boolean): Unit
+    def token(text: String, start: Int, end: Int, index: Int, ascii: Boolean, hash: Int): Unit
   }
 
   /** Streaming tokenizer: the [[tokenize]] state machine without
@@ -195,12 +199,14 @@ object Analyzer extends Serializable {
     var start = -1
     var hasAlnum = false
     var ascii = true
+    var hash = 0
     while (i < n) {
       val cp = text.codePointAt(i)
       val w = Character.charCount(cp)
       if (isTokenChar(cp)) {
-        if (start < 0) { start = i; hasAlnum = false; ascii = true }
+        if (start < 0) { start = i; hasAlnum = false; ascii = true; hash = 0 }
         if (cp >= 0x80) ascii = false
+        else hash = hash * 31 + (if (cp >= 'A' && cp <= 'Z') cp + 32 else cp)
         if (!hasAlnum && Character.isLetterOrDigit(cp)) hasAlnum = true
         i += w
       } else if (
@@ -212,16 +218,17 @@ object Analyzer extends Serializable {
         }
       ) {
         if (cp >= 0x80) ascii = false
+        else hash = hash * 31 + cp // ASCII joiners have no case
         i += w
       } else {
         if (start >= 0) {
-          if (hasAlnum) { sink.token(text, start, i, count, ascii); count += 1 }
+          if (hasAlnum) { sink.token(text, start, i, count, ascii, hash); count += 1 }
           start = -1
         }
         i += w
       }
     }
-    if (start >= 0 && hasAlnum) { sink.token(text, start, n, count, ascii); count += 1 }
+    if (start >= 0 && hasAlnum) { sink.token(text, start, n, count, ascii, hash); count += 1 }
     count
   }
 

@@ -526,12 +526,16 @@ object IndexBuilder {
     @inline private def writePosVarint(v: Int): Unit = {
       if (posLen + 5 > posBytes.length)
         posBytes = java.util.Arrays.copyOf(posBytes, math.max(posBytes.length * 2, posLen + 8))
-      var x = v.toLong
-      while ((x & ~0x7fL) != 0L) {
-        posBytes(posLen) = ((x & 0x7f) | 0x80).toByte; posLen += 1
-        x >>>= 7
+      if (v >>> 7 == 0) { // single-byte gap: the overwhelmingly common case
+        posBytes(posLen) = v.toByte; posLen += 1
+      } else {
+        var x = v
+        while ((x >>> 7) != 0) {
+          posBytes(posLen) = ((x & 0x7f) | 0x80).toByte; posLen += 1
+          x >>>= 7
+        }
+        posBytes(posLen) = x.toByte; posLen += 1
       }
-      posBytes(posLen) = x.toByte; posLen += 1
     }
   }
 
@@ -621,16 +625,6 @@ object IndexBuilder {
     @inline private def lowerAscii(c: Char): Char =
       if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
 
-    /** hashCode of the lowercased ASCII span (== String.hashCode of the
-      * materialized key).
-      */
-    @inline private def asciiHash(text: String, start: Int, end: Int): Int = {
-      var h = 0
-      var i = start
-      while (i < end) { h = h * 31 + lowerAscii(text.charAt(i)); i += 1 }
-      h
-    }
-
     @inline private def asciiEquals(key: String, text: String, start: Int, end: Int): Boolean = {
       if (key.length != end - start) return false
       var i = 0
@@ -660,9 +654,11 @@ object IndexBuilder {
       }
     }
 
-    /** Buf for the ASCII token span [start, end) at `slice` (insert on miss). */
-    def probeAscii(text: String, start: Int, end: Int, slice: Int): ChunkBuf = {
-      val h = asciiHash(text, start, end)
+    /** Buf for the ASCII token span [start, end) at `slice` (insert on
+      * miss). `h` is the lowercased span's String.hashCode, computed by
+      * the token scan itself (it touches every char anyway).
+      */
+    def probeAscii(text: String, start: Int, end: Int, slice: Int, h: Int): ChunkBuf = {
       var idx = (h * 31 + slice) & (cap - 1)
       while (true) {
         val k = keys(idx)
@@ -745,9 +741,9 @@ object IndexBuilder {
           private final class DocSink extends Analyzer.TokenSink {
             var docId = 0L
             var slice = 0
-            def token(text: String, start: Int, end: Int, index: Int, ascii: Boolean): Unit = {
+            def token(text: String, start: Int, end: Int, index: Int, ascii: Boolean, hash: Int): Unit = {
               val b =
-                if (ascii) table.probeAscii(text, start, end, slice)
+                if (ascii) table.probeAscii(text, start, end, slice, hash)
                 else table.probeKey(
                   text.substring(start, end).toLowerCase(java.util.Locale.ROOT), slice)
               if (b.appendOcc(docId, index, withPos)) {

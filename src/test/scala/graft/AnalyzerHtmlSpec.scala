@@ -54,12 +54,17 @@ class AnalyzerHtmlSpec extends AnyFunSuite with GenCheck {
       val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
       val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
       val n = Analyzer.scanTokens(s, new Analyzer.TokenSink {
-        def token(text: String, start: Int, end: Int, index: Int, ascii: Boolean): Unit = {
+        def token(text: String, start: Int, end: Int, index: Int, ascii: Boolean, hash: Int): Unit = {
           assert(index == toks.length, s"index stream broken at '$s'")
+          val lowered = text.substring(start, end).toLowerCase(java.util.Locale.ROOT)
           // the ascii flag is a license for the trivial lowercase map —
-          // when set, every span char must really be < 0x80
-          if (ascii) (start until end).foreach(i => assert(text.charAt(i) < 0x80, s"'$s'"))
-          toks += text.substring(start, end).toLowerCase(java.util.Locale.ROOT)
+          // when set, every span char must really be < 0x80 and the
+          // passed hash must equal the lowercased span's String.hashCode
+          if (ascii) {
+            (start until end).foreach(i => assert(text.charAt(i) < 0x80, s"'$s'"))
+            assert(hash == lowered.hashCode, s"hash mismatch for '$lowered' in '$s'")
+          }
+          toks += lowered
           starts += start
           ends += end
         }
