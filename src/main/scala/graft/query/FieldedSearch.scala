@@ -599,8 +599,28 @@ object FieldedSearch {
     }.reduce(_ unionByName _)
       .groupBy($"doc_id").agg(sum($"wdl").as("dlc"))
 
-    post
-      .groupBy($"doc_id", $"term").agg(sum($"wtf").as("tfc"))
+    // tombstone composition (deletes live on the first field's index, the
+    // convention every other FieldedSearch/Search path follows): deleted
+    // docs are anti-joined out of the candidate set BEFORE scoring — the
+    // declarative analog of the WAND paths' tomb.compose(slice, filter)
+    val tombH = graft.index.Tombstones.handle(fields.head.indexDir)
+    val candidates = {
+      val agg = post.groupBy($"doc_id", $"term").agg(sum($"wtf").as("tfc"))
+      if (tombH == null) agg
+      else {
+        val idxDir = fields.head.indexDir
+        val gen = tombH.gen
+        val nSlices = IndexBuilder.readMeta(idxDir).nSlices
+        val deleted = spark.range(0, nSlices.toLong)
+          .as[Long]
+          .mapPartitions(_.flatMap(s =>
+            graft.index.Tombstones.readSlice(idxDir, gen, s.toInt).iterator))
+          .toDF("doc_id")
+        agg.join(deleted, Seq("doc_id"), "left_anti")
+      }
+    }
+
+    candidates
       .join(dlc, Seq("doc_id"))
       .join(broadcast(idfs), Seq("term"))
       .withColumn("s",

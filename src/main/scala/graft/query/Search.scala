@@ -170,7 +170,14 @@ object Search {
         if (msmReader == null) null
         else {
           val fi = msmReader.numIndex(msmF) // loud on undeclared
-          id => if (msmReader.seek(id)) msmReader.numValue(fi).toInt else Int.MaxValue
+          id =>
+            if (msmReader.seek(id)) {
+              // a required-count above Int.MaxValue must clamp, not wrap
+              // negative (a wrapped toInt would silently turn "required"
+              // into "match any one term")
+              val v = msmReader.numValue(fi)
+              if (v < 0L || v > Int.MaxValue.toLong) Int.MaxValue else v.toInt
+            } else Int.MaxValue
         }
       val hits =
         try {
@@ -955,6 +962,57 @@ object Search {
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
+  /** Batched [[phraseCount]] for a SET of bigrams in ONE job: one scan
+    * over the union of all pair terms' blocks, one per-slice task that
+    * runs every pair's positional walk against the slice's decoded refs
+    * (refs shared across pairs; cursors fresh per pair). Replaces the
+    * one-driver-job-per-bigram loop the phrase suggester used to run —
+    * O(candidates) sequential jobs became one (r6 opt round; guide §2.6).
+    */
+  def phraseCountBatch(
+      spark: SparkSession,
+      indexDir: String,
+      pairs: Seq[(String, String)]
+  ): Map[(String, String), Long] = {
+    import spark.implicits._
+    if (pairs.isEmpty) return Map.empty
+    val distinctPairs = pairs.distinct.toArray
+    val allTerms = distinctPairs.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
+    val bPairs = spark.sparkContext.broadcast(distinctPairs)
+    val tomb = graft.index.Tombstones.handle(indexDir)
+    val perSlice = IndexBuilder
+      .readPostings(spark, indexDir)
+      .where($"term".isin(allTerms: _*))
+      .select($"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"poss")
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (slice, rows) =>
+        val prs = bPairs.value
+        val byTerm = rows.toArray.groupBy(_._2)
+        val refsCache = scala.collection.mutable.AnyRefMap.empty[String, Array[BlockRef]]
+        def refsOf(t: String) = refsCache.getOrElseUpdate(t, byTerm(t)
+          .sortBy(r => (r._4, r._3))
+          .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, 0.0)))
+        prs.iterator.zipWithIndex
+          .filter { case ((a, b), _) => byTerm.contains(a) && byTerm.contains(b) }
+          .map { case ((a, b), pi) =>
+            // duplicate-term bigram (a a): one iter, both offsets — the
+            // exact distinctTerms/offsets shape phraseCount derives
+            val (qTerms, offs) =
+              if (a == b) (Array(a), Array(Array(0, 1)))
+              else (Array(a, b), Array(Array(0), Array(1)))
+            val iters = qTerms.map(t => new PostingIter(0, 0.0, refsOf(t), 1.0))
+            val filter = if (tomb == null) null else tomb.compose(slice, null)
+            (pi, BlockMaxWand.phraseMatches(iters, offs, filter).map(_._2.toLong).sum)
+          }
+      }
+      .collect()
+    val sums = new Array[Long](distinctPairs.length)
+    perSlice.foreach { case (pi, c) => sums(pi) += c }
+    distinctPairs.indices.map(i => distinctPairs(i) -> sums(i)).toMap
+  }
+
   /** ES `phrase` suggester ("did you mean") over the index's own
     * statistics: per-position candidate terms come from the dictionary
     * (edit distance ≤ `maxEdits`, top `perTermCandidates` by df — the
@@ -992,18 +1050,29 @@ object Search {
     // top-N each) + the input terms' own stats
     val dict = IndexBuilder.readTerms(spark, indexDir)
     val ttfOf = scala.collection.mutable.HashMap.empty[String, Long]
-    dict.where($"term".isin(phraseTerms.distinct: _*))
-      .collect().foreach(t => ttfOf(t.term) = t.total_tf)
-    val candsAt: Seq[Seq[String]] = phraseTerms.map { q =>
-      val rows = dict
+    // ONE dictionary job: the input terms' stats (pos = -1) and every
+    // position's edit-distance candidates ride one unioned plan — the
+    // per-position loop ran a separate full-dictionary scan job per
+    // phrase position (r6 opt round; guide §2.6: batch driver-sequenced
+    // lookups into one job)
+    val inputBranch = dict
+      .where($"term".isin(phraseTerms.distinct: _*))
+      .select(lit(-1).as("pos"), $"term", $"doc_freq", $"total_tf")
+    val candBranches = phraseTerms.zipWithIndex.map { case (q, i) =>
+      dict
         .where(abs(length($"term") - lit(q.length)) <= maxEdits)
         .where($"term" =!= q)
         .where(levenshtein($"term", lit(q)) <= maxEdits)
         .orderBy(desc("doc_freq"), asc("term"))
         .limit(perTermCandidates)
-        .collect()
-      rows.foreach(r => ttfOf(r.term) = r.total_tf)
-      rows.map(_.term).toSeq
+        .select(lit(i).as("pos"), $"term", $"doc_freq", $"total_tf")
+    }
+    val allRows = candBranches.foldLeft(inputBranch)(_ unionByName _).collect()
+    allRows.foreach(r => ttfOf(r.getString(1)) = r.getLong(3))
+    val candsAt: Seq[Seq[String]] = phraseTerms.indices.map { i =>
+      allRows.filter(_.getInt(0) == i)
+        .sortBy(r => (-r.getLong(2), r.getString(1)))
+        .map(_.getString(1)).toSeq
     }
     // candidate phrases: input + single-position substitutions, every
     // term must exist in the corpus (ttf > 0) to be LM-scorable
@@ -1015,8 +1084,7 @@ object Search {
     if (phrases.isEmpty)
       return spark.emptyDataset[(String, Long)].toDF("suggestion", "score_e6")
     val bigrams = phrases.flatMap(_.sliding(2).map(w => (w(0), w(1)))).distinct
-    val bcount: Map[(String, String), Long] =
-      bigrams.map(b => b -> phraseCount(spark, indexDir, Seq(b._1, b._2))).toMap
+    val bcount: Map[(String, String), Long] = phraseCountBatch(spark, indexDir, bigrams)
     def lp(t: String): Double = math.log(ttfOf(t).toDouble / bigT)
     def lpb(a: String, b: String): Double = {
       val c = bcount((a, b))
@@ -1059,17 +1127,126 @@ object Search {
     import spark.implicits._
     require(phraseTerms.nonEmpty, "empty phrase")
     require(maxExpansions >= 1, "maxExpansions must be positive")
+    require(docFilter == null || attrFilter == null,
+      "pass docFilter (ad-hoc Column) or attrFilter (typed sidecar predicate), not both")
     val last = phraseTerms.last
-    val expansions = IndexBuilder.readTerms(spark, indexDir)
+    // ONE dictionary job: the expansion rows already carry doc_freq, so
+    // no per-expansion df lookup is needed (the per-expansion phraseTopK
+    // composition ran one driver collect AND one scan+shuffle per
+    // expansion — 8 dictionary jobs and 8 exchanges for the default cap;
+    // r6 opt round, guide §2.4: this shape is one scan, one exchange).
+    val expRows = IndexBuilder.readTerms(spark, indexDir)
       .where($"term".startsWith(last))
       .orderBy(asc("term"))
       .limit(maxExpansions)
-      .collect().map(_.term).toSeq
-    if (expansions.isEmpty) return spark.emptyDataset[QueryHit].toDF()
-    expansions
-      .map(e => phraseTopK(spark, indexDir, phraseTerms.init :+ e, k,
-        docFilter, attrFilter, mustNot))
-      .reduce(_ unionByName _)
+      .collect()
+    if (expRows.isEmpty) return spark.emptyDataset[QueryHit].toDF()
+    val initTerms = phraseTerms.init.distinct
+    val initDfs: Map[String, Long] =
+      if (initTerms.isEmpty) Map.empty
+      else IndexBuilder.readTerms(spark, indexDir)
+        .where($"term".isin(initTerms: _*))
+        .collect()
+        .map(t => t.term -> t.doc_freq)
+        .toMap
+    // a missing non-last term empties every expansion
+    if (initTerms.exists(t => !initDfs.contains(t)))
+      return spark.emptyDataset[QueryHit].toDF()
+    val stats = IndexBuilder.readStats(spark, indexDir)
+    val n = stats.n_docs
+    val avgDl = if (stats.avg_dl > 0) stats.avg_dl else 1.0
+    val dfAll: Map[String, Long] = initDfs ++ expRows.map(t => t.term -> t.doc_freq)
+    // per-expansion walk context: distinct terms in first-occurrence
+    // order, per-term position offsets, positional idf sum — exactly the
+    // values phraseTopK derives for (init :+ expansion)
+    val expCtx: Array[(Array[String], Array[Array[Int]], Double)] = expRows.map { er =>
+      val terms = phraseTerms.init :+ er.term
+      val distinctTerms = terms.distinct
+      val offsets: Array[Array[Int]] = distinctTerms.map { t =>
+        terms.zipWithIndex.collect { case (pt, i) if pt == t => i }.toArray
+      }.toArray
+      val idfSum = terms.map(t => NaiveBm25.idf(n, dfAll(t))).sum
+      (distinctTerms.toArray, offsets, idfSum)
+    }
+    val allTerms = (phraseTerms.init ++ expRows.map(_.term)).distinct
+    val exTerms = mustNot.distinct
+    val bCtx = spark.sparkContext.broadcast((expCtx, exTerms.toArray))
+    val tomb = graft.index.Tombstones.handle(indexDir)
+
+    val blocks = IndexBuilder
+      .readPostings(spark, indexDir)
+      .where($"term".isin(allTerms ++ exTerms: _*))
+      .select(
+        $"slice", $"term", $"block_id", $"doc_id_min", $"doc_id_max",
+        $"count", $"deltas", $"tfs", $"dls", $"poss", $"max_impact"
+      )
+      .as[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)]
+
+    // baseFilter must yield a FRESH DocFilter per expansion: filters are
+    // forward-only cursors and each expansion is an independent walk.
+    def run(
+        slice: Int,
+        rows: Iterator[(Int, String, Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Double)],
+        baseFilter: () => DocFilter
+    ): Iterator[QueryHit] = {
+      val (ctxs, exT) = bCtx.value
+      val byTerm = rows.toArray.groupBy(_._2)
+      val refsCache = scala.collection.mutable.AnyRefMap.empty[String, Array[BlockRef]]
+      def refsOf(t: String) = refsCache.getOrElseUpdate(t, byTerm(t)
+        .sortBy(r => (r._4, r._3))
+        .map(r => BlockRef(r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11)))
+      ctxs.iterator.flatMap { case (qTerms, offs, idfS) =>
+        if (!qTerms.forall(byTerm.contains)) Iterator.empty
+        else {
+          var filter = baseFilter()
+          val exIters = exT.iterator.filter(byTerm.contains)
+            .map(t => new PostingIter(0, 0.0, refsOf(t), avgDl)).toArray
+          if (exIters.nonEmpty)
+            filter = Filters.and(filter, new NotFilter(new PostingSet(exIters)))
+          if (tomb != null) filter = tomb.compose(slice, filter)
+          val iters = qTerms.map(t => new PostingIter(0, 0.0, refsOf(t), avgDl))
+          BlockMaxWand.phrase(iters, offs, idfS, k, filter)
+            .iterator.map(h => QueryHit(h.docId, h.score))
+        }
+      }
+    }
+
+    val localTopK =
+      if (docFilter == null && attrFilter == null)
+        blocks.groupByKey(_._1).flatMapGroups { (slice, rows) => run(slice, rows, () => null) }
+      else if (attrFilter != null) {
+        val idxDir = indexDir
+        val pred = attrFilter
+        blocks.groupByKey(_._1).flatMapGroups { (slice, rows) =>
+          // one sidecar read per slice; fresh cursor per expansion walk
+          val cursors = scala.collection.mutable.ArrayBuffer.empty[AutoCloseable]
+          val out = run(slice, rows, () => {
+            val cur = AttrSidecar.openCursor(idxDir, slice, pred)
+            cursors += cur
+            cur
+          }).toArray
+          cursors.foreach(_.close())
+          out.iterator
+        }
+      } else {
+        val filterIds = spark.read.parquet(s"$indexDir/docs")
+          .where(docFilter)
+          .select($"slice".cast("int"), $"doc_id")
+          .as[(Int, Long)]
+        blocks
+          .groupByKey(_._1)
+          .cogroup(filterIds.groupByKey(_._1)) { (slice, rows, fids) =>
+            val allow = fids.map(_._2).toArray
+            if (allow.isEmpty) Iterator.empty
+            else {
+              java.util.Arrays.sort(allow)
+              run(slice, rows, () => new FilterIter(allow))
+            }
+          }
+      }
+
+    localTopK
+      .toDF()
       .groupBy($"doc_id")
       .agg(max($"score").as("score"))
       .orderBy(desc("score"), asc("doc_id"))

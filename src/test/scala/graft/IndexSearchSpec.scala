@@ -315,6 +315,42 @@ class IndexSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     expF.zip(gotF).foreach { case (e, (_, gs)) => assert(math.abs(gs - e.score) < 1e-9) }
   }
 
+  test("combined_fields composes tombstones: deleted docs never surface (r6 fix)") {
+    import graft.query.FieldedSearch
+    import spark.implicits._
+    val bodyDel = Files.createTempDirectory("graft-cfdel-body")
+    val titleDel = Files.createTempDirectory("graft-cfdel-title")
+    try {
+      val nd = 300L
+      val cfg = BuildConfig(nPartitions = 4, nGroups = 1, nSlices = 2, blockSize = 32)
+      IndexBuilder.build(spark, PagesGen.pages(spark, nd, 4), bodyDel.toString, cfg)
+      IndexBuilder.build(spark, IndexSearchSpec.titlePages(nd, _ => true), titleDel.toString, cfg)
+      val fields = Seq(
+        FieldedSearch.Field("title", titleDel.toString, 2.0),
+        FieldedSearch.Field("body", bodyDel.toString, 1.0))
+      val terms = Seq("w0", "w1")
+      val before = FieldedSearch.combinedFieldsTopK(spark, fields, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(before.nonEmpty)
+      val victim = before.head._1
+      // deletes live on the FIRST field's index — the convention every
+      // other FieldedSearch/Search path follows
+      graft.index.Tombstones.deleteByIds(spark, titleDel.toString, Seq(victim).toDS())
+      val after = FieldedSearch.combinedFieldsTopK(spark, fields, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(!after.map(_._1).contains(victim), "deleted doc surfaced in combined_fields")
+      // deletion filters the candidate set, never rescores survivors
+      val beforeMap = before.toMap
+      after.foreach { case (id, s) =>
+        beforeMap.get(id).foreach(bs => assert(math.abs(bs - s) < 1e-12, s"doc $id rescored"))
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(bodyDel.toFile).deleteRecursively()
+      new Directory(titleDel.toFile).deleteRecursively()
+    }
+  }
+
   test("combined_fields (BM25F): one virtual field ≡ exhaustive weighted-tf scoring") {
     import graft.query.FieldedSearch
     val fields = Seq((titleCorpus, 2.0), (corpus, 1.0))
