@@ -84,16 +84,29 @@ final class MultiSearcher(
   /** Global df per query term: Σ over the stats family (one tiny job;
     * per-segment terms tables are term-sorted parquet → pushdown each).
     */
-  def dfOf(queryTerms: Seq[String]): Map[String, Long] = {
+  // Per-searcher dictionary memo: the dictionary is immutable for this
+  // searcher's fixed segment list, and a composed query (query_string
+  // tree) resolves term stats leaf by leaf — without the memo a Q-leaf
+  // tree runs Q sequential dictionary jobs. Absent terms memo as None so
+  // repeated misses cost nothing. Searchers are constructed per query
+  // invocation, so nothing persists across bench runs.
+  private val dfMemo = scala.collection.mutable.HashMap.empty[String, Option[Long]]
+
+  def dfOf(queryTerms: Seq[String]): Map[String, Long] = dfMemo.synchronized {
     val t = queryTerms.distinct
-    familyDirs
-      .map(d =>
-        IndexBuilder.readTerms(spark, d).where($"term".isin(t: _*)).toDF())
-      .reduce(_ unionByName _)
-      .groupBy($"term").agg(sum($"doc_freq").as("df"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .toMap
+    val missing = t.filterNot(dfMemo.contains)
+    if (missing.nonEmpty) {
+      val got = familyDirs
+        .map(d =>
+          IndexBuilder.readTerms(spark, d).where($"term".isin(missing: _*)).toDF())
+        .reduce(_ unionByName _)
+        .groupBy($"term").agg(sum($"doc_freq").as("df"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      missing.foreach(m => dfMemo(m) = got.get(m))
+    }
+    t.flatMap(x => dfMemo(x).map(x -> _)).toMap
   }
 
   private type BlockRow =

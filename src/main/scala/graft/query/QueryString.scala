@@ -472,8 +472,30 @@ object QueryString {
     // a fielded leaf walks ITS index (own postings, stats, sidecar — the
     // shared doc-id space makes the combines field-agnostic)
     private def dirOf(f: Option[String]): String = f.map(fields).getOrElse(indexDir)
-    def exportTerms(terms: Seq[String], ctx: AttrPred, field: Option[String]): DataFrame =
-      Search.exportMatches(spark, dirOf(field), terms, "or", attrFilter = ctx)
+    // per-query dictionary memo, warmed by [[prefetchDfs]] with every
+    // plain term in the AST — a Q-leaf tree then resolves term stats in
+    // one dictionary job per index instead of one per leaf. Negative
+    // results memo as None.
+    private val dfMemo = scala.collection.mutable.HashMap.empty[(String, String), Option[Long]]
+    private def dfsFor(dir: String, terms: Seq[String]): Map[String, Long] = {
+      import spark.implicits._
+      val t = terms.distinct
+      val missing = t.filterNot(x => dfMemo.contains((dir, x)))
+      if (missing.nonEmpty) {
+        val got = IndexBuilder.readTerms(spark, dir)
+          .where($"term".isin(missing: _*))
+          .collect().map(r => r.term -> r.doc_freq).toMap
+        missing.foreach(m => dfMemo((dir, m)) = got.get(m))
+      }
+      t.flatMap(x => dfMemo((dir, x)).map(x -> _)).toMap
+    }
+    def prefetchDfs(byField: Map[Option[String], Seq[String]]): Unit =
+      byField.foreach { case (f, ts) => dfsFor(dirOf(f), ts) }
+    def exportTerms(terms: Seq[String], ctx: AttrPred, field: Option[String]): DataFrame = {
+      val dir = dirOf(field)
+      Search.exportMatches(spark, dir, terms, "or", attrFilter = ctx,
+        knownDfs = dfsFor(dir, terms))
+    }
     def exportPhrase(terms: Seq[String], ctx: AttrPred): DataFrame =
       QueryString.exportPhrase(spark, indexDir, terms, ctx)
     def filterIds(pred: AttrPred): DataFrame =
@@ -497,6 +519,18 @@ object QueryString {
       msOf(field).expandPatternTerms(p, max)
     def expandFuzzy(t: String, edits: Int, max: Int, field: Option[String]): Seq[String] =
       msOf(field).expandFuzzyTerms(t, edits, max)
+  }
+
+  /** Plain (non-fuzzy) term leaves of the AST grouped by field — the
+    * prefetch set for one-job term-stats resolution in the tree paths.
+    */
+  private def plainTermsByField(n: Node): Map[Option[String], Seq[String]] = {
+    def walk(n: Node): Seq[(Option[String], String)] = n match {
+      case TermLeaf(t, _, 0, f) => Seq((f, t))
+      case Bool(m, s, x)        => (m ++ s ++ x).flatMap(walk)
+      case _                    => Nil
+    }
+    walk(n).groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).distinct }
   }
 
   // ----------------------------------------------------------- tree eval
@@ -596,7 +630,9 @@ object QueryString {
     val attrs = IndexBuilder.readMeta(indexDir).attrs.map(a => a.name -> a.kind).toMap
     val ast = parse(q, attrs, textFields.keySet)
     fastPath(spark, indexDir, ast, k).getOrElse {
-      eval(new IndexBackend(spark, indexDir, textFields), ast, null, maxExpansions)
+      val be = new IndexBackend(spark, indexDir, textFields)
+      be.prefetchDfs(plainTermsByField(ast))
+      eval(be, ast, null, maxExpansions)
         .orderBy(desc("score"), asc("doc_id"))
         .limit(k)
     }
@@ -617,6 +653,11 @@ object QueryString {
         mustNot = f.mustNot, minShouldMatch = f.minShouldMatch)
     }
     fast.getOrElse {
+      // warm each searcher's dictionary memo with every plain term in
+      // the AST: one dictionary job per searcher, not one per leaf
+      plainTermsByField(ast).foreach { case (f, ts) =>
+        f.map(textFields).getOrElse(ms).dfOf(ts)
+      }
       eval(new FamilyBackend(ms.spark, ms, textFields), ast, null, maxExpansions)
         .orderBy(desc("score"), asc("doc_id"))
         .limit(k)

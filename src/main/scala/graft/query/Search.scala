@@ -1382,6 +1382,11 @@ object Search {
     * the caller repartitions/writes. filter/must_not/tombstones/msm
     * compose as everywhere.
     */
+  /** `knownDfs`: caller-supplied doc_freq map for `queryTerms` (present
+    * terms only) — skips this call's dictionary job. The query_string
+    * tree evaluator resolves a Q-leaf query with ONE batched dictionary
+    * lookup instead of Q sequential jobs (r6 opt round; guide §2.6).
+    */
   def exportMatches(
       spark: SparkSession,
       indexDir: String,
@@ -1389,19 +1394,22 @@ object Search {
       mode: String,
       attrFilter: AttrPred = null,
       mustNot: Seq[String] = Nil,
-      minShouldMatch: Int = 1
+      minShouldMatch: Int = 1,
+      knownDfs: Map[String, Long] = null
   ): DataFrame = {
     import spark.implicits._
     val terms = queryTerms.distinct
     val stats = IndexBuilder.readStats(spark, indexDir)
     val n = stats.n_docs
     val avgDl = if (stats.avg_dl > 0) stats.avg_dl else 1.0
-    val dfs: Map[String, Long] = IndexBuilder
-      .readTerms(spark, indexDir)
-      .where($"term".isin(terms: _*))
-      .collect()
-      .map(t => t.term -> t.doc_freq)
-      .toMap
+    val dfs: Map[String, Long] =
+      if (knownDfs != null) knownDfs
+      else IndexBuilder
+        .readTerms(spark, indexDir)
+        .where($"term".isin(terms: _*))
+        .collect()
+        .map(t => t.term -> t.doc_freq)
+        .toMap
     val isAnd = mode == "and"
     if (isAnd && terms.exists(t => !dfs.contains(t)))
       return spark.emptyDataset[QueryHit].toDF()
