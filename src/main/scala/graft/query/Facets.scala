@@ -1220,28 +1220,38 @@ object Facets {
       minShouldMatch: Int = 1
   ): DataFrame = {
     import spark.implicits._
-    val hist = numericWalk(spark, Seq(indexDir), queryTerms, mode, numField,
+    // ONE job: the distinct-value histogram was already driver-scale by
+    // construction (the old shape ran a single-partition window over it,
+    // three sequential driver actions and a cache); both nearest-rank
+    // medians now compute from one collected (v, n) frame with the exact
+    // same rank arithmetic (r6 opt round).
+    val rows = numericWalk(spark, Seq(indexDir), queryTerms, mode, numField,
       attrFilter, mustNot, minShouldMatch, histogram = true)
       .groupBy($"v").agg(sum($"n").as("n"))
-      .cache() // tiny distinct-value frame, read twice (median, then MAD)
-    try {
-      val totalRow = hist.agg(sum($"n")).head()
-      if (totalRow.isNullAt(0))
-        return Seq((0L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long]))
-          .toDF("n_docs", "median_v", "mad_v")
-      val total = totalRow.getLong(0)
-      val w = org.apache.spark.sql.expressions.Window.orderBy($"v")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      // nearest-rank p50, same rank arithmetic as percentilesAgg
-      val rank = math.ceil(50.0 * total / 100.0).toLong
-      def medianOf(h: DataFrame): Long =
-        h.withColumn("cum", sum($"n").over(w))
-          .where($"cum" >= rank).agg(min($"v")).head().getLong(0)
-      val m = medianOf(hist)
-      val mad = medianOf(
-        hist.select(abs($"v" - m).as("v"), $"n").groupBy($"v").agg(sum($"n").as("n")))
-      Seq((total, m, mad)).toDF("n_docs", "median_v", "mad_v")
-    } finally hist.unpersist()
+      .collect()
+    if (rows.isEmpty)
+      return Seq((0L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long]))
+        .toDF("n_docs", "median_v", "mad_v")
+    val hist = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = hist.map(_._2).sum
+    // nearest-rank p50, same rank arithmetic as percentilesAgg
+    val rank = math.ceil(50.0 * total / 100.0).toLong
+    def medianOf(pairs: Array[(Long, Long)]): Long = {
+      var cum = 0L
+      var i = 0
+      while (i < pairs.length) {
+        cum += pairs(i)._2
+        if (cum >= rank) return pairs(i)._1
+        i += 1
+      }
+      pairs.last._1
+    }
+    val m = medianOf(hist)
+    val madHist = hist.groupBy { case (v, _) => math.abs(v - m) }
+      .map { case (v, ps) => (v, ps.map(_._2).sum) }
+      .toArray.sortBy(_._1)
+    val mad = medianOf(madHist)
+    Seq((total, m, mad)).toDF("n_docs", "median_v", "mad_v")
   }
 
   /** ES `date_range` aggregation: matching-doc counts per explicit
