@@ -591,14 +591,6 @@ object FieldedSearch {
         .toDF("doc_id", "term", "wtf")
     }.reduce(_ unionByName _)
 
-    // combined per-field-weighted doc length from each field's stored
-    // docs table (column-pruned: only doc_id + doc_len are read)
-    val dlc = fields.map { f =>
-      spark.read.parquet(s"${f.indexDir}/docs")
-        .select($"doc_id", ($"doc_len".cast("double") * f.boost).as("wdl"))
-    }.reduce(_ unionByName _)
-      .groupBy($"doc_id").agg(sum($"wdl").as("dlc"))
-
     // tombstone composition (deletes live on the first field's index, the
     // convention every other FieldedSearch/Search path follows): deleted
     // docs are anti-joined out of the candidate set BEFORE scoring — the
@@ -619,6 +611,22 @@ object FieldedSearch {
         agg.join(deleted, Seq("doc_id"), "left_anti")
       }
     }
+
+    // combined per-field-weighted doc length from each field's stored
+    // docs table (column-pruned: only doc_id + doc_len are read) —
+    // restricted to CANDIDATE docs BEFORE the aggregation (r6, guide
+    // §2.3): the unrestricted shape aggregated doc lengths over the
+    // whole corpus just to inner-join ~candidate rows afterwards, a
+    // full-corpus shuffle a top-k query must not pay at scale. The
+    // candidate-id frame is bare 8-byte ids (bounded by the query
+    // terms' postings), so AQE broadcasts it under the usual regimes.
+    val candIds = candidates.select($"doc_id").distinct()
+    val dlc = fields.map { f =>
+      spark.read.parquet(s"${f.indexDir}/docs")
+        .select($"doc_id", ($"doc_len".cast("double") * f.boost).as("wdl"))
+    }.reduce(_ unionByName _)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy($"doc_id").agg(sum($"wdl").as("dlc"))
 
     candidates
       .join(dlc, Seq("doc_id"))
