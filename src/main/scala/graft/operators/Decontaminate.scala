@@ -57,11 +57,17 @@ object Decontaminate {
       n: Int
   ): DataFrame = {
     require(n >= 1, "n must be positive")
+    // distinct on the HASH alone (the marker column is constant): the
+    // distinct's exchange is then HashPartitioning(gh), which the gh
+    // equi-join below consumes without a second exchange of the train
+    // side (r6 opt round; guide §2.4 — the old (gh, in_train) distinct
+    // key made the join re-shuffle what the distinct had just shuffled)
     val trainGrams = train
       .where(col(textCol) =!= "")
       .select(explode(ngramsCol(textCol, n)).as("g"))
-      .select(xxhash64(col("g")).as("gh"), lit(1).as("in_train"))
+      .select(xxhash64(col("g")).as("gh"))
       .distinct()
+      .withColumn("in_train", lit(1))
     val evalGrams = eval
       .where(col(textCol) =!= "")
       .select(col(idCol), explode(ngramsCol(textCol, n)).as("g"))
